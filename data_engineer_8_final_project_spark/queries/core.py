@@ -1,1 +1,456 @@
-"""Placeholder — queries added incrementally."""
+"""Core relational query set (SURVEY.md §2.2-§2.7 + declared widenings).
+
+Each query is the Spark-first re-expression of a reference operator
+family, registered with a value-identical DuckDB oracle. Conventions
+(registry module docstring): integer aggregates cast to BIGINT both
+sides; double aggregates wrapped in ROUND(x, n) both sides (HALF_UP on
+two doubles converges to identical bit patterns); every ranked/limited
+output has a tiebreak-complete ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register, tables_for
+
+# --------------------------------------------------------------------------
+# Aggregations (reference §2.4 A1/A2 generalized — TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ref="§2.4 A1/A2 (generalized multi-agg; TPC-H Q1 shape)",
+    tags=("bench",),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "group_count",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count,
+           COUNT(DISTINCT o_custkey) AS distinct_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ref="§2.4 A1 (group-count) + declared count_distinct widening",
+)
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("distinct_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "group_sum_multi",
+    oracle="""
+    SELECT l_suppkey,
+           ROUND(SUM(l_quantity), 2)      AS total_qty,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_discount), 4)      AS avg_discount
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    survey_ref="§2.4 A2 (group-sum multi-column) + min/max/avg widening",
+)
+def q_group_sum_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (reference §2.3 J1 + declared semi/anti widenings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_coalesce",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS customers FROM customer GROUP BY c_nationkey
+    ),
+    supp AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS suppliers FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk)      AS nationkey,
+           COALESCE(cust.customers, 0)     AS customers,
+           COALESCE(supp.suppliers, 0)     AS suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    ORDER BY nationkey
+    """,
+    survey_ref="§2.3 J1 (full-outer equi-join + key coalesce; reference spark-scripts/spark-project.py:75-80)",
+)
+def q_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    cust = t["customer"].groupBy(F.col("c_nationkey").alias("cnk")).agg(
+        F.count(F.lit(1)).alias("customers")
+    )
+    supp = t["supplier"].groupBy(F.col("s_nationkey").alias("snk")).agg(
+        F.count(F.lit(1)).alias("suppliers")
+    )
+    return (
+        cust.join(supp, cust.cnk == supp.snk, "full_outer")
+        .select(
+            F.coalesce("cnk", "snk").alias("nationkey"),
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    survey_ref="§2.3 equi-join chain + §2.4 A2 (multi-join rollup)",
+    tags=("bench",),
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_ref="§2.3 declared widening: left-anti join",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "high_value_customers_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    ORDER BY c_custkey
+    """,
+    survey_ref="§2.3 declared widening: left-semi join",
+)
+def q_high_value_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (reference §2.6 O1/O2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    survey_ref="§2.6 O1 (multi-key desc sort) + O2 (limit) = global top-k",
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    # orderBy().limit() compiles to TakeOrderedAndProject — a per-partition
+    # top-k + driver merge, no global sort shuffle at any scale.
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (reference §2.5 W1/W2 + declared widenings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_customers_per_nation",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_nationkey,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+             ) AS BIGINT) AS rn,
+             c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+      FROM customer
+    ) WHERE rn <= 5
+    ORDER BY c_nationkey, rn
+    """,
+    survey_ref="§2.5 W2 (rank after sort, partitioned) — top-k per group",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t["customer"]
+        .select(
+            "c_nationkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@register(
+    "order_gaps_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    survey_ref="§2.5 declared widening: lag/lead analytic windows",
+)
+def q_order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).cast("long").alias(
+                "days_since_prev"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "part_price_rank",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT)
+             AS price_rank,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT)
+             AS price_rank_gapped,
+           ROUND(SUM(p_retailprice) OVER (
+             PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_price
+    FROM part
+    ORDER BY p_brand, price_rank, p_partkey
+    """,
+    survey_ref="§2.5 declared widening: rank/dense_rank + running frame",
+)
+def q_part_price_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    w_rank = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    w_run = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t["part"]
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.dense_rank().over(w_rank).cast("long").alias("price_rank"),
+            F.rank().over(w_rank).cast("long").alias("price_rank_gapped"),
+            F.round(F.sum("p_retailprice").over(w_run), 2).alias("running_price"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (reference §2.7 U1 + declared intersect/except widenings)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "custkey_set_ops",
+    oracle="""
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    UNION ALL
+    SELECT 'only_segment' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+    )
+    ORDER BY tag, c_custkey
+    """,
+    survey_ref="§2.7 U1 + declared intersect/except widening",
+)
+def q_custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    seg = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    big = t["orders"].filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = seg.intersect(big).select(F.lit("both").alias("tag"), "c_custkey")
+    only = seg.exceptAll(big).distinct().select(F.lit("only_segment").alias("tag"), "c_custkey")
+    return both.unionByName(only).orderBy("tag", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# Grouping sets (declared widening — rollup / cube)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region NULLS FIRST, nation NULLS FIRST
+    """,
+    survey_ref="§2.4 declared widening: rollup grouping sets",
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    survey_ref="§2.4 declared widening: cube grouping sets",
+)
+def q_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )

@@ -1,1 +1,323 @@
-"""Placeholder — queries added incrementally."""
+"""Scalar cleaning/derivation queries (SURVEY.md §2.8 F1-F12, §2.2 P-ops, §2.4 A4).
+
+The reference cleans scraped rows row-at-a-time in Python
+(reference dags/projectde_dag.py:60-131: split, strip, dict-map,
+year inference, date parse, score split with NULL-on-malformed, 3/1/0
+points). Here each of those becomes a declarative expression pipeline
+over the fixture tables — whole-stage-codegen'd, zero Python UDFs —
+with a value-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register, tables_for
+
+# --------------------------------------------------------------------------
+# Date functions (F4/F6/F10/F11 family)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_by_month",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)  AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year, order_month
+    """,
+    survey_ref="§2.8 F6/F11 (date parts + arithmetic)",
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@register(
+    "day_name_dimension",
+    oracle="""
+    -- Day-code -> day-name dictionary map (reference dags/projectde_dag.py:68-76).
+    -- DuckDB dayofweek: 0=Sunday..6=Saturday.
+    SELECT CASE EXTRACT(DOW FROM o_orderdate)
+             WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday' WHEN 2 THEN 'Tuesday'
+             WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday' WHEN 5 THEN 'Friday'
+             ELSE 'Saturday' END AS day_name,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    ORDER BY day_name
+    """,
+    survey_ref="§2.8 F2 (day-code dictionary map via when-chain)",
+)
+def q_day_name_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    # Spark dayofweek: 1=Sunday..7=Saturday.
+    dow = F.dayofweek("o_orderdate")
+    day_name = (
+        F.when(dow == 1, "Sunday")
+        .when(dow == 2, "Monday")
+        .when(dow == 3, "Tuesday")
+        .when(dow == 4, "Wednesday")
+        .when(dow == 5, "Thursday")
+        .when(dow == 6, "Friday")
+        .otherwise("Saturday")
+    )
+    return (
+        t["orders"]
+        .groupBy(day_name.alias("day_name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("day_name")
+    )
+
+
+@register(
+    "season_year_inference",
+    oracle="""
+    -- Month-based year inference (reference dags/projectde_dag.py:82-83:
+    -- Jan-Jul belongs to the later season year).
+    SELECT CAST(CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 7
+                     THEN EXTRACT(YEAR FROM o_orderdate)
+                     ELSE EXTRACT(YEAR FROM o_orderdate) + 1 END AS BIGINT) AS season_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    ORDER BY season_year
+    """,
+    survey_ref="§2.8 F4 (month-based year inference)",
+)
+def q_season_year_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    season = (
+        F.when(F.month("o_orderdate") <= 7, F.year("o_orderdate"))
+        .otherwise(F.year("o_orderdate") + 1)
+        .cast("long")
+    )
+    return (
+        t["orders"]
+        .groupBy(season.alias("season_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("season_year")
+    )
+
+
+@register(
+    "completed_before_cutoff",
+    oracle="""
+    -- "Completed strictly before yesterday" predicate (reference
+    -- dags/projectde_dag.py:95-97) with the as-of date frozen to a
+    -- literal (FIXTURES.md determinism rules).
+    SELECT COUNT(*) AS n_completed,
+           CAST(MIN(o_orderkey) AS BIGINT) AS first_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS last_key
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' - INTERVAL 1 DAY
+    """,
+    survey_ref="§2.2 P3 (completed-match date predicate, frozen as-of)",
+)
+def q_completed_before_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp") - F.expr("INTERVAL 1 DAY")
+    return t["orders"].filter(F.col("o_orderdate") < cutoff).agg(
+        F.count(F.lit(1)).alias("n_completed"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# String functions (F1/F3/F5/F7 family) + parse-failure semantics (P4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "score_parse_nulls",
+    oracle="""
+    -- Re-host of the score-split pipeline (reference dags/projectde_dag.py:100-102):
+    -- synthesize a '{h} - {a}' score string per lineitem (malformed 'pp.' when
+    -- l_orderkey % 37 = 0), split on ' - ', cast halves to int (NULL on
+    -- malformed), then count parse failures and sum parsed goals.
+    WITH scored AS (
+      SELECT CASE WHEN l_orderkey % 37 = 0 THEN 'pp.'
+                  ELSE CONCAT(CAST(l_linenumber AS VARCHAR), ' - ',
+                              CAST(l_suppkey % 10 AS VARCHAR)) END AS score
+      FROM lineitem
+    ),
+    parsed AS (
+      SELECT TRY_CAST(string_split(score, ' - ')[1] AS BIGINT) AS home_goals,
+             TRY_CAST(string_split(score, ' - ')[2] AS BIGINT) AS away_goals
+      FROM scored
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN home_goals IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+           CAST(SUM(home_goals) AS BIGINT) AS total_home_goals,
+           CAST(SUM(away_goals) AS BIGINT) AS total_away_goals
+    FROM parsed
+    """,
+    survey_ref="§2.8 F7 (score split→int, NULL on malformed) + §2.2 P4",
+)
+def q_score_parse_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    score = F.when(F.col("l_orderkey") % 37 == 0, F.lit("pp.")).otherwise(
+        F.concat_ws(" - ", F.col("l_linenumber").cast("string"), (F.col("l_suppkey") % 10).cast("string"))
+    )
+    parts = F.split(score, " - ")
+    # Spark 4 defaults to ANSI mode: plain cast THROWS on 'pp.' and
+    # getItem THROWS past the end; try_cast + F.get give the reference's
+    # NULL-on-malformed semantics (dags/projectde_dag.py:100-102).
+    home = F.get(parts, 0).try_cast("long")
+    away = F.get(parts, 1).try_cast("long")
+    return (
+        t["lineitem"]
+        .select(home.alias("home_goals"), away.alias("away_goals"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("home_goals").isNull(), 1).otherwise(0)).alias("n_malformed"),
+            F.sum("home_goals").alias("total_home_goals"),
+            F.sum("away_goals").alias("total_away_goals"),
+        )
+    )
+
+
+@register(
+    "string_clean_project",
+    oracle="""
+    -- split-first / trim / concat_ws / upper over documents (reference
+    -- §2.8 F1/F3/F5 family).
+    SELECT doc_id,
+           string_split(TRIM(text), ' ')[1]                 AS first_token,
+           UPPER(CONCAT(lang, '-', source))                 AS tag,
+           CAST(LENGTH(text) AS BIGINT)                     AS text_len,
+           SUBSTRING(text, 1, 16)                           AS prefix16
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="§2.8 F1 (split-first) / F3 (trim) / F5 (concat)",
+)
+def q_string_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.split(F.trim("text"), " ").getItem(0).alias("first_token"),
+            F.upper(F.concat_ws("-", "lang", "source")).alias("tag"),
+            F.length("text").cast("long").alias("text_len"),
+            F.substring("text", 1, 16).alias("prefix16"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "junk_row_filter",
+    oracle="""
+    -- Junk-row set-membership filter (reference dags/projectde_dag.py:46-47)
+    -- + non-alpha rlike variant (reference spark-scripts/spark-project.py:37-38),
+    -- re-hosted onto part: drop PROMO/ECONOMY types and names containing digits.
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type NOT IN ('PROMO', 'ECONOMY')
+      AND NOT regexp_matches(p_name, '[0-9]{3,}')
+    ORDER BY p_partkey
+    """,
+    survey_ref="§2.2 P1 (set-membership junk filter + non-alpha regex variant)",
+)
+def q_junk_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(~F.col("p_type").isin("PROMO", "ECONOMY"))
+        .filter(~F.col("p_name").rlike("[0-9]{3,}"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional derivation (A4/F8) + coalesce (F9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "points_conditional",
+    oracle="""
+    -- 3/1/0 points when-chain (reference dags/projectde_dag.py:128-129).
+    SELECT CAST(CASE WHEN o_totalprice > 250000 THEN 3
+                     WHEN o_totalprice > 100000 THEN 1
+                     ELSE 0 END AS INT) AS points,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY points
+    """,
+    survey_ref="§2.4 A4 / §2.8 F8 (3/1/0 conditional derivation)",
+)
+def q_points_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    points = (
+        F.when(F.col("o_totalprice") > 250000, 3)
+        .when(F.col("o_totalprice") > 100000, 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        t["orders"]
+        .groupBy(points.alias("points"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("points")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON extraction (events.props — §2.9 T3 decode surface, batch form)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ref="§2.9 T3 (JSON payload decode, batch form) via from_json",
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import EVENT_PROPS
+
+    t = tables_for(spark, sf_dir)
+    return (
+        t["events"]
+        .withColumn("k", F.from_json("props", EVENT_PROPS).getField("k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
