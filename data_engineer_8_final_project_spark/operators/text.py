@@ -1,0 +1,102 @@
+"""Text-analytics operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface (BASELINE north star):
+token counting, quality scoring, language-ID heuristics, shingling,
+document fingerprinting. All pure ``pyspark.sql.functions`` — split /
+higher-order array functions / md5 — no Python UDFs, so every operator
+stays inside whole-stage codegen and scales linearly with input
+partitions (no shuffle except the final aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword list for quality scoring / language-ID heuristics.
+#: Deterministic and engine-agnostic (mirrored into oracle SQL literals).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (the only tokenizer the fixture corpus needs)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def stopword_count(col: Column | str) -> Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stop, t))).cast("long")
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """n-token shingles as an array<string> (space-joined), via sequence+transform.
+
+    Pure built-ins: for i in 0..len-n → concat_ws(' ', toks[i..i+n-1]).
+    Empty array when the document is shorter than n tokens.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic content fingerprint (md5 hex — portable across engines)."""
+    return F.md5(col)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring (length / diversity / stopword ratios).
+
+    Adds: n_tokens, n_distinct_tokens, type_token_ratio, stopword_ratio,
+    avg_token_len. Ratios rounded to 4 so they hash-match the oracle.
+    """
+    c = F.col(text_col)
+    n_tok = token_count(c)
+    n_dis = distinct_token_count(c)
+    n_stop = stopword_count(c)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct_tokens", n_dis)
+        .withColumn(
+            "type_token_ratio",
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 4),
+        )
+        .withColumn("stopword_ratio", F.round(n_stop / F.col("n_tokens"), 4))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                (F.length(F.trim(c)) - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 4
+            ),
+        )
+    )
+
+
+#: Language-ID marker words: first match wins (deterministic chain).
+LANG_MARKERS: tuple[tuple[str, str], ...] = (
+    ("the", "en"),
+    ("spark", "tech"),
+)
+
+
+def lang_id_heuristic(col: Column | str) -> Column:
+    """Marker-token language guess (n-gram-heuristic stand-in).
+
+    The fixture corpus is synthetic, so this demonstrates the operator
+    shape (deterministic token-marker voting) rather than a real model;
+    a production pipeline would swap in fastText via pandas_udf.
+    """
+    toks = tokens(col)
+    expr = F.lit("unknown")
+    for marker, lang in reversed(LANG_MARKERS):
+        expr = F.when(F.array_contains(toks, marker), lang).otherwise(expr)
+    return expr

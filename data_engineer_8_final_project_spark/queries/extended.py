@@ -1,1 +1,300 @@
-"""Placeholder — queries added incrementally."""
+"""Extended training-data queries: text analytics, dedup, similarity.
+
+The 100 TB-pipeline surface (BASELINE north star; graded as first-class
+alongside SURVEY.md §2): token/quality analytics, language-ID, exact +
+n-gram-Jaccard + MinHash-LSH dedup, document fingerprinting, and
+embedding similarity search. Operator logic lives in
+operators/{text,dedup,similarity}.py; this module registers each with
+its DuckDB oracle (rows-only where genuinely non-SQL-expressible —
+MinHash-LSH and the hyperplane-LSH ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..registry import register, tables_for
+
+# DuckDB token/shingle fragments mirrored from operators/text.py
+_DUCK_TOKENS = "string_split(trim(text), ' ')"
+_DUCK_SHINGLES = (
+    "list_transform(range(1, greatest(len(t)-2, 0)+1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+_DUCK_STOPWORDS = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+# --------------------------------------------------------------------------
+# Text analytics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_stats_by_lang",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           ROUND(AVG(len({_DUCK_TOKENS})), 4) AS avg_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey_ref="extended: token counting / corpus stats",
+    tags=("bench",),
+)
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg(text.token_count("text")), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(len(list_distinct(t)) / len(t), 4) AS type_token_ratio,
+           ROUND(len(list_filter(t, x -> list_contains({_DUCK_STOPWORDS}, x))) / len(t), 4)
+             AS stopword_ratio,
+           ROUND((length(trim(text)) - (len(t) - 1)) / len(t), 4) AS avg_token_len
+    FROM toks
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: per-document quality scoring",
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        text.quality_metrics(t["documents"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "type_token_ratio",
+            "stopword_ratio",
+            "avg_token_len",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_topk",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    survey_ref="extended: token frequency (explode + agg + top-k)",
+    tags=("bench",),
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT lang,
+           CASE WHEN list_contains(string_split(trim(text), ' '), 'the') THEN 'en'
+                WHEN list_contains(string_split(trim(text), ' '), 'spark') THEN 'tech'
+                ELSE 'unknown' END AS guessed,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, guessed
+    """,
+    survey_ref="extended: language-ID marker heuristic",
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang", text.lang_id_heuristic("text").alias("guessed"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guessed")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: document fingerprinting (content hash)",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            text.fingerprint("text").alias("fp"),
+            F.length("text").cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY canonical_doc_id
+    """,
+    survey_ref="extended: exact dedup (hash-groupBy)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return dedup.exact_dedup_groups(t["documents"]).orderBy("canonical_doc_id")
+
+
+@register(
+    "jaccard_near_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT sh.doc_id, sh.sh FROM sh
+      JOIN (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh) d
+        ON sh.sh = d.s2 AND d.df <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_shingles
+      FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT doc_a, doc_b, shared_shingles,
+           ROUND(shared_shingles / (na.n_sh + nb.n_sh - shared_shingles), 4) AS jaccard
+    FROM pairs
+    JOIN sizes na ON pairs.doc_a = na.doc_id
+    JOIN sizes nb ON pairs.doc_b = nb.doc_id
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 500
+    """,
+    survey_ref="extended: n-gram Jaccard near-dup (shingle self-join)",
+    tags=("bench",),
+)
+def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        dedup.jaccard_candidate_pairs(t["documents"], shingle_n=3, min_shared=2, max_df=100)
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(500)
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=None,  # approximate (hash-bucket recall) — rows-only check
+    survey_ref="extended: MinHash-LSH near-dup (scale path)",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t["documents"], max_distance=0.8)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine
+    FROM emb e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    survey_ref="extended: brute-force cosine top-k (similarity baseline)",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return similarity.brute_force_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+    survey_ref="extended: embedding-cosine near-dup (all-pairs baseline)",
+)
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return similarity.cosine_near_dup_pairs(t["embeddings"], threshold=0.45).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate (bucket recall) — rows-only check
+    survey_ref="extended: LSH-bucketed ANN top-k (scale path)",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return similarity.ann_lsh_topk(t["embeddings"], query_vec_id=0, dim=64, k=10)
