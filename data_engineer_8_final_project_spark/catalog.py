@@ -14,8 +14,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .schemas import FIXTURE_SCHEMAS
+from .schemas import EVENTS_RAW_NANOS, FIXTURE_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -27,6 +28,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_SCHEMAS:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # ts is stored as INT64 nanos (schemas.EVENTS_RAW_NANOS) — read
+        # raw and truncate to µs, matching DuckDB's timestamp precision.
+        raw = spark.read.schema(EVENTS_RAW_NANOS).parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 

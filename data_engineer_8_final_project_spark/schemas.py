@@ -152,6 +152,22 @@ EVENTS = T.StructType(
 #: ``events.props`` JSON payload schema (for F.from_json).
 EVENT_PROPS = T.StructType([T.StructField("k", T.IntegerType(), True)])
 
+#: Physical schema of events.parquet: ts is INT64 *nanoseconds*
+#: (TESTDATA.md). Spark's vectorized parquet reader refuses the
+#: nanos→timestamp coercion when given an explicit TimestampType, so
+#: readers take raw nanos and convert via timestamp_micros (µs
+#: truncation — same as DuckDB's µs timestamps, so oracles agree).
+EVENTS_RAW_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), False),
+    ]
+)
+
 DOCUMENTS = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
