@@ -57,7 +57,14 @@ def register(
 def all_queries() -> dict[str, Query]:
     """Name → Query for every registered query (imports all modules)."""
     # Import for side effects: each module registers its queries.
-    from .queries import core, extended, flagship, scalar, streaming_q  # noqa: F401
+    from .queries import (  # noqa: F401
+        core,
+        extended,
+        flagship,
+        reference_pipeline,
+        scalar,
+        streaming_q,
+    )
 
     return dict(_REGISTRY)
 

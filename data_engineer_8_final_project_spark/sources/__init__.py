@@ -1,0 +1,1 @@
+"""Batch sources & sinks (SURVEY.md §2.1 S1-S9)."""
