@@ -27,12 +27,22 @@ Reference-quirk fidelity (SURVEY.md §4):
   is appended as the final tiebreak so ``row_number`` is reproducible
   (the reference inherited pandas insertion order — non-reproducible).
 
-Spark-first shape: the O(n²) Python accumulator becomes unpivot →
-partial+final hash aggregation with whole-stage codegen; the six serial
-league chains become one DataFrame partitioned by league. Dimension
-joins (nation, region, supplier) are broadcast — they stay small at any
-scale factor; the orders/customer joins shuffle on their keys and AQE
-picks strategy at runtime.
+Scale design (the part that must survive 100 TB):
+
+- The naive formulation (unpivot home/away legs with a UNION, then
+  aggregate) makes Catalyst execute the scan+join tree TWICE — once per
+  leg. Instead we aggregate FIRST on the (home_nation, away_nation)
+  integer key pair — at most 25×25 = 625 groups, so the map-side
+  partial aggregation collapses ~everything and the shuffle moves a few
+  hundred rows regardless of input size — and unpivot/re-aggregate the
+  tiny pair-level aggregate. One pass over lineitem, one micro-shuffle.
+- Win/draw/loss survive the two-level split because per pair we keep
+  (n, n_home_win, n_draw, n_null): home leg derives loss =
+  n − win − draw (NULL rows land there, matching the quirk), away leg
+  symmetrically with away wins = n − n_home_win − n_draw − n_null.
+- Only the genuinely-bounded dims (nation 25, region 5) get broadcast
+  hints; customer/supplier join strategy is left to Catalyst/AQE (they
+  grow with SF — hinting them broadcast would be a 100 TB lie).
 """
 
 from __future__ import annotations
@@ -51,36 +61,28 @@ def matches(
     orders: DataFrame,
     customer: DataFrame,
     supplier: DataFrame,
-    nation: DataFrame,
+    nation: DataFrame,  # noqa: ARG001  (kept for API symmetry; names join later)
 ) -> DataFrame:
-    """Synthesize the match table: one row per lineitem.
+    """Synthesize the match table keyed by nation ids (names joined post-agg).
 
-    Columns: home_club, away_club, home_score, away_score (scores
-    nullable — the malformed-score analogue).
+    Columns: home_key, away_key (nationkeys), home_score, away_score
+    (scores nullable — the malformed-score analogue).
     """
-    cust_nation = nation.select(
-        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("home_club")
-    )
-    supp_nation = nation.select(
-        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("away_club")
-    )
     malformed = (F.col("l_orderkey") % NULL_SCORE_MOD) == 0
     return (
         lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", F.col("c_nationkey").alias("home_key")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
         .join(
-            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            supplier.select("s_suppkey", F.col("s_nationkey").alias("away_key")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .select(
-            "home_club",
-            "away_club",
+            "home_key",
+            "away_key",
             F.when(malformed, F.lit(None).cast("long"))
             .otherwise((F.col("l_orderkey") + F.col("l_linenumber")) % SCORE_MOD)
             .alias("home_score"),
@@ -92,39 +94,67 @@ def matches(
 
 
 def standings_from_matches(match_df: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
-    """Standings table from a match table — the A3+O1+W2 core.
+    """Standings from a keyed match table — the A3+O1+W2 core, two-level.
 
-    Unpivot (home leg ∪ away leg) → conditional hash agg → points →
-    league join → 6-key DESC sort → row_number id per league.
+    Level 1: per (home_key, away_key) partial rollup (≤ n_nations²
+    groups — the shuffle is tiny at any scale). Level 2: unpivot the
+    pair aggregate into legs, final rollup per club, names + league
+    join, 6-key DESC sort, row_number id per league.
     """
-    home_leg = match_df.select(
-        F.col("home_club").alias("club"),
-        F.col("home_score").alias("gf"),
-        F.col("away_score").alias("ga"),
+    hs, aw = F.col("home_score"), F.col("away_score")
+    pair = match_df.groupBy("home_key", "away_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(hs > aw, 1).otherwise(0)).alias("n_home_win"),
+        F.sum(F.when(hs == aw, 1).otherwise(0)).alias("n_draw"),
+        F.sum(F.when(hs.isNull(), 1).otherwise(0)).alias("n_null"),
+        F.coalesce(F.sum(hs), F.lit(0)).alias("sum_hs"),
+        F.coalesce(F.sum(aw), F.lit(0)).alias("sum_as"),
     )
-    away_leg = match_df.select(
-        F.col("away_club").alias("club"),
-        F.col("away_score").alias("gf"),
-        F.col("home_score").alias("ga"),
+    # away wins = non-null matches that are neither home wins nor draws
+    pair = pair.withColumn(
+        "n_away_win", F.col("n") - F.col("n_home_win") - F.col("n_draw") - F.col("n_null")
     )
-    legs = home_leg.unionByName(away_leg)
 
-    gf, ga = F.col("gf"), F.col("ga")
-    agg = legs.groupBy("club").agg(
-        F.count(F.lit(1)).alias("played"),
-        F.sum(F.when(gf > ga, 1).otherwise(0)).alias("win"),
-        F.sum(F.when(gf == ga, 1).otherwise(0)).alias("draw"),
-        # NULL comparisons are not-true → falls to the loss branch for
-        # both clubs (reference quirk, dags/projectde_dag.py:180-181).
-        F.sum(F.when(gf > ga, 0).when(gf == ga, 0).otherwise(1)).alias("loss"),
-        F.coalesce(F.sum("gf"), F.lit(0)).alias("goal_for"),
-        F.coalesce(F.sum("ga"), F.lit(0)).alias("goal_against"),
+    home_leg = pair.select(
+        F.col("home_key").alias("club_key"),
+        F.col("n"),
+        F.col("n_home_win").alias("win"),
+        F.col("n_draw").alias("draw"),
+        # loss = everything else incl. NULL-score matches (reference quirk)
+        (F.col("n") - F.col("n_home_win") - F.col("n_draw")).alias("loss"),
+        F.col("sum_hs").alias("gf"),
+        F.col("sum_as").alias("ga"),
     )
-    agg = agg.withColumn("points", F.lit(3) * F.col("win") + F.col("draw"))
+    away_leg = pair.select(
+        F.col("away_key").alias("club_key"),
+        F.col("n"),
+        F.col("n_away_win").alias("win"),
+        F.col("n_draw").alias("draw"),
+        (F.col("n") - F.col("n_away_win") - F.col("n_draw")).alias("loss"),
+        F.col("sum_as").alias("gf"),
+        F.col("sum_hs").alias("ga"),
+    )
+    agg = (
+        home_leg.unionByName(away_leg)
+        .groupBy("club_key")
+        .agg(
+            F.sum("n").alias("played"),
+            F.sum("win").alias("win"),
+            F.sum("draw").alias("draw"),
+            F.sum("loss").alias("loss"),
+            F.sum("gf").alias("goal_for"),
+            F.sum("ga").alias("goal_against"),
+        )
+        .withColumn("points", F.lit(3) * F.col("win") + F.col("draw"))
+    )
 
     league = nation.join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select(F.col("n_name").alias("club_name"), F.col("r_name").alias("league"))
+    ).select(
+        F.col("n_nationkey").alias("club_key2"),
+        F.col("n_name").alias("club"),
+        F.col("r_name").alias("league"),
+    )
 
     ranked_w = Window.partitionBy("league").orderBy(
         F.desc("points"),
@@ -136,7 +166,7 @@ def standings_from_matches(match_df: DataFrame, nation: DataFrame, region: DataF
         F.asc("club"),  # determinism tiebreak (engine addition)
     )
     return (
-        agg.join(F.broadcast(league), F.col("club") == F.col("club_name"))
+        agg.join(F.broadcast(league), F.col("club_key") == F.col("club_key2"))
         .select(
             "league",
             F.row_number().over(ranked_w).cast("long").alias("id"),
