@@ -19,10 +19,36 @@ path (shuffle on content-hash / shingle keys, never a driver collect):
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import fingerprint, shingles, tokens
+
+#: SimHash width. 60 bits = 15 hex chars of md5 — the widest slice that
+#: still fits a signed int64 in BOTH Spark (``conv(hex,16,10)``) and
+#: DuckDB (``CAST('0x…' AS BIGINT)``), so the oracle can reproduce the
+#: signature bit-for-bit.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits → LSH blocking key
+
+
+def _spread(documents: DataFrame) -> DataFrame:
+    """Repartition by doc_id before explode-heavy work.
+
+    Shingling fans each document out ~token-count×, so input-split
+    sizing (bytes of text) underestimates downstream work by that
+    factor — a few parquet row groups would otherwise serialize the
+    whole explode+join on a handful of cores. Hashing on doc_id spreads
+    documents evenly (doc_id is unique → no skew) and the per-doc
+    ``groupBy("doc_id")`` aggregations downstream reuse the
+    partitioning instead of adding a shuffle.
+    """
+    spark = documents.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return documents.repartition(n, "doc_id")
 
 
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
@@ -56,7 +82,7 @@ def jaccard_candidate_pairs(
     by 10 k docs would alone produce 10k²/2 candidate pairs.
     """
     sh = (
-        documents.select(
+        _spread(documents).select(
             "doc_id", F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh")
         )
     )
@@ -95,6 +121,94 @@ def jaccard_candidate_pairs(
     )
 
 
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document 60-bit SimHash signature → (doc_id, simhash).
+
+    Classic Charikar SimHash: every token occurrence votes ±1 on each
+    bit position of its 60-bit hash; the signature's bit j is 1 iff the
+    summed vote is positive. Near-identical documents differ in few
+    token occurrences → few flipped bit-votes → small Hamming distance.
+
+    Scale shape: explode tokens (spread by doc_id first, see
+    :func:`_spread`), one hash-aggregation with 60 conditional sums —
+    all whole-stage-codegen built-ins, one shuffle on doc_id, output is
+    one row per document regardless of corpus size.
+    """
+    tok = _spread(documents).select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    h60 = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    hashed = tok.select("doc_id", h60.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    signature = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", signature.alias("simhash"))
+
+
+def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Near-dup pairs by banded SimHash → (doc_a, doc_b, hamming).
+
+    LSH blocking: split the 60-bit signature into 4 bands of 15 bits;
+    two documents are candidates iff they agree exactly on ≥1 band
+    (guaranteed when hamming ≤ 3 by pigeonhole; probabilistic above).
+    Candidates are verified with ``bit_count(xor)`` ≤ ``max_hamming``.
+
+    The band join is the only pair-producing step and its key space is
+    (band_no, 2^15 values) — bounded fan-out per bucket, no all-pairs
+    blowup. At 100 TB a hot band bucket (many near-identical docs) is
+    real skew; AQE skew-join splitting handles it, and the verify
+    filter keeps output linear in true near-dup count.
+    """
+    sig = simhash_signatures(documents)
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_no"),
+                        F.shiftright("simhash", k * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(band_mask))
+                        .alias("band_val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band_no"), F.col("b.band_val"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band_no", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_no", "band_val"
+    )
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias("hamming"),
+        )
+        .distinct()  # a pair can collide in several bands
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     shingle_n: int = 3,
@@ -111,7 +225,7 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = documents.select("doc_id", shingles("text", shingle_n).alias("sh")).filter(
+    docs = _spread(documents).select("doc_id", shingles("text", shingle_n).alias("sh")).filter(
         F.size("sh") > 0
     )
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)

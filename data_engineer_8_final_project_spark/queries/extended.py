@@ -238,6 +238,58 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(t["documents"], max_distance=0.8)
 
 
+def _simhash_oracle(max_hamming: int) -> str:
+    """DuckDB oracle reproducing the 60-bit banded SimHash bit-for-bit.
+
+    Same md5-derived token hash (15 hex chars → BIGINT via '0x' cast),
+    same ±1 bit votes, same 4×15-bit banding — generated as one SQL
+    string with the 60 vote/combine terms unrolled.
+    """
+    bits, band = dedup.SIMHASH_BITS, dedup.SIMHASH_BAND_BITS
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}" for j in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {k} AS band_no, "
+        f"(simhash >> {k * band}) & {(1 << band) - 1} AS band_val FROM s"
+        for k in range(bits // band)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+    ),
+    w AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, {combine} AS simhash FROM w),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b USING (band_no, band_val)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand
+    WHERE hamming <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "simhash_near_dup",
+    oracle=_simhash_oracle(max_hamming=12),
+    survey_ref="extended: SimHash near-dup (banded LSH over 60-bit signatures)",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return dedup.simhash_near_dup_pairs(t["documents"], max_hamming=12)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
