@@ -61,6 +61,7 @@ def all_queries() -> dict[str, Query]:
         core,
         extended,
         flagship,
+        multimodal_q,
         reference_pipeline,
         scalar,
         streaming_q,
