@@ -16,19 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Day-code → full day name (reference dags/projectde_dag.py:68-76).
-DAY_NAMES = {
-    "Sa": "Saturday",
-    "Su": "Sunday",
-    "Mo": "Monday",
-    "Tu": "Tuesday",
-    "We": "Wednesday",
-    "Th": "Thursday",
-    "Fr": "Friday",
-}
+from ..functions import scalars
 
-#: Months mapped to the season's later year (reference dags/projectde_dag.py:82-83).
-LATER_YEAR_MONTHS = ("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul")
+#: Re-exported for existing importers; canonical home is functions/scalars.py.
+DAY_NAMES = scalars.DAY_NAMES
+LATER_YEAR_MONTHS = scalars.LATER_YEAR_MONTHS
 
 #: Junk sentinel rows dropped by the reference (dags/projectde_dag.py:46-47).
 JUNK_DATES = ("Averages", "Percentages")
@@ -58,24 +50,21 @@ def clean_matches(
     )
 
     # F1: split-first → day code + rest ('Sa 25 Jan' → 'Sa', '25 Jan')
-    df = df.withColumn("day_code", F.substring_index("date", " ", 1)).withColumn(
-        "date_rest", F.trim(F.substring_index("date", " ", -2))  # F3: strip
+    df = df.withColumn("day_code", scalars.day_code("date")).withColumn(
+        "date_rest", scalars.date_remainder("date")  # F3: strip
     )
 
     # F2: day-code → day-name dictionary map with passthrough default
-    day_map = F.create_map(*[F.lit(x) for kv in DAY_NAMES.items() for x in kv])
-    df = df.withColumn("day", F.coalesce(day_map[F.col("day_code")], F.col("day_code")))
+    df = df.withColumn("day", scalars.day_name("day_code"))
 
     # F4: month-based year inference (Jan–Jul → later season year)
     month = F.substring_index("date_rest", " ", -1)
-    year = F.when(month.isin(*LATER_YEAR_MONTHS), F.lit(season_start_year + 1)).otherwise(
-        F.lit(season_start_year)
-    )
+    year = scalars.season_year(month, season_start_year)
 
     # F5+F6: concat '{d} {Mon} {yyyy}' then parse (NULL on failure — P4)
-    date_str = F.concat_ws(" ", F.col("date_rest"), year)
+    date_str = scalars.compose_date_str(F.col("date_rest"), year)
     df = df.withColumn("date", date_str).withColumn(
-        "match_date", F.try_to_timestamp(date_str, F.lit("d MMM yyyy")).cast("date")
+        "match_date", scalars.parse_match_date(date_str)
     )
 
     # P4: drop unparseable dates; P3: keep strictly before (as_of - 1 day)
@@ -84,21 +73,18 @@ def clean_matches(
     )
 
     # F7: score split on ' - ' → two nullable ints (NULL on malformed)
-    parts = F.split("score", " - ")
-    df = df.withColumn("home_score", F.get(parts, 0).try_cast("int")).withColumn(
-        "away_score", F.get(parts, 1).try_cast("int")
+    df = df.withColumn("home_score", scalars.score_part("score", 0)).withColumn(
+        "away_score", scalars.score_part("score", 1)
     )
 
     # A4/F8: per-row 3/1/0 points (NULL comparisons fall to 0 — loss)
     hs, aw = F.col("home_score"), F.col("away_score")
-    df = df.withColumn(
-        "result_home", F.when(hs > aw, 3).when(hs == aw, 1).otherwise(0).cast("int")
-    ).withColumn(
-        "result_away", F.when(aw > hs, 3).when(aw == hs, 1).otherwise(0).cast("int")
+    df = df.withColumn("result_home", scalars.match_points(hs, aw)).withColumn(
+        "result_away", scalars.match_points(aw, hs)
     )
 
     # F10: frozen audit timestamp (string, reference format)
-    df = df.withColumn("created_at", F.lit(created_at))
+    df = df.withColumn("created_at", scalars.frozen_created_at(created_at))
 
     # W1: deterministic sequential id per league (explicit total order)
     w = Window.partitionBy("league").orderBy("match_date", "home_team", "away_team")

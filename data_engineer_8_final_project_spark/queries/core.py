@@ -178,7 +178,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+        # customer grows with SF — leave its join strategy to Catalyst/AQE;
+        # only the bounded dim (nation, 25 rows) gets a broadcast hint.
+        .join(t["customer"].select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))

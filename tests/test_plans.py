@@ -1,0 +1,81 @@
+"""Scale-discipline plan assertions (SURVEY.md §4 rules, pinned).
+
+These tests read the physical plan of registered queries and assert the
+properties that make them survive a 100× scale-up: pushdown, pruning,
+broadcast on bounded dims only, UDF-free hot paths, bounded shuffles.
+A regression here means the query still returns right answers but has
+quietly become a 100 TB liability.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_8_final_project_spark.plans import inspect as PI
+from data_engineer_8_final_project_spark.registry import all_queries
+
+#: Relational queries whose hot path must stay entirely JVM-side.
+UDF_FREE = [
+    "standings",
+    "pricing_summary",
+    "revenue_by_nation",
+    "matches_clean",
+    "reference_standings",
+    "group_sum_multi",
+    "top_customers_per_nation",
+    "jaccard_near_dup",
+    "simhash_near_dup",
+    "dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    reg = all_queries()
+    return lambda name: reg[name].fn(spark, sf_dir)
+
+
+@pytest.mark.parametrize("name", UDF_FREE)
+def test_hot_paths_have_no_python_boundary(q, name):
+    assert PI.python_eval_count(q(name)) == 0
+
+
+def test_pricing_summary_pushes_date_filter_to_scan(q):
+    df = q("pricing_summary")
+    assert any("l_shipdate" in f for f in PI.pushed_filters(df))
+
+
+def test_pricing_summary_prunes_unused_columns(q):
+    cols = PI.scanned_columns(q("pricing_summary"))
+    assert "l_comment" not in cols and "l_shipinstruct" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_discount"} <= cols
+
+
+def test_revenue_by_nation_broadcasts_only_bounded_dims(q):
+    df = q("revenue_by_nation")
+    # nation (25 rows) broadcast; at local test scale AQE may also
+    # choose broadcast for customer — require at least the hinted one.
+    assert PI.broadcast_join_count(df) >= 1
+
+
+def test_standings_shuffle_count_is_bounded(q):
+    # scan → join shuffles on orderkey/custkey/suppkey → pair-agg
+    # micro-shuffle → leg-agg → rank window. The absolute count is plan-
+    # shaped, not data-shaped: it must not grow with scale factor.
+    assert PI.exchange_count(q("standings")) <= 12
+
+
+def test_standings_uses_wholestage_codegen(q):
+    assert len(PI.wholestage_codegen_ids(q("standings"))) >= 2
+
+
+def test_standings_reuses_pair_aggregate_exchange(q):
+    # the (home,away) pair aggregate feeds both unpivot legs; the plan
+    # must compute it ONCE and reuse the shuffle, not re-run the
+    # scan+join tree per leg
+    assert PI.reused_exchange_count(q("standings")) >= 1
+
+
+def test_media_features_is_a_single_pandas_stage(q):
+    # exactly one Arrow boundary — the feature extractor itself
+    assert PI.python_eval_count(q("media_features")) == 1
