@@ -31,8 +31,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # ts is stored as INT64 nanos (schemas.EVENTS_RAW_NANOS) — read
         # raw and truncate to µs, matching DuckDB's timestamp precision.
+        # Integral `div`, NOT float `/`: epoch-nanos exceed 2^53, so
+        # double division drifts the low microsecond (±1µs off-by-one).
         raw = spark.read.schema(EVENTS_RAW_NANOS).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 

@@ -43,3 +43,32 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.streaming_hourly(spark, sf_dir)
+
+
+#: Batch equivalent of the stateful running totals — the shared oracle.
+#: sum_value accumulates as integer cents on both sides (see
+#: streaming/stateful.py determinism contract) so micro-batch float
+#: order can never drift the hash.
+USER_TOTALS_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "user_totals_stateful",
+    oracle=USER_TOTALS_ORACLE,
+    survey_ref="§2.9 T3 extended: custom stateful operator (applyInPandasWithState)",
+)
+def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import stateful
+
+    stream = stateful.user_running_totals(ev.read_events_stream(spark, sf_dir))
+    sink = ev.run_available_now(stream, output_mode="update")
+    return stateful.finalize_totals(sink).orderBy("user_id")

@@ -44,7 +44,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integral div — float division drifts ±1µs on epoch-nanos > 2^53
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def from_kafka(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:

@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator: per-user running totals.
+
+The reference's declared streaming leg (SURVEY.md §2.9) has no shipped
+consumer, so windowed aggregation (events.py) covers the declared
+surface; this module adds the *custom stateful operator* shape a real
+event pipeline needs — state that outlives any window:
+``applyInPandasWithState`` keyed by user, maintaining
+(event count, value total, first/last seen) across micro-batches and
+emitting the running totals in update mode.
+
+Determinism contract (what makes this oracle-verifiable):
+
+- Replay is ``availableNow`` over the events fixture — no wall clock,
+  no watermark-dropped rows, so after the final batch every user's
+  state has absorbed every event and the LAST emission per user equals
+  the batch ``groupBy(user_id)`` aggregate — the DuckDB oracle.
+- Value totals accumulate as integer cents (``round(value*100)``), not
+  floats: micro-batch boundaries change float summation order, and an
+  exact integer sum is immune to the resulting ulp drift. The final
+  ``sum_value`` is ``cents / 100.0`` computed identically on both
+  sides.
+- Timestamps ride through state as epoch-micros longs (the state
+  schema is flat scalars), converted back on output.
+
+Scale shape: state is one small fixed-width row per user key,
+hash-partitioned by the shuffle — the standard Structured Streaming
+state-store story (RocksDB-backed on a real cluster). Each micro-batch
+touches only keys present in that batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+STATE_SCHEMA = "n long, cents long, first_us long, last_us long"
+OUTPUT_SCHEMA = "user_id long, n_events long, cents long, first_us long, last_us long"
+
+
+def _update_user_totals(
+    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    n, cents, first_us, last_us = state.get if state.exists else (0, 0, None, None)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        cents += int(np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum())
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        lo, hi = int(us.min()), int(us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, cents, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "cents": [cents],
+            "first_us": [first_us],
+            "last_us": [last_us],
+        }
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Stateful per-user running totals (streaming DataFrame in, update mode).
+
+    Emits one row per user per micro-batch that touched that user; the
+    emission after the final batch carries the complete totals.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_totals(sink: DataFrame) -> DataFrame:
+    """Final totals from an update-mode sink: last emission per user.
+
+    ``n_events`` grows strictly per emission, so max(n_events) marks the
+    final row; the whole reduction is one small aggregation over the
+    sink table (rows ≈ users × batches).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cents") / F.lit(100.0)).alias("sum_value"),
+            F.timestamp_micros("first_us").alias("first_ts"),
+            F.timestamp_micros("last_us").alias("last_ts"),
+        )
+    )

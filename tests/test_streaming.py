@@ -26,3 +26,38 @@ def test_watermark_append_mode_drops_open_windows(spark, sf_dir):
     appended = ev.run_available_now(agg, output_mode="append")
     complete = ev.streaming_hourly(spark, sf_dir)
     assert appended.count() <= complete.count()
+
+
+def test_stateful_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches: split
+    the fixture into 3 files, replay 1 file per trigger, and require the
+    final per-user totals to equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.streaming import stateful
+
+    events = catalog.load(spark, sf_dir)["events"]
+    src = str(tmp_path / "events_split")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sink = ev.run_available_now(stateful.user_running_totals(stream), output_mode="update")
+    # more than one batch actually ran → sink holds > 1 emission for some user
+    assert sink.count() > sink.select("user_id").distinct().count()
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.first_ts, r.last_ts)
+        for r in stateful.finalize_totals(sink).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value, r.first_ts, r.last_ts)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.expr("CAST(round(value * 100) AS LONG)")) / F.lit(100.0)).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == want
