@@ -94,3 +94,31 @@ def create_table_as(
 ) -> None:
     """Declared-schema managed table (S3) — saveAsTable USING parquet."""
     df.write.mode(mode).format("parquet").saveAsTable(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: str | list[str],
+    n_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join persistence path.
+
+    At 100 TB, repeatedly joining/aggregating big facts on the same key
+    pays a full shuffle per query. Bucketing pays that shuffle ONCE at
+    write: both sides bucketed by the join key into the same bucket
+    count join with zero exchanges (and zero sorts when also
+    sort-bucketed) — the plan check lives in tests/test_plans.py.
+    Bucket count is a layout decision: size buckets so one bucket of
+    the bigger fact fits an executor's memory (e.g. 100 TB lineitem at
+    ~128 MB/bucket target → thousands of buckets; must be fixed across
+    co-bucketed tables).
+    """
+    b = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *b)
+    if sort_cols:
+        s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*s)
+    writer.saveAsTable(name)

@@ -79,3 +79,36 @@ def test_standings_reuses_pair_aggregate_exchange(q):
 def test_media_features_is_a_single_pandas_stage(q):
     # exactly one Arrow boundary — the feature extractor itself
     assert PI.python_eval_count(q("media_features")) == 1
+
+
+def test_bucketed_join_runs_without_shuffle(spark, sf_dir, tmp_path):
+    """Co-bucketed facts join with zero exchanges: the scale story for
+    repeated joins on one key — shuffle paid once at write time."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark import catalog
+    from data_engineer_8_final_project_spark.sources import io as eio
+
+    t = catalog.load(spark, sf_dir)
+    suffix = uuid.uuid4().hex[:8]
+    li, od = f"li_b_{suffix}", f"od_b_{suffix}"
+    eio.write_bucketed(t["lineitem"], li, "l_orderkey", 8, sort_cols="l_orderkey")
+    eio.write_bucketed(t["orders"], od, "o_orderkey", 8, sort_cols="o_orderkey")
+    try:
+        joined = (
+            spark.table(li)
+            .join(spark.table(od), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = PI.explain_string(joined)
+        # no shuffle below the join: the only exchange allowed is the
+        # single-partition/hash one introduced ABOVE it by the groupBy
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li}")
+        spark.sql(f"DROP TABLE IF EXISTS {od}")
