@@ -598,3 +598,24 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share_pct")
         )
     )
+
+
+@register(
+    "distinct_customers_salted",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ref="§2.4 widening + §4 skew rule: salted exact distinct-count",
+)
+def q_distinct_customers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as COUNT(DISTINCT) — the salted two-level plan exists
+    for the skewed-hot-key case where the direct form straggles."""
+    from ..operators.skew import salted_count_distinct
+
+    t = tables_for(spark, sf_dir)
+    return salted_count_distinct(
+        t["orders"], ["o_orderpriority"], "o_custkey", n_salts=16
+    ).orderBy("o_orderpriority")

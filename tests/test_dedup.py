@@ -53,3 +53,23 @@ def test_jaccard_identical_docs_score_one(spark):
     pairs = dedup.jaccard_candidate_pairs(df, shingle_n=3, min_shared=2, max_df=100).collect()
     assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
     assert pairs[0].jaccard == 1.0
+
+
+def test_salted_count_distinct_matches_direct(spark):
+    """Salted two-level distinct equals the direct distinct count,
+    including under a heavily skewed key distribution."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators.skew import salted_count_distinct
+
+    rows = [("hot", i % 97) for i in range(5000)] + [("cold", i) for i in range(13)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r.k: r.n_distinct
+        for r in salted_count_distinct(df, ["k"], "v", n_salts=8).collect()
+    }
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {"hot": 97, "cold": 13}
