@@ -117,4 +117,6 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "multimodal-frames": ["query:media_frame_sample"],
     "multimodal-decode": ["query:media_decode_fake"],
     "streaming-stateful": ["query:user_totals_stateful"],
+    "events-sessionization": ["query:event_sessions"],
+    "skew-salted-distinct": ["query:distinct_customers_salted"],
 }

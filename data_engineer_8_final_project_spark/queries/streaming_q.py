@@ -72,3 +72,64 @@ def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stateful.user_running_totals(ev.read_events_stream(spark, sf_dir))
     sink = ev.run_available_now(stream, output_mode="update")
     return stateful.finalize_totals(sink).orderBy("user_id")
+
+
+@register(
+    "event_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+    FROM s
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    survey_ref="extended: gap-based sessionization (window lag + running sum)",
+)
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: lag over (user, time) marks session
+    starts, a running sum numbers them, one aggregation rolls sessions
+    up. Scale shape: a single shuffle on user_id that the window AND the
+    session aggregation both reuse; (ts, event_id) ordering is
+    tiebreak-complete. Value totals in integer cents (float-order-proof,
+    same contract as user_totals_stateful)."""
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessioned = t["events"].withColumn(
+        "session_no", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.expr("CAST(round(value * 100) AS LONG)")) / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
