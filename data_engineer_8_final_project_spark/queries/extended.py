@@ -342,9 +342,37 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle(query_vec_id: int, dim: int, k: int, n_planes: int) -> str:
+    """Full oracle for the LSH-bucketed ANN: the hyperplanes are
+    deterministic literals (similarity._hyperplane), so the bucket id is
+    plain arithmetic — unrolled as an explicit left-to-right product
+    chain, matching Spark's sequential ``aggregate`` summation order
+    term for term (same IEEE ops → same sign at the >= 0 threshold)."""
+    bucket = "0"
+    for p in range(n_planes):
+        plane = similarity._hyperplane(dim, p)
+        dot = " + ".join(f"v[{j + 1}] * ({plane[j]!r})" for j in range(dim))
+        bucket = f"({bucket}) * 2 + (CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (SELECT vec_id, label, v, {bucket} AS bucket FROM emb),
+    q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = {query_vec_id})
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine
+    FROM b e, q
+    WHERE e.vec_id <> {query_vec_id} AND e.bucket = q.qbucket
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate (bucket recall) — rows-only check
+    oracle=_ann_lsh_oracle(query_vec_id=0, dim=64, k=10, n_planes=6),
     survey_ref="extended: LSH-bucketed ANN top-k (scale path)",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
