@@ -133,3 +133,42 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+#: Sliding 1h/30m windows: each event belongs to exactly two 30-minute-
+#: aligned windows — the oracle materializes that duplication with a
+#: two-branch UNION ALL over time_bucket.
+SLIDING_ORACLE = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type, value
+  FROM events
+)
+SELECT ws AS window_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM w
+GROUP BY ws, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@register(
+    "events_sliding",
+    oracle=SLIDING_ORACLE,
+    survey_ref="§2.9 T3 widening: sliding event-time windows (batch form)",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return ev.sliding_window_agg(t["events"]).orderBy("window_start", "event_type")
+
+
+@register(
+    "events_sliding_stream",
+    oracle=SLIDING_ORACLE,
+    survey_ref="§2.9 T1-T3 widening: sliding windows over the streaming replay",
+)
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = ev.sliding_window_agg(ev.read_events_stream(spark, sf_dir))
+    return ev.run_available_now(agg).orderBy("window_start", "event_type")

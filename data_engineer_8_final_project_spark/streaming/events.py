@@ -91,6 +91,24 @@ def hourly_window_agg(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_window_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes per event_type.
+
+    Each event lands in exactly two windows (window length / slide);
+    Spark materializes the duplication inside the window operator —
+    shuffle volume is rows × overlap, the standard sliding cost. Works
+    on batch and streaming inputs alike.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
 def run_available_now(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion; return the batch result.
 

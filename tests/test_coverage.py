@@ -64,6 +64,8 @@ def test_every_oracle_gated_query_is_reachable_from_coverage():
         "rollup_region_nation",
         "cube_flag_status",
         "events_hourly",
+        "events_sliding",
+        "events_sliding_stream",
         "events_json_extract",
         "orders_by_month",
         "custkey_set_ops",
