@@ -60,7 +60,13 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, MEDIA_TYPES[1])
         .otherwise(MEDIA_TYPES[2])
     )
-    return documents.select(
+    # Spread by doc_id before the pandas stages: decode/feature work is
+    # CPU-bound per asset, so partition count — not input bytes — sets
+    # the parallelism; a few big parquet files would otherwise serialize
+    # every downstream mapInPandas batch on a handful of cores.
+    spark = documents.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return documents.repartition(n, "doc_id").select(
         "doc_id",
         mt.alias("media_type"),
         F.col("text").cast("binary").alias("payload"),

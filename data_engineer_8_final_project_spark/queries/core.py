@@ -619,3 +619,58 @@ def q_distinct_customers_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(
         t["orders"], ["o_orderpriority"], "o_custkey", n_salts=16
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ref="§2.4 widening: exact percentiles (linear interpolation both engines)",
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (not approx) percentiles so the oracle hash-matches; the
+    scale path swaps in percentile_approx with a documented tolerance —
+    exact percentile is a full sort per group and is the right default
+    only when groups are few (3 flags here)."""
+    t = tables_for(spark, sf_dir)
+    agg = [
+        F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(f"p{int(q * 100)}")
+        for q in (0.25, 0.50, 0.75, 0.99)
+    ]
+    return t["lineitem"].groupBy("l_returnflag").agg(*agg).orderBy("l_returnflag")
+
+
+@register(
+    "pivot_qty_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ref="§2.4 widening: pivot (explicit value list → conditional-agg plan)",
+)
+def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — the implicit form runs an
+    extra distinct-collect job over the pivot column, which is a full
+    scan at 100 TB; declaring values keeps it one pass."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )

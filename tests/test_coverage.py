@@ -61,6 +61,8 @@ def test_every_oracle_gated_query_is_reachable_from_coverage():
         "order_gaps_lag",
         "part_price_rank",
         "distinct_customers_salted",
+        "price_quantiles",
+        "pivot_qty_by_status",
         "rollup_region_nation",
         "cube_flag_status",
         "events_hourly",
