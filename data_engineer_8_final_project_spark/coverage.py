@@ -119,4 +119,5 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "streaming-stateful": ["query:user_totals_stateful"],
     "events-sessionization": ["query:event_sessions"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
+    "asof-join": ["query:clicks_last_error", "test:tests/test_asof.py"],
 }

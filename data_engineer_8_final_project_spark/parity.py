@@ -69,6 +69,13 @@ def compare(spark_df: DataFrame, oracle_df: pd.DataFrame) -> ParityResult:
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
+            # None / NaT / NaN all count as "both null" (pd.isna on a
+            # scalar; NaT != NaT would otherwise fail nullable columns)
+            try:
+                if pd.isna(x) and pd.isna(y):
+                    continue
+            except (TypeError, ValueError):
+                pass
             if x is None and y is None:
                 continue
             if isinstance(x, float) and isinstance(y, float):

@@ -10,6 +10,7 @@ correctness-gated rather than rows-only.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register, tables_for
 from ..streaming import events as ev
@@ -172,3 +173,37 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.sliding_window_agg(ev.read_events_stream(spark, sf_dir))
     return ev.run_available_now(agg).orderBy("window_start", "event_type")
+
+
+@register(
+    "clicks_last_error",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           e.ts AS last_error_ts, e.event_id AS error_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+    survey_ref="extended: as-of backward join (operator Spark lacks natively)",
+)
+def q_clicks_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error attribution: each click paired with the same user's most
+    recent at-or-before error event — DuckDB's native ASOF LEFT JOIN is
+    the oracle for the union+running-window formulation."""
+    from ..operators.asof import asof_backward_join
+
+    t = tables_for(spark, sf_dir)
+    ev_t = t["events"]
+    clicks = ev_t.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev_t.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_backward_join(
+        clicks, errors, key="user_id", ts="ts", order_col="event_id"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("asof_ts").alias("last_error_ts"),
+        F.col("asof_event_id").alias("error_event_id"),
+    ).orderBy("event_id")
