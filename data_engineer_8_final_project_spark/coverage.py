@@ -120,4 +120,5 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "events-sessionization": ["query:event_sessions"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "asof-join": ["query:clicks_last_error", "test:tests/test_asof.py"],
+    "range-join": ["query:purchases_in_sessions"],
 }

@@ -104,36 +104,15 @@ def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="extended: gap-based sessionization (window lag + running sum)",
 )
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-minute-gap sessionization: lag over (user, time) marks session
-    starts, a running sum numbers them, one aggregation rolls sessions
-    up. Scale shape: a single shuffle on user_id that the window AND the
-    session aggregation both reuse; (ts, event_id) ordering is
-    tiebreak-complete. Value totals in integer cents (float-order-proof,
+    """30-minute-gap sessionization (operators/sessions.py): lag over
+    (user, time) marks session starts, a running sum numbers them, one
+    aggregation rolls sessions up — a single user_id shuffle shared by
+    window and rollup; value totals in integer cents (float-order-proof,
     same contract as user_totals_stateful)."""
-    from pyspark.sql import Window
-
-    from pyspark.sql import functions as F
+    from ..operators.sessions import sessionize
 
     t = tables_for(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap_us = us - F.lag(us).over(w)
-    new_s = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
-    sessioned = t["events"].withColumn(
-        "session_no", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        sessioned.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(F.expr("CAST(round(value * 100) AS LONG)")) / F.lit(100.0)
-            ).alias("sum_value"),
-        )
-        .orderBy("user_id", "session_no")
-    )
+    return sessionize(t["events"], gap_minutes=30).orderBy("user_id", "session_no")
 
 
 #: Sliding 1h/30m windows: each event belongs to exactly two 30-minute-
@@ -207,3 +186,60 @@ def q_clicks_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").alias("last_error_ts"),
         F.col("asof_event_id").alias("error_event_id"),
     ).orderBy("event_id")
+
+
+@register(
+    "purchases_in_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    ),
+    sessions AS (
+      SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM s GROUP BY user_id, session_no
+    )
+    SELECT p.event_id, p.user_id, p.ts, se.session_no,
+           se.session_start, se.session_end
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN sessions se
+      ON p.user_id = se.user_id
+     AND p.ts >= se.session_start AND p.ts <= se.session_end
+    ORDER BY p.event_id, se.session_no
+    """,
+    survey_ref="extended: bucketed range join (point-in-interval, scale path)",
+)
+def q_purchases_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign purchase events to the session interval containing them —
+    a point-in-interval range join done the scale way: bucketize time
+    into 30-minute steps, explode intervals over overlapped buckets,
+    equi-join on (user, bucket), filter exact containment. A point has
+    one bucket, so no dedup; the oracle is the naive BETWEEN theta join."""
+    from ..operators.sessions import bucketed_range_join, sessionize
+
+    t = tables_for(spark, sf_dir)
+    purchases = t["events"].filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = sessionize(t["events"], gap_minutes=30).select(
+        "user_id", "session_no", "session_start", "session_end"
+    )
+    return (
+        bucketed_range_join(
+            purchases, sessions,
+            key="user_id", ts="ts", start="session_start", end="session_end",
+            step_minutes=30,
+        )
+        .select("event_id", "user_id", "ts", "session_no", "session_start", "session_end")
+        .orderBy("event_id", "session_no")
+    )
