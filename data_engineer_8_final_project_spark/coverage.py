@@ -112,6 +112,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-quality": ["query:doc_quality_scores"],
     "text-lang-id": ["query:lang_id_heuristic"],
     "text-fingerprint": ["query:doc_fingerprints"],
+    "text-winnowing": ["query:doc_winnow_fingerprints"],
+    "text-bpe-tokens": ["query:bpe_token_topk"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

@@ -378,3 +378,91 @@ def _ann_lsh_oracle(query_vec_id: int, dim: int, k: int, n_planes: int) -> str:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
     return similarity.ann_lsh_topk(t["embeddings"], query_vec_id=0, dim=64, k=10)
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the regex split GPT-style BPE vocabularies apply before merges.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_topk",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+    survey_ref="extended: BPE-ish regex tokenization (pre-merge token counts)",
+)
+def q_bpe_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _winnow_oracle(w: int) -> str:
+    """Winnowing fingerprints: min 60-bit shingle hash per sliding
+    window of ``w`` consecutive shingles (min of all when fewer)."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS s FROM toks),
+    h AS (
+      SELECT doc_id,
+             list_transform(s, x -> CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+      FROM sh WHERE len(s) > 0
+    ),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) < {w} THEN [list_min(hs)]
+                  ELSE list_transform(range(1, len(hs) - {w} + 2),
+                                      i -> list_min(hs[i : i + {w} - 1]))
+             END AS fps
+      FROM h
+    )
+    SELECT DISTINCT doc_id, unnest(fps) AS fp
+    FROM wins
+    ORDER BY doc_id, fp
+    """
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=_winnow_oracle(w=4),
+    survey_ref="extended: rolling-hash document fingerprinting (winnowing)",
+)
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer et al.): the min shingle hash per sliding
+    window of 4 — position-robust fingerprints whose count scales with
+    document length / w, the standard plagiarism/near-dup signature.
+    Pure array built-ins per row (transform + slice + array_min), one
+    explode at the end — no shuffle before the final distinct."""
+    w = 4
+    t = tables_for(spark, sf_dir)
+    sh = text.shingles("text", 3)
+    hs = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    wins = F.when(
+        F.size(hs) < w, F.array(F.array_min(hs))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+            lambda i: F.array_min(F.slice(hs, i, w)),
+        )
+    )
+    return (
+        t["documents"]
+        .select("doc_id", wins.alias("fps"))
+        .filter(F.size("fps") > 0)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    )
