@@ -52,3 +52,32 @@ def test_ddl_helpers(spark, tmp_path):
     assert spark.table("warehouse_test.t1").count() == 1
     spark.sql("DROP TABLE warehouse_test.t1")
     spark.sql("DROP DATABASE warehouse_test")
+
+
+def test_csv_permissive_malformed_rows(spark, tmp_path):
+    """S2 robustness: malformed rows must yield NULLs (PERMISSIVE), not
+    abort the read — the declarative analogue of the reference's
+    silent row-drop on parse failure."""
+    from pyspark.sql import types as T
+
+    from data_engineer_8_final_project_spark.sources import io as eio
+
+    p = tmp_path / "retail.csv"
+    p.write_text(
+        "InvoiceNo,Quantity,UnitPrice\n"
+        "A1,5,9.99\n"
+        "A2,not_a_number,1.50\n"   # bad int
+        "A3,7,oops\n"              # bad float
+    )
+    schema = T.StructType(
+        [
+            T.StructField("InvoiceNo", T.StringType()),
+            T.StructField("Quantity", T.IntegerType()),
+            T.StructField("UnitPrice", T.DoubleType()),
+        ]
+    )
+    rows = {r.InvoiceNo: (r.Quantity, r.UnitPrice) for r in eio.read_csv(
+        spark, str(p), schema).collect()}
+    assert rows["A1"] == (5, 9.99)
+    assert rows["A2"][0] is None and rows["A2"][1] == 1.50
+    assert rows["A3"][0] == 7 and rows["A3"][1] is None
