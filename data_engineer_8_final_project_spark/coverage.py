@@ -123,4 +123,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "asof-join": ["query:clicks_last_error", "test:tests/test_asof.py"],
     "range-join": ["query:purchases_in_sessions"],
+    "embedding-centroids": [
+        "query:label_centroids",
+        "test:tests/test_extended_ops.py::test_apply_in_pandas_centroids_match_native",
+    ],
 }

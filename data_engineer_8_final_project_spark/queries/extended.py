@@ -466,3 +466,31 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "fp")
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS BIGINT) AS pos,
+           ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, range(64) t(i)
+    GROUP BY label, i
+    ORDER BY label, pos
+    """,
+    survey_ref="extended: per-label embedding centroids (posexplode + avg)",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector, one row per (label, dimension). Native
+    formulation: posexplode fans each vector into 64 rows and a hash
+    agg reduces — linear, shuffle on (label, pos) only. tests/
+    test_extended_ops.py proves the applyInPandas (grouped-map) version
+    computes the same thing; the native one is registered because
+    nothing here needs Python."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("col"), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )

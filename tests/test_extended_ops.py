@@ -1,0 +1,41 @@
+"""applyInPandas (grouped-map) equivalence with the native centroid query.
+
+The engine registers the posexplode+avg formulation (no Python on the
+hot path); this test pins that the grouped-map pandas API — the shape a
+user would reach for with real numpy per-group work — produces the
+identical result, so swapping it in is a local decision, not a
+semantics change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from data_engineer_8_final_project_spark.registry import all_queries
+
+
+def test_apply_in_pandas_centroids_match_native(spark, sf_dir):
+    native = all_queries()["label_centroids"].fn(spark, sf_dir).toPandas()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("label", "embedding")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64").mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "pos": np.arange(len(m), dtype="int64"),
+                "centroid": np.round(m, 6),
+            }
+        )
+
+    via_pandas = (
+        emb.groupBy("label")
+        .applyInPandas(centroid, "label int, pos long, centroid double")
+        .toPandas()
+    )
+    a = native.sort_values(["label", "pos"], ignore_index=True)
+    b = via_pandas.sort_values(["label", "pos"], ignore_index=True)
+    b["label"] = b["label"].astype(a["label"].dtype)
+    pd.testing.assert_frame_equal(a, b)
