@@ -442,27 +442,38 @@ def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (Schleimer et al.): the min shingle hash per sliding
     window of 4 — position-robust fingerprints whose count scales with
     document length / w, the standard plagiarism/near-dup signature.
-    Pure array built-ins per row (transform + slice + array_min), one
-    explode at the end — no shuffle before the final distinct."""
+
+    The hash array MUST be materialized behind an exchange before the
+    per-window mins: in one projection, Catalyst's project-collapsing
+    inlines the whole md5-transform into every window element, turning
+    an O(m·w) row into O(m²·w) md5 calls — measured as a hang at sf0.1.
+    The repartition is both the optimization barrier and the
+    parallelism spread (same single-file-scan issue as dedup._spread)."""
     w = 4
     t = tables_for(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sh = text.shingles("text", 3)
     hs = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
+    hashed = (
+        t["documents"]
+        .repartition(n_parts, "doc_id")  # spread: hash work off the 1-file scan
+        .select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .repartition(n_parts, "doc_id")  # barrier: hs computed once per row
+    )
+    hsc = F.col("hs")
     wins = F.when(
-        F.size(hs) < w, F.array(F.array_min(hs))
+        F.size(hsc) < w, F.array(F.array_min(hsc))
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(hs) - (w - 1)),
-            lambda i: F.array_min(F.slice(hs, i, w)),
+            F.sequence(F.lit(1), F.size(hsc) - (w - 1)),
+            lambda i: F.array_min(F.slice(hsc, i, w)),
         )
     )
     return (
-        t["documents"]
-        .select("doc_id", wins.alias("fps"))
-        .filter(F.size("fps") > 0)
-        .select("doc_id", F.explode("fps").alias("fp"))
+        hashed.select("doc_id", F.explode(wins).alias("fp"))
         .distinct()
         .orderBy("doc_id", "fp")
     )
