@@ -199,3 +199,18 @@ FIXTURE_SCHEMAS: dict[str, T.StructType] = {
     "documents": DOCUMENTS,
     "embeddings": EMBEDDINGS,
 }
+
+
+#: Logical event schema (µs timestamp) — the shape Kafka JSON payloads
+#: decode into (streaming/events.py:from_kafka) and the columns every
+#: event query sees after the nanos→micros conversion.
+EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), False),
+    ]
+)

@@ -28,7 +28,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENT_PROPS, EVENTS_RAW_NANOS
+from ..schemas import EVENT_PROPS, EVENTS, EVENTS_RAW_NANOS
 
 _sink_ids = itertools.count()
 
