@@ -114,6 +114,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-fingerprint": ["query:doc_fingerprints"],
     "text-winnowing": ["query:doc_winnow_fingerprints"],
     "text-bpe-tokens": ["query:bpe_token_topk"],
+    "text-normalize": ["query:text_normalize"],
+    "unpivot-melt": ["query:unpivot_order_metrics"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

@@ -505,3 +505,63 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("col"), 6).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_fp,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: text normalization (lowercase, punctuation strip, ws collapse)",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before exact dedup: lowercase, non-alnum → space,
+    collapse runs, trim — all codegen'd regexp_replace (Spark replaces
+    globally by default; the oracle needs DuckDB's 'g' flag). Output is
+    the md5 of the normal form, i.e. the case/punct-insensitive dedup key."""
+    t = tables_for(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5(norm).alias("norm_fp"),
+            F.length(norm).cast("long").alias("norm_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+    SELECT o_orderkey, 'total_price' AS metric, o_totalprice AS value FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'cust_key', CAST(o_custkey AS DOUBLE) FROM orders
+    ORDER BY o_orderkey, metric
+    """,
+    survey_ref="§2.7 U1 widening: unpivot/melt (wide → long)",
+)
+def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame.unpivot (melt) API — wide columns to (metric,
+    value) rows; the oracle is the equivalent UNION ALL. Values unify
+    to DOUBLE (unpivot requires a common value type)."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_custkey").cast("double").alias("cust_key"),
+        )
+        .unpivot("o_orderkey", ["total_price", "cust_key"], "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    )
