@@ -674,3 +674,35 @@ def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_filled")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "order_value_quartiles",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+    survey_ref="§2.5 widening: ntile / percent_rank / cume_dist analytic windows",
+)
+def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows per priority class; (o_totalprice,
+    o_orderkey) ordering is tiebreak-complete so bucket boundaries are
+    reproducible across engines and partitionings."""
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )

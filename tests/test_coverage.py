@@ -63,6 +63,12 @@ def test_every_oracle_gated_query_is_reachable_from_coverage():
         "distinct_customers_salted",
         "price_quantiles",
         "pivot_qty_by_status",
+        "text_normalize",
+        "unpivot_order_metrics",
+        "bpe_token_topk",
+        "doc_winnow_fingerprints",
+        "label_centroids",
+        "order_value_quartiles",
         "rollup_region_nation",
         "cube_flag_status",
         "events_hourly",
