@@ -116,6 +116,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-bpe-tokens": ["query:bpe_token_topk"],
     "text-normalize": ["query:text_normalize"],
     "unpivot-melt": ["query:unpivot_order_metrics"],
+    "hypertable-rollup": ["query:events_time_rollup"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

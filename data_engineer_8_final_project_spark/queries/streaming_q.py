@@ -243,3 +243,43 @@ def q_purchases_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "session_no", "session_start", "session_end")
         .orderBy("event_id", "session_no")
     )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day,
+           CASE WHEN GROUPING(hour(ts)) = 0 THEN CAST(hour(ts) AS BIGINT) ELSE -1 END AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS DATE), hour(ts)), event_type
+    ORDER BY day, hour, event_type
+    """,
+    survey_ref="extended: hypertable-style time-hierarchy rollup (day→hour continuous agg)",
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape: one pass produces hourly leaves AND
+    daily (and grand-total) rollups via grouping sets — the batch
+    analogue of a hypertable's hierarchical materialized aggregates.
+    GROUPING() disambiguates rolled-up NULLs from data NULLs."""
+    tables_for(spark, sf_dir)  # registers the temp views
+    # partial rollup (plain event_type × ROLLUP(day, hour)) is SQL-only
+    # surface — spark.sql IS the engine's other first-class API
+    # day/hour NULL markers become 'ALL'/-1 sentinels: a NULL-bearing
+    # DATE column coerces to datetime64/NaT on the DuckDB side but
+    # object/None on the Spark side, and their str() forms diverge in
+    # the hash compare
+    return spark.sql(
+        """
+        SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING), 'ALL') AS day,
+               CASE WHEN grouping(hour(ts)) = 0 THEN CAST(hour(ts) AS BIGINT) ELSE -1 END AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY event_type, ROLLUP(CAST(date_trunc('day', ts) AS DATE), hour(ts))
+        ORDER BY day, hour, event_type
+        """
+    )
