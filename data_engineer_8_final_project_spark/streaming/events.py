@@ -133,3 +133,34 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream replay → windowed agg → final table."""
     agg = hourly_window_agg(read_events_stream(spark, sf_dir))
     return run_available_now(agg).orderBy("window_start", "event_type")
+
+
+def stream_to_parquet_exactly_once(
+    stream_df: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """foreachBatch parquet sink with replay-safe (exactly-once) writes.
+
+    Each micro-batch lands in its own ``_epoch=<id>`` partition with
+    dynamic partition overwrite, so a batch replayed after a crash
+    overwrites its own partition instead of appending duplicates; the
+    checkpoint tracks which source files each epoch consumed. This is
+    the durable-sink counterpart of the memory sink used by tests —
+    same pipeline, exactly-once into the lake.
+    """
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

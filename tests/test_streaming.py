@@ -61,3 +61,32 @@ def test_stateful_totals_accumulate_across_microbatches(spark, sf_dir, tmp_path)
         .collect()
     }
     assert got == want
+
+
+def test_foreach_batch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """availableNow replay through the foreachBatch parquet sink equals
+    the batch table; re-running against the same checkpoint writes
+    nothing new (exactly-once, not at-least-once)."""
+    events = catalog.load(spark, sf_dir)["events"]
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ev.stream_to_parquet_exactly_once(stream, out, ckpt)
+
+    run()
+    got = spark.read.parquet(out).drop("_epoch")
+    assert got.count() == events.count()
+    assert sorted(r.event_id for r in got.select("event_id").collect()) == sorted(
+        r.event_id for r in events.select("event_id").collect()
+    )
+
+    run()  # same checkpoint: everything already processed → no duplicates
+    assert spark.read.parquet(out).count() == events.count()
