@@ -112,3 +112,25 @@ def test_bucketed_join_runs_without_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {li}")
         spark.sql(f"DROP TABLE IF EXISTS {od}")
+
+
+def test_asof_join_is_single_shuffle(q):
+    # union + running window: one hashpartitioning exchange on the key,
+    # never a join operator (no range/theta join fallback)
+    plan = PI.explain_string(q("clicks_last_error"))
+    assert "Join" not in plan
+    assert PI.exchange_count(q("clicks_last_error")) <= 3  # key window + final sort
+
+
+def test_range_join_never_nested_loop(q):
+    # the bucketed formulation must plan as an equi-join on (key, bucket),
+    # not BroadcastNestedLoopJoin on the BETWEEN predicate
+    plan = PI.explain_string(q("purchases_in_sessions"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionization_single_key_shuffle(q):
+    # lag window, running sum and session rollup all reuse one user_id
+    # shuffle; the only other exchange is the final presentation sort
+    assert PI.exchange_count(q("event_sessions")) <= 2
