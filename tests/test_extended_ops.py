@@ -39,3 +39,21 @@ def test_apply_in_pandas_centroids_match_native(spark, sf_dir):
     b = via_pandas.sort_values(["label", "pos"], ignore_index=True)
     b["label"] = b["label"].astype(a["label"].dtype)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """The approx scale path (HLL distinct, quantile sketch) — declared
+    §2.4 widenings. Sketches aren't reproducible across engines, so the
+    contract here is an accuracy bound against the exact answer, not a
+    hash oracle."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+    assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.01
