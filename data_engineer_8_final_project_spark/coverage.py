@@ -117,6 +117,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-normalize": ["query:text_normalize"],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
+    "corpus-clean-pipeline": ["query:corpus_clean_pipeline"],
+    "json-source": ["test:tests/test_io.py::test_json_roundtrip"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

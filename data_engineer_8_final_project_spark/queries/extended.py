@@ -565,3 +565,64 @@ def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("o_orderkey", ["total_price", "cust_key"], "metric", "value")
         .orderBy("o_orderkey", "metric")
     )
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             len(list_filter(t, x -> list_contains(['the','a','of','and','to','in'], x)))
+               / len(t) AS stop_ratio
+      FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens FROM scored
+      WHERE n_tokens >= 10 AND stop_ratio <= 0.5
+    ),
+    normed AS (
+      SELECT doc_id, n_tokens,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS norm_fp
+      FROM kept
+    )
+    SELECT norm_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           COUNT(*) AS n_copies,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+    FROM normed
+    GROUP BY norm_fp
+    ORDER BY doc_id
+    """,
+    survey_ref="extended capstone: quality-filter → normalize → exact-dedup pipeline",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass a corpus actually gets:
+    quality gates (length, stopword ratio) → canonical normalization →
+    exact dedup on the normal form keeping the lowest doc_id. One scan,
+    one shuffle (the dedup groupBy on the 32-byte norm_fp key)."""
+    t = tables_for(spark, sf_dir)
+    c = F.col("text")
+    n_tok = text.token_count(c)
+    stop_ratio = text.stopword_count(c) / n_tok
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", c.alias("text"), n_tok.alias("n_tokens"), stop_ratio.alias("sr"))
+        .filter((F.col("n_tokens") >= 10) & (F.col("sr") <= 0.5))
+        .select("doc_id", F.md5(norm).alias("norm_fp"), "n_tokens")
+        .groupBy("norm_fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .select("norm_fp", "doc_id", "n_copies", "n_tokens")
+        .orderBy("doc_id")
+    )

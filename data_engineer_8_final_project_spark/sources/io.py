@@ -122,3 +122,9 @@ def write_bucketed(
         s = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*s)
     writer.saveAsTable(name)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
+    """JSON-lines scan with explicit schema (no sampling inference pass —
+    at 100 TB, schema inference is a full extra read of the dataset)."""
+    return spark.read.options(**options).schema(schema).json(path)

@@ -81,3 +81,18 @@ def test_csv_permissive_malformed_rows(spark, tmp_path):
     assert rows["A1"] == (5, 9.99)
     assert rows["A2"][0] is None and rows["A2"][1] == 1.50
     assert rows["A3"][0] == 7 and rows["A3"][1] is None
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_engineer_8_final_project_spark.sources import io as eio
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": null}\n{"id": "bad"}\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    rows = {r.id: r.name for r in eio.read_json(spark, str(p), schema).collect()}
+    # PERMISSIVE default: malformed field -> NULL row values, no abort
+    assert rows[1] == "a" and rows[2] is None and None in rows
