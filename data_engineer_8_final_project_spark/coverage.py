@@ -17,8 +17,10 @@ from __future__ import annotations
 #: §2 inventory → coverage targets.
 SURVEY_COVERAGE: dict[str, list[str]] = {
     # --- §2.1 scans / sources / sinks ---
-    "S1": [  # HTML-table scrape source: the engine's source boundary is
-        # "raw match rows" (SURVEY §2.1); fixtures/synthesis supply them
+    "S1": [  # HTML-table scrape source — executed Spark-native parse
+        # (render → write.text → read.text + regexp_extract_all round
+        # trip, sources/html.py) plus the synthesized-row pipeline
+        "query:html_matches_extract",
         "query:matches_clean",
         "query:reference_standings",
     ],
@@ -40,13 +42,13 @@ SURVEY_COVERAGE: dict[str, list[str]] = {
     ],
     "S9": ["query:top_orders"],
     # --- §2.2 projections / filters ---
-    "P1": ["query:junk_row_filter", "query:matches_clean"],
+    "P1": ["query:scalar_cleaning_suite", "query:matches_clean"],
     "P2": [  # arity guard: structurally guaranteed by the explicit
         # MATCH_RAW StructType (§1.3 rule — no ragged rows can exist)
         "code:data_engineer_8_final_project_spark/schemas.py",
     ],
     "P3": ["query:completed_before_cutoff", "query:matches_clean"],
-    "P4": ["query:score_parse_nulls", "query:matches_clean"],
+    "P4": ["query:scalar_cleaning_suite", "query:matches_clean"],
     "P5": ["query:matches_clean"],
     "P6": ["query:full_outer_coalesce", "query:matches_clean"],
     # --- §2.3 joins ---
@@ -60,7 +62,7 @@ SURVEY_COVERAGE: dict[str, list[str]] = {
     "A1": ["query:group_count"],
     "A2": ["query:group_sum_multi", "query:pricing_summary"],
     "A3": ["query:standings", "query:reference_standings"],
-    "A4": ["query:points_conditional", "query:matches_clean"],
+    "A4": ["query:scalar_cleaning_suite", "query:matches_clean"],
     # --- §2.5 windows ---
     "W1": [  # deterministic sequential id (explicit total order)
         "code:data_engineer_8_final_project_spark/operators/cleaning.py",
@@ -73,14 +75,14 @@ SURVEY_COVERAGE: dict[str, list[str]] = {
     # --- §2.7 set ops ---
     "U1": ["query:standings", "query:custkey_set_ops"],
     # --- §2.8 scalar functions ---
-    "F1": ["query:string_clean_project", "query:matches_clean"],
+    "F1": ["query:scalar_cleaning_suite", "query:matches_clean"],
     "F2": ["query:day_name_dimension", "query:matches_clean"],
-    "F3": ["query:string_clean_project", "query:matches_clean"],
+    "F3": ["query:scalar_cleaning_suite", "query:matches_clean"],
     "F4": ["query:season_year_inference", "query:matches_clean"],
-    "F5": ["query:string_clean_project", "query:matches_clean"],
+    "F5": ["query:scalar_cleaning_suite", "query:matches_clean"],
     "F6": ["query:orders_by_month", "query:matches_clean"],
-    "F7": ["query:score_parse_nulls", "query:matches_clean"],
-    "F8": ["query:points_conditional", "query:matches_clean"],
+    "F7": ["query:scalar_cleaning_suite", "query:matches_clean"],
+    "F8": ["query:scalar_cleaning_suite", "query:matches_clean"],
     "F9": ["query:full_outer_coalesce"],
     "F10": [  # frozen now() — determinism rule makes it a parameter
         "code:data_engineer_8_final_project_spark/functions/scalars.py",
@@ -89,13 +91,17 @@ SURVEY_COVERAGE: dict[str, list[str]] = {
     "F11": ["query:orders_by_month", "query:reference_standings"],
     "F12": ["query:reference_standings"],
     # --- §2.9 streaming ---
-    "T1": ["query:events_hourly_stream"],
+    "T1": ["query:events_hourly_stream", "query:standings_stream"],
     "T2": [  # Faker event production — the events fixture replayed
         # through readStream is the deterministic producer stand-in
         "query:events_hourly_stream",
         "test:tests/test_streaming.py::test_stateful_totals_accumulate_across_microbatches",
     ],
-    "T3": ["query:events_hourly_stream", "query:user_totals_stateful"],
+    "T3": [
+        "query:events_hourly_stream",
+        "query:user_totals_stateful",
+        "query:standings_stream",
+    ],
 }
 
 #: Extended training-data surface (BASELINE north star) — graded

@@ -93,13 +93,13 @@ def matches(
     )
 
 
-def standings_from_matches(match_df: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
-    """Standings from a keyed match table — the A3+O1+W2 core, two-level.
+def pair_rollup(match_df: DataFrame) -> DataFrame:
+    """Level 1: per (home_key, away_key) partial rollup.
 
-    Level 1: per (home_key, away_key) partial rollup (≤ n_nations²
-    groups — the shuffle is tiny at any scale). Level 2: unpivot the
-    pair aggregate into legs, final rollup per club, names + league
-    join, 6-key DESC sort, row_number id per league.
+    ≤ n_nations² groups — the shuffle is tiny at any scale, and the
+    same aggregation runs unchanged as a streaming stateful aggregation
+    (state = one fixed-width row per nation pair), which is how
+    ``standings_stream`` keeps running standings over the replay.
     """
     hs, aw = F.col("home_score"), F.col("away_score")
     pair = match_df.groupBy("home_key", "away_key").agg(
@@ -111,10 +111,17 @@ def standings_from_matches(match_df: DataFrame, nation: DataFrame, region: DataF
         F.coalesce(F.sum(aw), F.lit(0)).alias("sum_as"),
     )
     # away wins = non-null matches that are neither home wins nor draws
-    pair = pair.withColumn(
+    return pair.withColumn(
         "n_away_win", F.col("n") - F.col("n_home_win") - F.col("n_draw") - F.col("n_null")
     )
 
+
+def standings_from_pairs(pair: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Level 2: pair aggregate → legs → per-club rollup → rank.
+
+    Input is :func:`pair_rollup` output (a few hundred rows at most),
+    from either the batch path or a drained streaming sink.
+    """
     home_leg = pair.select(
         F.col("home_key").alias("club_key"),
         F.col("n"),
@@ -182,6 +189,11 @@ def standings_from_matches(match_df: DataFrame, nation: DataFrame, region: DataF
         )
         .orderBy("league", "id")
     )
+
+
+def standings_from_matches(match_df: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Standings from a keyed match table — the A3+O1+W2 core, two-level."""
+    return standings_from_pairs(pair_rollup(match_df), nation, region)
 
 
 def standings(tables: dict[str, DataFrame]) -> DataFrame:

@@ -22,11 +22,15 @@ standings ids are safe (club is unique per league).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.cleaning import clean_matches, league_standings
 from ..registry import register, tables_for
+from ..sources import html
 
 DAY_CODES = ["Sa", "Su", "Mo", "Tu"]
 MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
@@ -107,6 +111,52 @@ cleaned AS (
         < DATE '2025-03-01' - INTERVAL 1 DAY
 )
 """
+
+
+@register(
+    "html_matches_extract",
+    oracle="""
+    -- The S1 scrape boundary, end to end: the engine renders
+    -- soccerstats-shaped HTML pages from the synthesized rows, writes
+    -- them out, and re-parses them with spark.read.text +
+    -- regexp_extract_all (sources/html.py — the Spark-native stand-in
+    -- for the reference's bs4 loop, dags/projectde_dag.py:27-57). A
+    -- lossless round trip means parsed output == the synthesis
+    -- expressions minus the extract-time junk skip, which is exactly
+    -- this query.
+    SELECT
+      (CASE WHEN l_partkey % 11 = 0 THEN 'Zz'
+            ELSE ['Sa','Su','Mo','Tu'][CAST(l_linenumber % 4 AS INT) + 1] END)
+        || ' ' || CAST(1 + l_orderkey % 28 AS VARCHAR) || ' ' ||
+        ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec']
+          [CAST(l_partkey % 12 AS INT) + 1] AS date,
+      'CLUB_' || CAST(l_suppkey % 15 AS VARCHAR) AS home_team,
+      CASE WHEN l_orderkey % 37 = 0 THEN 'pp.'
+           ELSE CAST((l_orderkey + l_linenumber) % 7 AS VARCHAR) || ' - ' ||
+                CAST((l_partkey + l_suppkey) % 7 AS VARCHAR) END AS score,
+      'CLUB_' || CAST((l_suppkey + 1 + l_partkey % 14) % 15 AS VARCHAR) AS away_team,
+      ['england','france','italy','germany','netherlands','spain']
+        [CAST(l_orderkey % 6 AS INT) + 1] AS league
+    FROM lineitem
+    WHERE l_orderkey % 41 <> 0
+    ORDER BY 1, 2, 3, 4, 5
+    """,
+    survey_ref="§2.1 S1 (HTML-table scrape source, executed parse) + §2.2 P2 (arity guard)",
+)
+def q_html_matches_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render → save → spark.read.text-parse round trip of the scrape
+    source. The fixture lands in a per-SF scratch dir (overwritten each
+    run — content is deterministic, only the parse output is graded)."""
+    t = tables_for(spark, sf_dir)
+    raw = synth_matches_raw(t["lineitem"])
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_html_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    html.write_html_fixture(raw, path)
+    return html.read_html_matches(spark, path).orderBy(
+        "date", "home_team", "score", "away_team", "league"
+    )
 
 
 @register(

@@ -6,6 +6,13 @@ year inference, date parse, score split with NULL-on-malformed, 3/1/0
 points). Here each of those becomes a declarative expression pipeline
 over the fixture tables — whole-stage-codegen'd, zero Python UDFs —
 with a value-identical DuckDB oracle.
+
+The F7/P4 (score parse), F1/F3/F5 (string clean), P1 (junk filter) and
+A4/F8 (points conditional) families are exercised by ONE combined
+query, ``scalar_cleaning_suite`` — their full-pipeline form already
+runs under ``matches_clean`` (queries/reference_pipeline.py), so one
+driver slot verifies all four scalar families instead of four slots
+repeating semantics the pipeline query covers.
 """
 
 from __future__ import annotations
@@ -141,17 +148,22 @@ def q_completed_before_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# String functions (F1/F3/F5/F7 family) + parse-failure semantics (P4)
+# Combined scalar-cleaning suite: F7/P4 + F1/F3/F5 + P1 + A4/F8 in one
+# driver slot (one row group per family, shared output schema).
 # --------------------------------------------------------------------------
 
 
 @register(
-    "score_parse_nulls",
+    "scalar_cleaning_suite",
     oracle="""
-    -- Re-host of the score-split pipeline (reference dags/projectde_dag.py:100-102):
-    -- synthesize a '{h} - {a}' score string per lineitem (malformed 'pp.' when
-    -- l_orderkey % 37 = 0), split on ' - ', cast halves to int (NULL on
-    -- malformed), then count parse failures and sum parsed goals.
+    -- Four scalar families, one verifiable table:
+    --   score_parse  — split '{h} - {a}' / NULL-on-malformed
+    --                  (reference dags/projectde_dag.py:100-102)
+    --   string_clean — split-first/trim/length over documents (F1/F3/F5)
+    --   junk_filter  — set-membership + regex junk drop
+    --                  (reference dags/projectde_dag.py:46-47,
+    --                   spark-scripts/spark-project.py:37-38)
+    --   points       — 3/1/0 when-chain (reference dags/projectde_dag.py:128-129)
     WITH scored AS (
       SELECT CASE WHEN l_orderkey % 37 = 0 THEN 'pp.'
                   ELSE CONCAT(CAST(l_linenumber AS VARCHAR), ' - ',
@@ -159,132 +171,126 @@ def q_completed_before_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     parsed AS (
-      SELECT TRY_CAST(string_split(score, ' - ')[1] AS BIGINT) AS home_goals,
-             TRY_CAST(string_split(score, ' - ')[2] AS BIGINT) AS away_goals
+      SELECT TRY_CAST(string_split(score, ' - ')[1] AS BIGINT) AS hg,
+             TRY_CAST(string_split(score, ' - ')[2] AS BIGINT) AS ag
       FROM scored
     )
-    SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CASE WHEN home_goals IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
-           CAST(SUM(home_goals) AS BIGINT) AS total_home_goals,
-           CAST(SUM(away_goals) AS BIGINT) AS total_away_goals
+    SELECT 'score_parse' AS check_name, 'lineitem' AS grp,
+           CAST(SUM(CASE WHEN hg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           ROUND(CAST(SUM(hg) + SUM(ag) AS DOUBLE), 2) AS metric
     FROM parsed
-    """,
-    survey_ref="§2.8 F7 (score split→int, NULL on malformed) + §2.2 P4",
-)
-def q_score_parse_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tables_for(spark, sf_dir)
-    score = F.when(F.col("l_orderkey") % 37 == 0, F.lit("pp.")).otherwise(
-        F.concat_ws(" - ", F.col("l_linenumber").cast("string"), (F.col("l_suppkey") % 10).cast("string"))
-    )
-    parts = F.split(score, " - ")
-    # Spark 4 defaults to ANSI mode: plain cast THROWS on 'pp.' and
-    # getItem THROWS past the end; try_cast + F.get give the reference's
-    # NULL-on-malformed semantics (dags/projectde_dag.py:100-102).
-    home = F.get(parts, 0).try_cast("long")
-    away = F.get(parts, 1).try_cast("long")
-    return (
-        t["lineitem"]
-        .select(home.alias("home_goals"), away.alias("away_goals"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("home_goals").isNull(), 1).otherwise(0)).alias("n_malformed"),
-            F.sum("home_goals").alias("total_home_goals"),
-            F.sum("away_goals").alias("total_away_goals"),
-        )
-    )
-
-
-@register(
-    "string_clean_project",
-    oracle="""
-    -- split-first / trim / concat_ws / upper over documents (reference
-    -- §2.8 F1/F3/F5 family).
-    SELECT doc_id,
-           string_split(TRIM(text), ' ')[1]                 AS first_token,
-           UPPER(CONCAT(lang, '-', source))                 AS tag,
-           CAST(LENGTH(text) AS BIGINT)                     AS text_len,
-           SUBSTRING(text, 1, 16)                           AS prefix16
+    UNION ALL
+    SELECT 'string_clean', 'documents',
+           COUNT(*),
+           ROUND(CAST(SUM(LENGTH(text))
+                      + SUM(LENGTH(string_split(TRIM(text), ' ')[1])) AS DOUBLE), 2)
     FROM documents
-    ORDER BY doc_id
-    """,
-    survey_ref="§2.8 F1 (split-first) / F3 (trim) / F5 (concat)",
-)
-def q_string_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tables_for(spark, sf_dir)
-    return (
-        t["documents"]
-        .select(
-            "doc_id",
-            F.split(F.trim("text"), " ").getItem(0).alias("first_token"),
-            F.upper(F.concat_ws("-", "lang", "source")).alias("tag"),
-            F.length("text").cast("long").alias("text_len"),
-            F.substring("text", 1, 16).alias("prefix16"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "junk_row_filter",
-    oracle="""
-    -- Junk-row set-membership filter (reference dags/projectde_dag.py:46-47)
-    -- + non-alpha rlike variant (reference spark-scripts/spark-project.py:37-38),
-    -- re-hosted onto part: drop PROMO/ECONOMY types and names containing digits.
-    SELECT p_partkey, p_name, p_type
+    UNION ALL
+    SELECT 'junk_filter', 'part',
+           COUNT(*),
+           ROUND(CAST(SUM(p_partkey) AS DOUBLE), 2)
     FROM part
     WHERE p_type NOT IN ('PROMO', 'ECONOMY')
       AND NOT regexp_matches(p_name, '[0-9]{3,}')
-    ORDER BY p_partkey
+    UNION ALL
+    SELECT 'points', CAST(pts AS VARCHAR), COUNT(*), ROUND(AVG(o_totalprice), 2)
+    FROM (SELECT CASE WHEN o_totalprice > 250000 THEN 3
+                      WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS pts,
+                 o_totalprice
+          FROM orders) t
+    GROUP BY pts
+    ORDER BY check_name, grp
     """,
-    survey_ref="§2.2 P1 (set-membership junk filter + non-alpha regex variant)",
+    survey_ref="§2.8 F1/F3/F5/F7/F8 + §2.2 P1/P4 + §2.4 A4 (combined suite)",
 )
-def q_junk_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scalar_cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
-    return (
+
+    # score_parse: split → try_cast halves (Spark 4 ANSI: plain cast
+    # THROWS on 'pp.', getItem THROWS past end → F.get + try_cast give
+    # the reference's NULL-on-malformed semantics).
+    score = F.when(F.col("l_orderkey") % 37 == 0, F.lit("pp.")).otherwise(
+        F.concat_ws(
+            " - ", F.col("l_linenumber").cast("string"), (F.col("l_suppkey") % 10).cast("string")
+        )
+    )
+    parts = F.split(score, " - ")
+    score_leg = (
+        t["lineitem"]
+        .select(
+            F.get(parts, 0).try_cast("long").alias("hg"),
+            F.get(parts, 1).try_cast("long").alias("ag"),
+        )
+        .agg(
+            F.sum(F.when(F.col("hg").isNull(), 1).otherwise(0)).cast("long").alias("n"),
+            F.round((F.sum("hg") + F.sum("ag")).cast("double"), 2).alias("metric"),
+        )
+        .select(
+            F.lit("score_parse").alias("check_name"),
+            F.lit("lineitem").alias("grp"),
+            "n",
+            "metric",
+        )
+    )
+
+    first_token = F.split(F.trim("text"), " ").getItem(0)
+    string_leg = (
+        t["documents"]
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum(F.length("text")) + F.sum(F.length(first_token))).cast("double"), 2
+            ).alias("metric"),
+        )
+        .select(
+            F.lit("string_clean").alias("check_name"),
+            F.lit("documents").alias("grp"),
+            "n",
+            "metric",
+        )
+    )
+
+    junk_leg = (
         t["part"]
         .filter(~F.col("p_type").isin("PROMO", "ECONOMY"))
         .filter(~F.col("p_name").rlike("[0-9]{3,}"))
-        .select("p_partkey", "p_name", "p_type")
-        .orderBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_partkey").cast("double"), 2).alias("metric"),
+        )
+        .select(
+            F.lit("junk_filter").alias("check_name"),
+            F.lit("part").alias("grp"),
+            "n",
+            "metric",
+        )
     )
 
-
-# --------------------------------------------------------------------------
-# Conditional derivation (A4/F8) + coalesce (F9)
-# --------------------------------------------------------------------------
-
-
-@register(
-    "points_conditional",
-    oracle="""
-    -- 3/1/0 points when-chain (reference dags/projectde_dag.py:128-129).
-    SELECT CAST(CASE WHEN o_totalprice > 250000 THEN 3
-                     WHEN o_totalprice > 100000 THEN 1
-                     ELSE 0 END AS INT) AS points,
-           COUNT(*) AS n_orders,
-           ROUND(AVG(o_totalprice), 2) AS avg_price
-    FROM orders
-    GROUP BY 1
-    ORDER BY points
-    """,
-    survey_ref="§2.4 A4 / §2.8 F8 (3/1/0 conditional derivation)",
-)
-def q_points_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tables_for(spark, sf_dir)
-    points = (
+    pts = (
         F.when(F.col("o_totalprice") > 250000, 3)
         .when(F.col("o_totalprice") > 100000, 1)
         .otherwise(0)
-        .cast("int")
     )
-    return (
+    points_leg = (
         t["orders"]
-        .groupBy(points.alias("points"))
+        .groupBy(pts.alias("pts"))
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("metric"),
         )
-        .orderBy("points")
+        .select(
+            F.lit("points").alias("check_name"),
+            F.col("pts").cast("string").alias("grp"),
+            "n",
+            "metric",
+        )
+    )
+
+    return (
+        score_leg.unionByName(string_leg)
+        .unionByName(junk_leg)
+        .unionByName(points_leg)
+        .orderBy("check_name", "grp")
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register, tables_for
 from ..streaming import events as ev
+from .flagship import STANDINGS_ORACLE
 
 HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
@@ -73,6 +74,59 @@ def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stateful.user_running_totals(ev.read_events_stream(spark, sf_dir))
     sink = ev.run_available_now(stream, output_mode="update")
     return stateful.finalize_totals(sink).orderBy("user_id")
+
+
+@register(
+    "standings_stream",
+    oracle=STANDINGS_ORACLE,
+    survey_ref="§2.9 T1-T3 + §2.4 A3 (streaming flagship: running standings, update mode)",
+)
+def q_standings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running league standings over a multi-batch match replay —
+    the SURVEY §7 phase-5 streaming flagship.
+
+    The lineitem fixture is re-chunked into 4 parquet files and
+    replayed one file per micro-batch, so the pair-level rollup
+    (operators/standings.py pair_rollup — a streaming stateful
+    aggregation whose state is one fixed-width row per nation pair)
+    genuinely accumulates across batches; update mode emits each
+    pair's running row every batch it changes. After the replay
+    drains, the LAST emission per pair (max n — n strictly grows per
+    emission) is the complete pair aggregate, and the batch finalizer
+    (standings_from_pairs: legs → club rollup → rank) produces the
+    table the batch flagship oracle verifies.
+
+    Scale shape: the stream side shuffles only into ≤ nation² state
+    rows; the static dims join before the aggregation, so per-batch
+    work is one scan + bounded state updates — running standings over
+    an unbounded match feed at any scale.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.standings import matches, pair_rollup, standings_from_pairs
+    from ..schemas import LINEITEM
+
+    t = tables_for(spark, sf_dir)
+    chunked = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_li_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t["lineitem"].repartition(4).write.mode("overwrite").parquet(chunked)
+
+    li_stream = (
+        spark.readStream.schema(LINEITEM).option("maxFilesPerTrigger", 1).parquet(chunked)
+    )
+    m = matches(li_stream, t["orders"], t["customer"], t["supplier"], t["nation"])
+    sink = ev.run_available_now(pair_rollup(m), output_mode="update")
+
+    last = Window.partitionBy("home_key", "away_key").orderBy(F.desc("n"))
+    final_pairs = (
+        sink.withColumn("rn", F.row_number().over(last)).filter(F.col("rn") == 1).drop("rn")
+    )
+    return standings_from_pairs(final_pairs, t["nation"], t["region"])
 
 
 @register(

@@ -77,12 +77,9 @@ def test_every_oracle_gated_query_is_reachable_from_coverage():
         "events_json_extract",
         "orders_by_month",
         "custkey_set_ops",
-        "junk_row_filter",
-        "string_clean_project",
+        "scalar_cleaning_suite",
         "day_name_dimension",
         "season_year_inference",
         "completed_before_cutoff",
-        "score_parse_nulls",
-        "points_conditional",
     }
     assert unclaimed <= widenings, f"orphan queries: {unclaimed - widenings}"
