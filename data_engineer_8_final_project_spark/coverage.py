@@ -110,10 +110,16 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "dedup-exact": ["query:dedup_exact"],
     "dedup-jaccard": ["query:jaccard_near_dup"],
     "dedup-simhash": ["query:simhash_near_dup"],
-    "dedup-minhash-lsh": ["query:minhash_lsh_pairs"],
+    "dedup-minhash-lsh": [
+        "query:minhash_lsh_pairs",
+        "query:minhash_native_pairs",
+    ],
     "similarity-brute-topk": ["query:embedding_topk"],
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
-    "similarity-near-dup": ["query:embedding_near_dup_pairs"],
+    "similarity-near-dup": [
+        "query:embedding_near_dup_pairs",
+        "query:lsh_near_dup_pairs",
+    ],
     "text-tokens": ["query:token_topk", "query:text_stats_by_lang"],
     "text-quality": ["query:doc_quality_scores"],
     "text-lang-id": ["query:lang_id_heuristic"],

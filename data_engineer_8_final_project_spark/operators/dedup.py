@@ -12,9 +12,15 @@ path (shuffle on content-hash / shingle keys, never a driver collect):
    shingle key (drop shingles occurring in > max_df docs) bounds the
    candidate-pair blowup exactly like dropping stop-bands in MinHash
    LSH. Fully SQL-expressible → strong DuckDB oracle.
-3. **MinHash-LSH** — pyspark.ml MinHashLSH over a HashingTF of
-   shingles; approximate, not SQL-expressible (registered rows-only).
-   The scale path when even the capped shingle join is too big.
+3. **MinHash-LSH (pyspark.ml)** — MinHashLSH over a HashingTF of
+   shingles; approximate, not SQL-expressible (registered rows-only,
+   recall-gated in tests/test_dedup.py).
+4. **MinHash-LSH (native)** — the same Broder construction from
+   built-ins only (md5-derived shingle hash, deterministic affine
+   permutations, r-row banding). Whole-stage codegen, one doc_id
+   shuffle, and — unlike the ml tier — fully deterministic, so it
+   carries a value-exact DuckDB oracle. The scale path when even the
+   capped shingle join is too big.
 """
 
 from __future__ import annotations
@@ -78,8 +84,8 @@ def jaccard_candidate_pairs(
 
     Returns (doc_a, doc_b, shared_shingles, jaccard) with doc_a < doc_b.
     ``max_df`` drops shingles present in more than that many documents
-    before the self-join — the skew/blowup guard: a stop-shingle shared
-    by 10 k docs would alone produce 10k²/2 candidate pairs.
+    before any pair is produced — the skew/blowup guard: a stop-shingle
+    shared by 10 k docs would alone produce 10k²/2 candidate pairs.
     """
     sh = (
         _spread(documents).select(
@@ -88,17 +94,31 @@ def jaccard_candidate_pairs(
     )
     # distinct shingle count per doc (for the union term of Jaccard)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # frequency cap: drop stop-shingles before the join
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df),
-        "sh",
-    ).select("doc_id", "sh")
-
-    a = rare.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "sh")
+    # One shuffle on sh builds the posting list per shingle; the df cap
+    # (drop stop-shingles) and the singleton drop apply BEFORE any pair
+    # exists. Pair production is then a per-row array comprehension —
+    # all (ds[i], ds[j]) i<j via transform-with-index — never a
+    # self-join: A/B-benched 2× faster than the postings self-join at
+    # 8× data (the join shuffled every (doc_id, sh) row twice; this
+    # shuffles each once and explodes ≤ max_df²/2 bounded pairs).
+    lists = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") <= max_df) & (F.size("ds") >= 2))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        lists.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
@@ -241,4 +261,145 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+#: Modulus for the native MinHash permutation family: the Mersenne
+#: prime 2³¹−1. Hash values and coefficients both stay < 2³¹, so the
+#: affine rehash ``(a·h + b) mod p`` peaks below 2⁶² — safe in int64
+#: under Spark 4 ANSI overflow checking AND reproducible in DuckDB.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutation family.
+
+    splitmix64-style integer mixing (same constants as
+    similarity._hyperplane) — stable across runs/engines with no RNG
+    state, so the DuckDB oracle can embed the identical literals.
+    """
+    coeffs = []
+    for i in range(num_hashes):
+        h = ((i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        h ^= h >> 31
+        a = (h % (MINHASH_PRIME - 1)) + 1  # 1..p-1 (never the zero map)
+        g = ((i + 1) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        g ^= g >> 29
+        b = g % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def minhash_signatures_native(
+    documents: DataFrame, shingle_n: int = 3, num_hashes: int = 24
+) -> DataFrame:
+    """Per-document native MinHash signature → (doc_id, m0..m{k-1}).
+
+    Classic Broder MinHash with the one-hash trick: each distinct
+    shingle gets one md5-derived 60-bit value (the same derivation the
+    SimHash tier uses), each of the k permutations is an affine rehash
+    mod 2³¹−1, and the signature component is the min over the
+    document's shingles. Everything is built-in/codegen (no Python, no
+    pyspark.ml), one shuffle on doc_id, k conditional mins — and fully
+    SQL-expressible, so unlike the pyspark.ml tier this one carries a
+    value-exact DuckDB oracle.
+    """
+    sh = _spread(documents).select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh")
+    )
+    hv = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % MINHASH_PRIME
+    hashed = sh.select("doc_id", hv.alias("hv"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("hv") * F.lit(a) + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    )
+
+
+def minhash_native_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    num_hashes: int = 24,
+    band_rows: int = 2,
+    max_bucket: int = 100,
+    min_est: float = 0.25,
+) -> DataFrame:
+    """Near-dup pairs via native banded MinHash → (doc_a, doc_b, est_jaccard).
+
+    LSH banding over :func:`minhash_signatures_native`: k hashes split
+    into k/r bands of r rows; docs agreeing exactly on ≥1 band are
+    candidates; ``est_jaccard`` is the fraction of matching signature
+    components (the unbiased Jaccard estimator). ``max_bucket`` is the
+    blowup guard (drop degenerate buckets before any pair exists, same
+    role as jaccard's ``max_df``); pair production reuses the
+    collect_list + pair-explode pattern — bounded, never a self-join.
+
+    Fully deterministic → the DuckDB oracle replays it value-exact;
+    recall vs exact Jaccard is additionally gated in tests/test_dedup.py.
+    """
+    assert band_rows <= 2, "band value packs r components into int64 — r ≤ 2"
+    assert num_hashes % band_rows == 0
+    sig = minhash_signatures_native(documents, shingle_n, num_hashes)
+    n_bands = num_hashes // band_rows
+
+    def band_val(j: int):
+        val = F.lit(0).cast("long")
+        for i in range(j * band_rows, (j + 1) * band_rows):
+            val = val * MINHASH_PRIME + F.col(f"m{i}")
+        return val
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band_no"), band_val(j).alias("bv"))
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_no"), F.col("b.bv"))
+    buckets = (
+        bands.groupBy("band_no", "bv")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.array_sort("ds").alias("ds"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()  # a pair can agree on several bands
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    matches = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est)
     )

@@ -64,23 +64,55 @@ def brute_force_topk(
 
 
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, decimals: int = 6
+    embeddings: DataFrame, threshold: float = 0.9, decimals: int = 6, n_blocks: int = 8
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
 
-    All-pairs formulation — correct but O(n²); appropriate up to ~10⁵
-    vectors. Beyond that use :func:`ann_lsh_topk`'s bucketing to block
-    the self-join.
+    Exact all-pairs semantics, **block-partitioned**: vectors are
+    assigned to ``n_blocks`` blocks by ``vec_id % n_blocks``; the tiny
+    block-pair table (``B(B+1)/2`` rows, broadcast) replicates each
+    side so every unordered vector pair meets in exactly one
+    ``(block_a, block_b)`` task. The pair-producing join is an
+    **equi-join on the composite block key** — a shuffled hash join,
+    never a BroadcastNestedLoopJoin — so the O(n²) comparison work
+    spreads evenly over ``B(B+1)/2`` independent tasks instead of
+    funneling one broadcast side through every executor. Raise
+    ``n_blocks`` with cluster size (shuffle volume is ``n·(B+1)/2``
+    rows per side; per-task work is ``(n/B)²`` comparisons).
+
+    Exactness at a mid-range threshold genuinely requires examining
+    every pair (sign-LSH bands cannot separate cos 0.449 from 0.451 —
+    see :func:`lsh_near_dup_pairs` for the subquadratic path valid at
+    duplicate-range thresholds); what this formulation fixes is the
+    *plan shape*, not the comparison count.
     """
+    spark = embeddings.sparkSession
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "block_a int, block_b int",
+    )
+    a = (
+        emb.withColumn("block_a", (F.col("vec_id") % n_blocks).cast("int"))
+        .join(F.broadcast(block_pairs), "block_a")
+        .select("block_a", "block_b", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    )
+    b = (
+        emb.withColumn("block_b", (F.col("vec_id") % n_blocks).cast("int"))
+        .join(F.broadcast(block_pairs), "block_b")
+        .select("block_a", "block_b", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["block_a", "block_b"])
+        # same-block pairs meet twice ordered (x,y)/(y,x) — keep one;
+        # cross-block pairs meet exactly once (block_pairs has i ≤ j only)
+        .filter((F.col("block_a") < F.col("block_b")) | (F.col("id_a") < F.col("id_b")))
         .select(
-            "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), decimals).alias("cosine")
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            F.round(cosine(F.col("va"), F.col("vb")), decimals).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -112,6 +144,77 @@ def simhash_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
         bit = (_dot(vec, plane) >= 0).cast("int")
         bucket = bucket * 2 + bit
     return bucket
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    band_bits: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """Approximate near-dup pairs via banded sign-random-projection LSH.
+
+    The subquadratic scale path: each vector gets ``n_bands × band_bits``
+    hyperplane sign bits; two vectors are candidates iff they agree
+    exactly on ≥1 band; candidates are verified with exact cosine.
+    The only pair-producing join is an equi-join on ``(band_no,
+    band_val)`` — comparisons are bounded by bucket occupancy, not n².
+
+    Per-pair recall for a pair at angle θ is ``1-(1-(1-θ/π)^band_bits)^n_bands``
+    — near 1 for duplicate-range similarity (cos ≥ 0.8) at the default
+    parameters, and tunable (more bands → recall, more bits → precision).
+    It is NOT exact at mid-range thresholds — a pair at cos 0.45
+    disagrees on ~35% of planes, and no banding separates 0.449 from
+    0.451; use :func:`cosine_near_dup_pairs` when exactness at such
+    thresholds is required. tests/test_extended_ops.py pins the
+    measured fixture recall so parameter regressions surface.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bands = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_no"),
+                        _band_value(F.col("v"), dim, k, band_bits).alias("band_val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "v", F.col("b.band_no"), F.col("b.band_val"))
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band_no", "band_val"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band_no", "band_val"
+    )
+    return (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), decimals).alias("cosine"),
+        )
+        .distinct()  # a pair can collide in several bands; cosine is deterministic
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _band_value(vec: Column, dim: int, band_no: int, band_bits: int) -> Column:
+    """Integer value of one LSH band: ``band_bits`` hyperplane sign bits."""
+    val = F.lit(0)
+    for i in range(band_bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, band_no * band_bits + i)])
+        val = val * 2 + (_dot(vec, plane) >= 0).cast("int")
+    return val
 
 
 def ann_lsh_topk(

@@ -232,6 +232,7 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_pairs",
     oracle=None,  # approximate (hash-bucket recall) — rows-only check
     survey_ref="extended: MinHash-LSH near-dup (scale path)",
+    tags=("bench",),
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
@@ -284,10 +285,85 @@ def _simhash_oracle(max_hamming: int) -> str:
     "simhash_near_dup",
     oracle=_simhash_oracle(max_hamming=12),
     survey_ref="extended: SimHash near-dup (banded LSH over 60-bit signatures)",
+    tags=("bench",),
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
     return dedup.simhash_near_dup_pairs(t["documents"], max_hamming=12)
+
+
+def _minhash_native_oracle(
+    num_hashes: int = 24, band_rows: int = 2, max_bucket: int = 100, min_est: float = 0.25
+) -> str:
+    """DuckDB oracle replaying the native banded MinHash value-exact.
+
+    Same md5-derived shingle hash (15 hex chars → BIGINT via '0x'
+    cast, mod 2³¹−1), same deterministic affine permutation family
+    (coefficients embedded as literals from dedup.minhash_coeffs),
+    same r-row banding, bucket cap, and matching-component estimator.
+    """
+    p = dedup.MINHASH_PRIME
+    coeffs = dedup.minhash_coeffs(num_hashes)
+    n_bands = num_hashes // band_rows
+    mins = ",\n           ".join(
+        f"MIN((hv * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band_no, {bv} AS bv FROM sig".format(
+            j=j,
+            bv=" + ".join(
+                f"m{i} * {p ** (band_rows - 1 - (i - j * band_rows))}"
+                for i in range(j * band_rows, (j + 1) * band_rows)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % {p} AS hv
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+    bands AS ({bands}),
+    capped AS (
+      SELECT band_no, bv FROM bands
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+    ),
+    bb AS (SELECT bands.* FROM bands JOIN capped USING (band_no, bv)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bb a JOIN bb b USING (band_no, bv)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(({matches}) / {float(num_hashes)}, 4) AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON pairs.doc_a = sa.doc_id
+    JOIN sig sb ON pairs.doc_b = sb.doc_id
+    WHERE ({matches}) / {float(num_hashes)} >= {min_est}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "minhash_native_pairs",
+    oracle=_minhash_native_oracle(),
+    survey_ref="extended: native banded MinHash near-dup (built-ins, value-exact oracle)",
+    tags=("bench",),
+)
+def q_minhash_native_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return dedup.minhash_native_pairs(t["documents"]).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------
@@ -378,6 +454,36 @@ def _ann_lsh_oracle(query_vec_id: int, dim: int, k: int, n_planes: int) -> str:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
     return similarity.ann_lsh_topk(t["embeddings"], query_vec_id=0, dim=64, k=10)
+
+
+@register(
+    "lsh_near_dup_pairs",
+    oracle="""
+    -- Oracle is the EXACT all-pairs formulation. The Spark side is
+    -- banded sign-random-projection LSH (16 bands × 4 bits over
+    -- deterministic hyperplanes) + exact-cosine verify; on the fixture
+    -- corpus its measured recall is exactly 1.0 (pinned by
+    -- tests/test_extended_ops.py), and both sides are deterministic,
+    -- so candidate-set == exact-set holds stably at this SF.
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+    survey_ref="extended: banded-LSH near-dup pairs (subquadratic scale path)",
+)
+def q_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return similarity.lsh_near_dup_pairs(t["embeddings"], dim=64, threshold=0.45).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
@@ -599,6 +705,7 @@ def q_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     survey_ref="extended capstone: quality-filter → normalize → exact-dedup pipeline",
+    tags=("bench",),
 )
 def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data cleaning pass a corpus actually gets:

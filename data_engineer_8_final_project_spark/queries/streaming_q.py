@@ -156,6 +156,7 @@ def q_standings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_no
     """,
     survey_ref="extended: gap-based sessionization (window lag + running sum)",
+    tags=("bench",),
 )
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization (operators/sessions.py): lag over
@@ -219,6 +220,7 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c.event_id
     """,
     survey_ref="extended: as-of backward join (operator Spark lacks natively)",
+    tags=("bench",),
 )
 def q_clicks_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error attribution: each click paired with the same user's most

@@ -88,8 +88,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "jaccard_near_dup",
     "simhash_near_dup",
     "minhash_lsh_pairs",
+    "minhash_native_pairs",
     "embedding_topk",
     "embedding_near_dup_pairs",
+    "lsh_near_dup_pairs",
     "ann_lsh_topk",
     "label_centroids",
     "text_stats_by_lang",
@@ -116,12 +118,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "high_value_customers_semi",
     "top_customers_per_nation",
     "order_gaps_lag",
-    "part_price_rank",
     "rollup_region_nation",
-    "cube_flag_status",
     "distinct_customers_salted",
     # ---- driver window boundary (~50) ----
     # below: redundant micro-queries (semantics covered in-window)
+    "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
+    "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
     "group_count",  # ⊂ pricing_summary (A1 ⊂ A2)
     "group_sum_multi",  # ⊂ pricing_summary
     "top_orders",  # ⊂ shipping_priority (O1/O2)

@@ -57,3 +57,19 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05
     assert abs(row.p50_approx - row.p50_exact) / row.p50_exact < 0.01
+
+
+def test_lsh_near_dup_matches_exact_pairs(spark, sf_dir):
+    """Deterministic recall pin for the banded-LSH near-dup path.
+
+    Hyperplanes and fixtures are both deterministic, so the LSH
+    candidate set is a fixed function of the parameters; on this corpus
+    the measured recall is exactly 1.0 (every true pair at cos >= 0.45
+    shares at least one of the 16 sign bands) with zero surviving false
+    candidates. Equality — not just a bound — is asserted so any
+    parameter or hyperplane regression surfaces immediately.
+    """
+    reg = all_queries()
+    exact = reg["embedding_near_dup_pairs"].fn(spark, sf_dir).toPandas()
+    lsh = reg["lsh_near_dup_pairs"].fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(exact, lsh)

@@ -130,6 +130,23 @@ def test_range_join_never_nested_loop(q):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_near_dup_is_equi_join_not_nested_loop(q):
+    # blocked all-pairs: the pair-producing join is an equi-join on the
+    # composite block key — never a BroadcastNestedLoopJoin on the
+    # vec_a < vec_b theta predicate (round-1 scale-killer, fixed)
+    plan = PI.explain_string(q("embedding_near_dup_pairs"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_near_dup_is_equi_join_not_nested_loop(q):
+    # banded-LSH path: pair production is an equi-join on
+    # (band_no, band_val) — bucket-bounded, subquadratic
+    plan = PI.explain_string(q("lsh_near_dup_pairs"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sessionization_single_key_shuffle(q):
     # lag window, running sum and session rollup all reuse one user_id
     # shuffle; the only other exchange is the final presentation sort

@@ -37,8 +37,10 @@ MUST_BE_IN_WINDOW = {
     "jaccard_near_dup",
     "simhash_near_dup",
     "minhash_lsh_pairs",
+    "minhash_native_pairs",
     "embedding_topk",
     "embedding_near_dup_pairs",
+    "lsh_near_dup_pairs",
     "ann_lsh_topk",
     "corpus_clean_pipeline",
     "media_manifest",
