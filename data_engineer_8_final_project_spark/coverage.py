@@ -27,12 +27,14 @@ SURVEY_COVERAGE: dict[str, list[str]] = {
     "S2": ["test:tests/test_io.py::test_csv_roundtrip", "code:data_engineer_8_final_project_spark/sources/io.py"],
     "S3": ["test:tests/test_io.py::test_ddl_helpers"],
     "S4": ["test:tests/test_io.py::test_ddl_helpers"],
-    "S5": [  # JDBC sink — no JDBC driver jar ships in this container;
-        # standard spark.write.jdbc wiring, signature-covered
+    "S5": [  # JDBC sink — EXECUTED against Derby embedded (the jars on
+        # Spark's own classpath), incl. drop-and-replace overwrite
+        "test:tests/test_io.py::test_jdbc_roundtrip_derby_embedded",
         "code:data_engineer_8_final_project_spark/sources/io.py",
     ],
     "S6": ["test:tests/test_io.py::test_csv_roundtrip"],
-    "S7": [  # JDBC scan — same container constraint as S5
+    "S7": [  # JDBC scan — executed round-trip, same harness as S5
+        "test:tests/test_io.py::test_jdbc_roundtrip_derby_embedded",
         "code:data_engineer_8_final_project_spark/sources/io.py",
     ],
     "S8": [  # Kafka source/sink — no broker in container; the identical
