@@ -132,6 +132,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
     "corpus-clean-pipeline": ["query:corpus_clean_pipeline"],
+    "dedup-clustering": ["query:dup_clusters"],
+    "dedup-streaming": ["query:dedup_stream"],
+    "sampling-hash-split": ["query:hash_split_assignments"],
+    "sequence-packing": ["query:sequence_packing"],
+    "pii-scrub": ["query:pii_scrub_stats"],
+    "lm-quality-score": ["query:doc_unigram_logprob"],
     "json-source": ["test:tests/test_io.py::test_json_roundtrip"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],

@@ -100,3 +100,68 @@ def lang_id_heuristic(col: Column | str) -> Column:
     for marker, lang in reversed(LANG_MARKERS):
         expr = F.when(F.array_contains(toks, marker), lang).otherwise(expr)
     return expr
+
+
+#: PII patterns — RE2-safe subset (no backrefs/lookarounds) so the same
+#: pattern strings run verbatim in Spark (java.util.regex) and DuckDB
+#: (RE2), keeping the scrub oracle value-exact.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Mask emails then phone numbers with typed placeholder tokens.
+
+    Order matters (emails can contain digit runs); applying the same
+    two regexp_replace passes in the same order is the whole contract,
+    so any engine reproduces the output byte-for-byte.
+    """
+    c = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(c, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the column — audit counts.
+
+    Phones are counted AFTER the email pass (mirroring the scrub order)
+    so digit runs inside an address are never double-counted.
+    """
+    n_email = F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    after_email = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    n_phone = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0))
+    ).cast("long")
+    return n_email, n_phone
+
+
+def unigram_logprob_scores(
+    documents: DataFrame, text_col: str = "text", decimals: int = 4
+) -> DataFrame:
+    """Per-document mean unigram negative log-probability → language-model
+    quality proxy → (doc_id, n_tokens, avg_neg_logprob).
+
+    Two aggregations over one tokenized pass: (1) corpus unigram
+    frequencies (token-keyed shuffle, vocabulary-sized result), (2) a
+    token→doc join feeding the per-document mean of −ln p(token).
+    Gibberish and boilerplate separate cleanly on this score, which is
+    the cheap stand-in for perplexity filtering in training-data
+    pipelines (no model needed). All built-ins; the token join is the
+    only wide op. At 100 TB its key (token) is Zipf-skewed — hot
+    stopword keys are exactly what AQE skew-join splitting (session
+    default) handles — and the frequency side is vocabulary-sized, so
+    for natural-language vocabularies it broadcasts and the join
+    degenerates to a map-side lookup.
+    """
+    tok = documents.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    total = tok.count()
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tok.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("tf") / F.lit(float(total)))), decimals
+            ).alias("avg_neg_logprob"),
+        )
+    )

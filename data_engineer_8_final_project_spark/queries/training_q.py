@@ -1,0 +1,256 @@
+"""Training-data pipeline queries: splits, packing, PII, LM scoring,
+dup clustering, streaming dedup.
+
+The corpus-plumbing layer above the text/dedup operators: everything a
+pre-training data pipeline runs between "raw documents" and "training
+shards". All deterministic (hash-keyed or order-keyed, no RNG) so each
+carries a value-exact DuckDB oracle — including the iterative
+connected-components clustering, replayed in SQL with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import clusters, dedup, sampling, text
+from ..registry import register, tables_for
+from ..streaming import events as ev
+
+_DUCK_TOKENS = "string_split(trim(text), ' ')"
+
+
+@register(
+    "hash_split_assignments",
+    oracle="""
+    -- Deterministic train/val/test split: bucket = md5(doc_id) mod 100
+    -- (15 hex chars → BIGINT, the repo's portable-hash idiom), fixed
+    -- 80/10/10 percentile cut. Leakage-safe: a document's split is a
+    -- pure function of its id.
+    WITH b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: deterministic hash split (train/val/test)",
+)
+def q_hash_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return sampling.hash_split(t["documents"]).orderBy("doc_id")
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    -- Concat-and-chunk packing manifest: documents concatenated in
+    -- doc_id order, token stream chunked into 2048-token windows.
+    WITH tc AS (
+      SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             -- CAST: DuckDB windowed SUM(BIGINT) yields HUGEINT, which
+             -- pandas would surface as float64 and break the hash
+             COALESCE(CAST(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS st
+      FROM tc
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(st / 2048.0) AS BIGINT) AS pack_id,
+           CAST(st % 2048 AS BIGINT) AS pack_offset
+    FROM s
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: sequence packing manifest (context-window chunking)",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return sampling.pack_sequences(t["documents"], context_tokens=2048).orderBy("doc_id")
+
+
+#: Deterministic PII augmentation: the fixture corpus is synthetic and
+#: PII-free, so docs with doc_id % 7 == 0 get a derived address+phone
+#: appended (expressible identically in both engines) — the scrub then
+#: has real matches to find.
+#: (only the cast spelling differs: Spark wants STRING, DuckDB VARCHAR)
+_AUG_TMPL = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || CAST(doc_id AS {str_t})"
+    " || '@example.com or +555 123-4567' ELSE text END"
+)
+_AUG_SPARK = _AUG_TMPL.format(str_t="STRING")
+_AUG_DUCK = _AUG_TMPL.format(str_t="VARCHAR")
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    -- Email+phone scrub audit over the augmented corpus: match counts
+    -- (phones counted after the email pass, mirroring scrub order) and
+    -- the md5 of the scrubbed text. Patterns are an RE2-safe subset so
+    -- the same strings run in Spark and DuckDB; DuckDB needs the 'g'
+    -- flag to match Spark's replace-all default.
+    WITH aug AS (
+      SELECT doc_id, {_AUG_DUCK} AS text FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{text.PII_EMAIL}')) AS BIGINT) AS n_emails,
+             regexp_replace(text, '{text.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    )
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{text.PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t1, '{text.PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: PII scrubbing (email/phone mask + audit counts)",
+)
+def q_pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    aug = t["documents"].select("doc_id", F.expr(_AUG_SPARK).alias("text"))
+    n_email, n_phone = text.pii_counts("text")
+    return aug.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.md5(text.pii_scrub("text")).alias("scrubbed_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    -- Mean unigram −ln p(token) per document: the model-free
+    -- perplexity proxy used for corpus quality filtering.
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-ln(f.tf / (SELECT total FROM tot))), 4) AS avg_neg_logprob
+    FROM tok t JOIN freq f ON t.tok = f.tok
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    survey_ref="extended: unigram log-prob quality scoring (perplexity proxy)",
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return text.unigram_logprob_scores(t["documents"]).orderBy("doc_id")
+
+
+def _dup_clusters_oracle(min_jaccard: float) -> str:
+    """Recursive-CTE replay of min-label connected components over the
+    jaccard near-dup edges — transitive closure then MIN per vertex
+    (small closed-form equivalent of the engine's iterative
+    propagation; both converge to the same unique fixpoint)."""
+    _DUCK_SHINGLES = (
+        "list_transform(range(1, greatest(len(t)-2, 0)+1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+    )
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT sh.doc_id, sh.sh FROM sh
+      JOIN (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh) d
+        ON sh.sh = d.s2 AND d.df <= 100
+    ),
+    jp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      JOIN sizes na ON jp.doc_a = na.doc_id
+      JOIN sizes nb ON jp.doc_b = nb.doc_id
+      WHERE shared / (na.n_sh + nb.n_sh - shared) >= {min_jaccard}
+      UNION ALL
+      SELECT doc_b, doc_a FROM jp
+      JOIN sizes na ON jp.doc_a = na.doc_id
+      JOIN sizes nb ON jp.doc_b = nb.doc_id
+      WHERE shared / (na.n_sh + nb.n_sh - shared) >= {min_jaccard}
+    ),
+    reach AS (
+      SELECT doc_id AS doc, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc ORDER BY doc_id
+    """
+
+
+@register(
+    "dup_clusters",
+    oracle=_dup_clusters_oracle(min_jaccard=0.5),
+    survey_ref="extended: near-dup cluster assignment (iterative connected components)",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → components: label every document with its near-dup
+    cluster's min doc_id (singletons label themselves). The engine runs
+    iterative min-label propagation (operators/clusters.py); the oracle
+    replays the unique fixpoint with a recursive CTE."""
+    t = tables_for(spark, sf_dir)
+    edges = dedup.jaccard_candidate_pairs(
+        t["documents"], shingle_n=3, min_shared=2, max_df=100
+    ).filter(F.col("jaccard") >= 0.5)
+    verts = t["documents"].select("doc_id")
+    return clusters.connected_components(verts, edges).orderBy("doc_id")
+
+
+@register(
+    "dedup_stream",
+    oracle="""
+    -- Streaming exact dedup drained over the replay == batch DISTINCT
+    -- on the content hash (only the fp column is emitted, so the
+    -- result is independent of which arrival survived per key).
+    SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp
+    """,
+    survey_ref="§2.9 T1-T3 + extended dedup: streaming dropDuplicates over the replay",
+)
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a stream: the documents fixture re-chunked into 4
+    files and replayed one per micro-batch through dropDuplicates on
+    the content hash — state is one 32-byte key per distinct document
+    (the streaming twin of dedup_exact). Bounded replay → no watermark
+    needed; an unbounded feed would add dropDuplicatesWithinWatermark.
+    """
+    from ..schemas import FIXTURE_SCHEMAS
+
+    t = tables_for(spark, sf_dir)
+    chunked = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_docs_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    t["documents"].repartition(4).write.mode("overwrite").parquet(chunked)
+    doc_stream = (
+        spark.readStream.schema(FIXTURE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunked)
+    )
+    deduped = doc_stream.select(text.fingerprint("text").alias("fp")).dropDuplicates(["fp"])
+    return ev.run_available_now(deduped, output_mode="append").orderBy("fp")

@@ -103,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_winnow_fingerprints",
     "text_normalize",
     "corpus_clean_pipeline",
+    "dup_clusters",
+    "hash_split_assignments",
     # multimodal
     "media_manifest",
     "media_features",
@@ -112,18 +114,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pricing_summary",
     "revenue_by_nation",
     "shipping_priority",
-    "returned_items",
     "full_outer_coalesce",
     "customers_without_orders",
     "high_value_customers_semi",
     "top_customers_per_nation",
-    "order_gaps_lag",
     "rollup_region_nation",
     "distinct_customers_salted",
     # ---- driver window boundary (~50) ----
-    # below: redundant micro-queries (semantics covered in-window)
+    # below first: unique-but-unwindowed (next in line if the window
+    # grows); then redundant micro-queries (semantics covered in-window)
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dedup_stream",
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
     "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
+    "returned_items",  # join+agg ⊂ revenue_by_nation/pricing_summary
+    "order_gaps_lag",  # lag window ⊂ event_sessions sessionization
     "group_count",  # ⊂ pricing_summary (A1 ⊂ A2)
     "group_sum_multi",  # ⊂ pricing_summary
     "top_orders",  # ⊂ shipping_priority (O1/O2)
@@ -156,6 +163,7 @@ def all_queries() -> dict[str, Query]:
         reference_pipeline,
         scalar,
         streaming_q,
+        training_q,
     )
 
     rank = {name: i for i, name in enumerate(DRIVER_PRIORITY)}

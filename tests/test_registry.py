@@ -43,6 +43,8 @@ MUST_BE_IN_WINDOW = {
     "lsh_near_dup_pairs",
     "ann_lsh_topk",
     "corpus_clean_pipeline",
+    "dup_clusters",
+    "hash_split_assignments",
     "media_manifest",
     "media_features",
     "media_frame_sample",
