@@ -118,6 +118,72 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-Flat ANN top-k: coarse-quantize into ``n_cells`` Voronoi
+    cells, search only the ``n_probe`` cells nearest the query.
+
+    Centroids are the ``n_cells`` lowest-``vec_id`` vectors — seeded
+    medoids, fully deterministic, so the cell assignment is replayable
+    by any engine (production would refine them with a few Lloyd
+    rounds; the interface doesn't change). The centroid table is a
+    bounded model parameter (k rows), so it is collected and inlined as
+    literals: cell assignment becomes a pure per-row expression —
+    **zero shuffle, zero join** — and the plan is one scan + a
+    broadcast of the n_probe probe cells + TakeOrderedAndProject.
+    Recall < 1 by construction (a true neighbor can live in an
+    unprobed cell); raise ``n_probe`` toward ``n_cells`` to trade
+    speed back for recall.
+
+    Distance arithmetic is ``dot(v,v) - 2·dot(v,c) + dot(c,c)`` with
+    left-to-right accumulation so the float result (and hence every
+    argmin) is bit-reproducible in the DuckDB oracle.
+    """
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # bounded collect: n_cells centroid rows are model parameters, not data
+    cents = emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+
+    def cell_structs(v: Column) -> list[Column]:
+        out = []
+        for c in cents:
+            cv = F.array(*[F.lit(x) for x in c["v"]])
+            d2 = _dot(v, v) - F.lit(2.0) * _dot(v, cv) + _dot(cv, cv)
+            out.append(F.struct(d2.alias("d2"), F.lit(c["vec_id"]).alias("cell")))
+        return out
+
+    assigned_cell = F.least(*cell_structs(F.col("v"))).getField("cell")
+    probe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("v").alias("qv"),
+            F.explode(
+                F.slice(F.sort_array(F.array(*cell_structs(F.col("v")))), 1, n_probe)
+            ).alias("pc"),
+        )
+        .select("qv", F.col("pc.cell").alias("cell"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("cell", assigned_cell)
+        .join(F.broadcast(probe), "cell")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), decimals).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane.
 

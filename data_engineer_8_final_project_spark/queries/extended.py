@@ -456,6 +456,58 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(t["embeddings"], query_vec_id=0, dim=64, k=10)
 
 
+def _ivf_oracle(query_vec_id: int, n_cells: int, n_probe: int, k: int) -> str:
+    """Oracle replays the seeded-medoid IVF exactly: centroids = the
+    n_cells lowest vec_ids; cell = argmin of the same
+    ``dot(v,v) - 2·dot(v,c) + dot(c,c)`` expression (tie → lower cell
+    id); probe = the n_probe cells nearest the query; exact cosine
+    re-rank inside probed cells. Same left-to-right float ops as the
+    Spark side → bit-identical argmins."""
+    d2 = (
+        "list_dot_product({x}, {x}) - 2*list_dot_product({x}, c.cv)"
+        " + list_dot_product(c.cv, c.cv)"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    asg AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT e.vec_id, e.label, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2.format(x='e.v')} ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id}),
+    probe AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY {d2.format(x='q.qv')} ASC, c.cell ASC
+      LIMIT {n_probe}
+    )
+    SELECT a.vec_id, a.label,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine
+    FROM asg a JOIN probe p ON a.cell = p.cell, q
+    WHERE a.vec_id <> {query_vec_id}
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=_ivf_oracle(query_vec_id=0, n_cells=16, n_probe=4, k=10),
+    survey_ref="extended: IVF-Flat ANN top-k (coarse-quantized scale path)",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return similarity.ivf_topk(t["embeddings"], query_vec_id=0, n_cells=16, n_probe=4, k=10)
+
+
 @register(
     "lsh_near_dup_pairs",
     oracle="""

@@ -75,7 +75,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_json_extract",
     "events_hourly",
     "events_hourly_stream",
-    "events_sliding",
     "events_sliding_stream",
     "user_totals_stateful",
     "standings_stream",
@@ -93,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",
     "ann_lsh_topk",
+    "ivf_ann_topk",
     "label_centroids",
     "text_stats_by_lang",
     "doc_quality_scores",
@@ -125,6 +125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # grows); then redundant micro-queries (semantics covered in-window)
     "sequence_packing",
     "pii_scrub_stats",
+    "events_sliding",  # batch twin of in-window events_sliding_stream (same oracle)
     "doc_unigram_logprob",
     "dedup_stream",
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation

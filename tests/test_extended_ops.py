@@ -73,3 +73,20 @@ def test_lsh_near_dup_matches_exact_pairs(spark, sf_dir):
     exact = reg["embedding_near_dup_pairs"].fn(spark, sf_dir).toPandas()
     lsh = reg["lsh_near_dup_pairs"].fn(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(exact, lsh)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF-Flat ANN recall bound vs the exact scan.
+
+    Seeded medoids + n_probe=4/16 cells on the fixture embeddings; the
+    true top-10 lives overwhelmingly in the probed cells. Asserting
+    recall >= 0.8 (not equality) keeps the test honest about IVF's
+    approximation while still catching assignment/probe regressions.
+    """
+    reg = all_queries()
+    exact = set(
+        reg["embedding_topk"].fn(spark, sf_dir).toPandas()["vec_id"]
+    )
+    approx = set(reg["ivf_ann_topk"].fn(spark, sf_dir).toPandas()["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"

@@ -151,3 +151,18 @@ def test_sessionization_single_key_shuffle(q):
     # lag window, running sum and session rollup all reuse one user_id
     # shuffle; the only other exchange is the final presentation sort
     assert PI.exchange_count(q("event_sessions")) <= 2
+
+
+def test_ivf_assignment_is_shuffle_free(q):
+    # centroids are inlined literals → cell assignment is a per-row
+    # expression; the only join is the broadcast of n_probe probe cells,
+    # and the big side reaches TakeOrdered without any hash exchange
+    df = q("ivf_ann_topk")
+    plan = PI.explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert PI.broadcast_join_count(df) >= 1
+    # exchanges: probe-side sort/limit + broadcast distribution only —
+    # never a hashpartitioning of the full embeddings side
+    assert "hashpartitioning(vec_id" not in plan
+    assert PI.python_eval_count(df) == 0

@@ -25,8 +25,7 @@ MUST_BE_IN_WINDOW = {
     "events_json_extract",
     "events_hourly",
     "events_hourly_stream",
-    "events_sliding",
-    "events_sliding_stream",
+    "events_sliding_stream",  # subsumes batch events_sliding (same oracle)
     "user_totals_stateful",
     "standings_stream",
     "event_sessions",
@@ -42,6 +41,7 @@ MUST_BE_IN_WINDOW = {
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",
     "ann_lsh_topk",
+    "ivf_ann_topk",
     "corpus_clean_pipeline",
     "dup_clusters",
     "hash_split_assignments",
