@@ -139,6 +139,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "sequence-packing": ["query:sequence_packing"],
     "pii-scrub": ["query:pii_scrub_stats"],
     "lm-quality-score": ["query:doc_unigram_logprob"],
+    "repetition-gate": ["query:doc_repetition_scores"],
+    "stratified-sampling": ["query:stratified_sample"],
     "json-source": ["test:tests/test_io.py::test_json_roundtrip"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],

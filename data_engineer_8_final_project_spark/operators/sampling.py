@@ -82,3 +82,41 @@ def pack_sequences(
             (start % context_tokens).alias("pack_offset"),
         )
     )
+
+
+def stratified_cap_sample(
+    documents: DataFrame,
+    stratum_col: str = "lang",
+    cap: int = 200,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsample: cap every stratum at ~``cap``
+    docs → (doc_id, stratum, bucket, rate_bp).
+
+    The corpus-rebalancing primitive (cap overrepresented languages /
+    sources before training). Per-stratum acceptance rate = min(1,
+    cap/count), quantized to basis points; a document is kept iff its
+    stable md5 bucket (0..9999) falls under the rate — so membership is
+    a pure function of (id, stratum counts), reproducible anywhere,
+    and sampling error is the quantization bound, not RNG variance.
+
+    Shape: one count aggregation over the stratum key (tiny result,
+    broadcast back) + a stateless filter — no data shuffle at all.
+    """
+    bucket = (_hash60(F.col(id_col).cast("string")) % 10000).alias("bucket")
+    rates = (
+        documents.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            stratum_col,
+            # explicit floor: Spark's double->long cast truncates but
+            # DuckDB's CAST rounds — floor() agrees everywhere
+            F.least(F.lit(10000), F.floor(F.lit(10000) * cap / F.col("n")).cast("long")).alias("rate_bp"),
+        )
+    )
+    return (
+        documents.select(id_col, stratum_col, bucket)
+        .join(F.broadcast(rates), stratum_col)
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select(id_col, F.col(stratum_col).alias("stratum"), "bucket", "rate_bp")
+    )

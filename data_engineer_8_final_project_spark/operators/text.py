@@ -171,3 +171,35 @@ def unigram_logprob_scores(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def repetition_scores(
+    documents: DataFrame, text_col: str = "text", decimals: int = 4
+) -> DataFrame:
+    """Gopher-style repetition metrics per document →
+    (doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac, keep).
+
+    The fixture corpus is a newline-free word stream, so the line-based
+    Gopher gates reduce to their n-gram forms: ``top_bigram_frac`` =
+    occurrences of the document's most frequent bigram over its bigram
+    count; ``dup_bigram_frac`` = fraction of bigram instances that are
+    repeats of an earlier instance. ``keep`` applies the standard
+    repetition gate (drop boilerplate/spam-like docs).
+
+    Shape: explode bigrams → count per (doc_id, bigram) → rollup per
+    doc. Both shuffles key on doc_id(+gram) — uniform, skew-free; the
+    text itself never shuffles (grams are short strings; at 100 TB
+    hash the gram first if gram cardinality dwarfs memory).
+    """
+    grams = documents.select(
+        "doc_id", F.explode(shingles(text_col, 2)).alias("g")
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top_frac = F.round(F.max("c") / F.sum("c"), decimals)
+    dup_frac = F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), decimals)
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((F.max("c") / F.sum("c") <= 0.18) & ((F.sum("c") - F.count(F.lit(1))) / F.sum("c") <= 0.6)).alias("keep"),
+    )

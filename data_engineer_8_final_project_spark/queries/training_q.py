@@ -254,3 +254,62 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = doc_stream.select(text.fingerprint("text").alias("fp")).dropDuplicates(["fp"])
     return ev.run_available_now(deduped, output_mode="append").orderBy("fp")
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+    -- Gopher-style repetition gate over bigrams (the corpus is a
+    -- newline-free word stream, so the line metrics reduce to n-gram
+    -- forms). Unrounded fractions feed the keep gate in BOTH engines;
+    -- int/int division is IEEE-exact so the booleans agree bitwise.
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    pg AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_bigram_frac,
+           ROUND((SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE), 4) AS dup_bigram_frac,
+           (MAX(c) / CAST(SUM(c) AS DOUBLE) <= 0.18
+            AND (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) <= 0.6) AS keep
+    FROM pg GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey_ref="extended: Gopher-style repetition quality gate",
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return text.repetition_scores(t["documents"]).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    -- Deterministic stratified cap-sample: every lang capped at ~200
+    -- docs via a per-stratum basis-point rate over the stable md5
+    -- bucket. Membership is a pure function of (doc_id, lang counts).
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 10000 AS bucket
+      FROM documents
+    ),
+    r AS (
+      SELECT lang,
+             LEAST(10000, CAST(FLOOR(10000 * 200 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)) AS rate_bp
+      FROM documents GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang AS stratum, b.bucket, r.rate_bp
+    FROM b JOIN r ON b.lang = r.lang
+    WHERE b.bucket < r.rate_bp
+    ORDER BY b.doc_id
+    """,
+    survey_ref="extended: stratified cap-sampling (corpus rebalancing)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return sampling.stratified_cap_sample(t["documents"], cap=200).orderBy("doc_id")

@@ -99,10 +99,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_topk",
     "bpe_token_topk",
     "lang_id_heuristic",
-    "doc_fingerprints",
     "doc_winnow_fingerprints",
-    "text_normalize",
     "corpus_clean_pipeline",
+    "doc_repetition_scores",
+    "stratified_sample",
     "dup_clusters",
     "hash_split_assignments",
     # multimodal
@@ -126,6 +126,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sequence_packing",
     "pii_scrub_stats",
     "events_sliding",  # batch twin of in-window events_sliding_stream (same oracle)
+    "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline
+    "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints
     "doc_unigram_logprob",
     "dedup_stream",
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation

@@ -43,6 +43,8 @@ MUST_BE_IN_WINDOW = {
     "ann_lsh_topk",
     "ivf_ann_topk",
     "corpus_clean_pipeline",
+    "doc_repetition_scores",
+    "stratified_sample",
     "dup_clusters",
     "hash_split_assignments",
     "media_manifest",
