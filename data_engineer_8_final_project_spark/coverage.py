@@ -147,7 +147,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "multimodal-frames": ["query:media_frame_sample"],
     "multimodal-decode": ["query:media_decode_fake"],
     "streaming-stateful": ["query:user_totals_stateful"],
-    "events-sessionization": ["query:event_sessions"],
+    "events-sessionization": ["query:event_sessions", "query:events_session_stream"],
+    "session-window-native": ["query:events_session_stream"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "asof-join": ["query:clicks_last_error", "test:tests/test_asof.py"],
     "range-join": ["query:purchases_in_sessions"],

@@ -339,3 +339,43 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day, hour, event_type
         """
     )
+
+
+@register(
+    "events_session_stream",
+    oracle="""
+    -- Batch replay of native streaming session windows (30-min gap,
+    -- per user). Boundary convention matches Spark's session_window: a
+    -- gap of EXACTLY 30 minutes starts a new session (event lands on
+    -- the half-open [start, end) edge). Money in integer cents so the
+    -- nondeterministic streaming merge order cannot drift the sum.
+    WITH m AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    survey_ref="§2.9 T3 widening: native session_window streaming with EOS flush",
+)
+def q_events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's NATIVE session_window in a streaming
+    aggregation (vs event_sessions' hand-built batch lag/running-sum
+    formulation) — drained with an end-of-stream sentinel so append
+    mode flushes every session (streaming/events.py:session_window_stream)."""
+    return ev.session_window_stream(spark, sf_dir).orderBy("user_id", "session_start")

@@ -73,12 +73,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scalar_cleaning_suite",
     # streaming / events family (round-1 tail — must be in-window)
     "events_json_extract",
-    "events_hourly",
     "events_hourly_stream",
     "events_sliding_stream",
     "user_totals_stateful",
     "standings_stream",
     "event_sessions",
+    "events_session_stream",
     "clicks_last_error",
     "purchases_in_sessions",
     "events_time_rollup",
@@ -125,6 +125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # grows); then redundant micro-queries (semantics covered in-window)
     "sequence_packing",
     "pii_scrub_stats",
+    "events_hourly",  # batch twin of in-window events_hourly_stream (same oracle)
     "events_sliding",  # batch twin of in-window events_sliding_stream (same oracle)
     "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline
     "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints

@@ -109,6 +109,104 @@ def sliding_window_agg(events: DataFrame) -> DataFrame:
     )
 
 
+#: Sentinel event type for end-of-stream punctuation (see
+#: session_window_stream): advances the event-time watermark past every
+#: open session so append mode can flush trailing state, and is
+#: filtered out before the aggregation so it never lands in a session.
+EOS_EVENT_TYPE = "__eos__"
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native gap-based session windows per user (F.session_window).
+
+    Sessions merge while each event arrives before the running
+    ``last_ts + gap`` deadline; ``session_end`` is last-event ts + gap.
+    Money accumulates in integer cents (sessions merge in
+    nondeterministic order under streaming — integer addition is
+    order-free, float addition is not), so batch, streaming, and the
+    DuckDB oracle agree bit-for-bit. Works on batch and streaming
+    inputs alike; on a stream the caller must set a watermark first.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    # NOTE: no sentinel filter here — a pre-aggregation filter on
+    # event_type gets predicate-pushed BELOW the EventTimeWatermark
+    # node (it doesn't reference ts), which would delete the EOS row
+    # before watermark stats collection and the trailing sessions would
+    # never flush. The sentinel sessions under its own user_id=-1 key
+    # and is dropped from the bounded sink output instead.
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows over the events replay, flushed exactly.
+
+    Append mode only emits a session once the watermark passes its end —
+    so with a plain replay the trailing ``gap`` of sessions would stay
+    in state forever (the watermark stops at max event time). The
+    standard fix is end-of-stream punctuation: replay the fixture into
+    a temp dir plus one sentinel event 10 days past the horizon. The
+    sentinel flows through the watermark node (advancing event time
+    past every session end), sessions alone under its reserved
+    user_id=-1 key, and is dropped from the bounded sink output;
+    availableNow's final no-data micro-batch then flushes every session.
+    """
+    import os
+    import tempfile
+
+    from ..schemas import EVENTS_RAW_NANOS
+
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_events_eos_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(src)
+    lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: two scalars
+    # Replay order must be (roughly) event-time order: the file source
+    # feeds micro-batches in mtime order, and once the watermark
+    # advances past a later batch's data those rows are dropped as
+    # late. Cut the fixture into 4 disjoint ascending time ranges and
+    # write them SEQUENTIALLY (strictly increasing mtimes) so each
+    # micro-batch's event time is ahead of the previous watermark.
+    shutil.rmtree(stage, ignore_errors=True)
+    cuts = [lo + (hi - lo) * i // 4 for i in range(5)]
+    cuts[-1] = hi + 1
+    for i in range(4):
+        batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+    sentinel = spark.createDataFrame(
+        [(-1, hi + 10 * 24 * 3600 * 10**9, -1, EOS_EVENT_TYPE, 0.0, "{}")],
+        EVENTS_RAW_NANOS,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(stage)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark(
+        "ts", "0 seconds"
+    )
+    out = run_available_now(session_window_agg(events, gap), output_mode="append")
+    return out.filter(F.col("user_id") >= 0)  # drop the sentinel's own session
+
+
 def run_available_now(agg: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion; return the batch result.
 
