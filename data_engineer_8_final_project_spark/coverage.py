@@ -142,6 +142,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "repetition-gate": ["query:doc_repetition_scores"],
     "stratified-sampling": ["query:stratified_sample"],
     "json-source": ["test:tests/test_io.py::test_json_roundtrip"],
+    "orc-source": ["test:tests/test_io.py::test_orc_roundtrip"],
+    "binary-file-source": ["test:tests/test_io.py::test_binary_file_source_reads_blobs"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

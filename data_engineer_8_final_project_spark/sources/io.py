@@ -128,3 +128,30 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType, **options) -
     """JSON-lines scan with explicit schema (no sampling inference pass —
     at 100 TB, schema inference is a full extra read of the dataset)."""
     return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built into Spark) — the columnar alternative when the
+    downstream consumer is Hive/Trino-based; same pushdown/pruning
+    behavior as parquet from Spark's side."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Opaque-blob ingest (images/audio/video) via Spark's binaryFile
+    source → (path, modificationTime, length, content binary).
+
+    The ingestion edge of the multimodal pipeline: blob bytes land in a
+    ``binary`` column exactly like the media fixtures expect
+    (operators/multimodal.py consumes the same shape). Driver lists
+    files but content is read in executors — scales to millions of
+    objects; pair with maxPartitionBytes to keep task sizes sane.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
