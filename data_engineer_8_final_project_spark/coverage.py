@@ -152,6 +152,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "events-sessionization": ["query:event_sessions", "query:events_session_stream"],
     "session-window-native": ["query:events_session_stream"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
+    "tpch-q18-shape": ["query:large_volume_customers"],
+    "tpch-q17-shape": ["query:small_qty_part_revenue"],
+    "tpch-q21-shape": ["query:lone_late_supplier"],
     "asof-join": ["query:clicks_last_error", "test:tests/test_asof.py"],
     "range-join": ["query:purchases_in_sessions"],
     "embedding-centroids": [

@@ -706,3 +706,131 @@ def q_order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    -- TPC-H Q18 shape: IN-subquery over an aggregated HAVING —
+    -- decorrelated in Spark as agg -> semi-equi-join (no subquery op).
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    survey_ref="§2.3/§2.4 widening: TPC-H Q18 shape (agg subquery -> semi join)",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plans the IN-subquery as a broadcast-able semi join on the
+    pre-aggregated order totals — one lineitem shuffle on l_orderkey
+    shared by the HAVING aggregate and the final per-order rollup."""
+    t = tables_for(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"]
+        .join(big, "l_orderkey", "semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "small_qty_part_revenue",
+    oracle="""
+    -- TPC-H Q17 shape: correlated scalar-agg subquery (per-part avg
+    -- quantity) — decorrelated in Spark as agg -> equi-join.
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    survey_ref="§2.4 widening: TPC-H Q17 shape (correlated scalar subquery)",
+)
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    li = t["lineitem"]
+    half_avg = (
+        li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "lone_late_supplier",
+    oracle="""
+    -- TPC-H Q21 shape: EXISTS (another supplier in the order) +
+    -- NOT EXISTS (another LATE supplier) double correlation; "late" =
+    -- shipped >90 days after the order date (the fixture has no
+    -- commit/receipt dates). Spark decorrelates via one per-order
+    -- aggregate (supplier count, late-supplier count) + a semi join.
+    WITH late_lines AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late_lines l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late_lines l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    survey_ref="§2.3 widening: TPC-H Q21 shape (EXISTS + NOT EXISTS decorrelation)",
+)
+def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    li = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    flagged = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add("o_orderdate", 90)).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    target = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)).select(
+        "l_orderkey"
+    )
+    return (
+        flagged.filter("late")
+        .join(target, "l_orderkey", "semi")
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

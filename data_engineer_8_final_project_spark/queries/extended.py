@@ -502,6 +502,7 @@ def _ivf_oracle(query_vec_id: int, n_cells: int, n_probe: int, k: int) -> str:
     "ivf_ann_topk",
     oracle=_ivf_oracle(query_vec_id=0, n_cells=16, n_probe=4, k=10),
     survey_ref="extended: IVF-Flat ANN top-k (coarse-quantized scale path)",
+    tags=("bench",),
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)

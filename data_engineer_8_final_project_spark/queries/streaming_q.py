@@ -372,6 +372,7 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, session_start
     """,
     survey_ref="§2.9 T3 widening: native session_window streaming with EOS flush",
+    tags=("bench",),
 )
 def q_events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessions via Spark's NATIVE session_window in a streaming

@@ -208,6 +208,7 @@ def _dup_clusters_oracle(min_jaccard: float) -> str:
     "dup_clusters",
     oracle=_dup_clusters_oracle(min_jaccard=0.5),
     survey_ref="extended: near-dup cluster assignment (iterative connected components)",
+    tags=("bench",),
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → components: label every document with its near-dup
@@ -280,6 +281,7 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pg GROUP BY doc_id ORDER BY doc_id
     """,
     survey_ref="extended: Gopher-style repetition quality gate",
+    tags=("bench",),
 )
 def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)

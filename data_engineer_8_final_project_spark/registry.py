@@ -131,6 +131,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints
     "doc_unigram_logprob",
     "dedup_stream",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
     "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
     "returned_items",  # join+agg ⊂ revenue_by_nation/pricing_summary
