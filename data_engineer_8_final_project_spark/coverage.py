@@ -133,8 +133,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
     "corpus-clean-pipeline": ["query:corpus_clean_pipeline"],
+    "training-manifest-capstone": ["query:training_manifest"],
     "dedup-clustering": ["query:dup_clusters"],
-    "dedup-streaming": ["query:dedup_stream"],
+    "dedup-streaming": [
+        "query:dedup_stream",
+        "test:tests/test_streaming.py::test_drop_duplicates_within_watermark_bounded_state",
+    ],
     "sampling-hash-split": ["query:hash_split_assignments"],
     "sequence-packing": ["query:sequence_packing"],
     "pii-scrub": ["query:pii_scrub_stats"],

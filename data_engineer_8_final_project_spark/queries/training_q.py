@@ -315,3 +315,102 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
     return sampling.stratified_cap_sample(t["documents"], cap=200).orderBy("doc_id")
+
+
+@register(
+    "training_manifest",
+    oracle="""
+    -- Capstone: gates -> exact dedup -> split -> per-split packing in
+    -- one statement. Packing is PARTITIONED BY split (each split packs
+    -- its own token stream) so the running-sum window scales out
+    -- instead of collapsing to one partition.
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(string_split(trim(text), ' '))-1, 0)+1),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1])) AS g
+      FROM documents
+    ),
+    pg AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    rep AS (
+      SELECT doc_id FROM pg GROUP BY doc_id
+      HAVING MAX(c) / CAST(SUM(c) AS DOUBLE) <= 0.18
+         AND (SUM(c) - COUNT(*)) / CAST(SUM(c) AS DOUBLE) <= 0.6
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    surv AS (
+      SELECT b.doc_id, b.n_tokens,
+             CAST(concat('0x', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket
+      FROM base b
+      JOIN canon c ON b.doc_id = c.doc_id
+      JOIN rep r ON b.doc_id = r.doc_id
+      WHERE b.n_tokens BETWEEN 10 AND 5000
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM surv
+    ),
+    p AS (
+      SELECT doc_id, n_tokens, split,
+             COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS st
+      FROM s
+    )
+    SELECT doc_id, split, n_tokens,
+           CAST(FLOOR(st / 2048.0) AS BIGINT) AS pack_id,
+           CAST(st % 2048 AS BIGINT) AS pack_offset
+    FROM p ORDER BY doc_id
+    """,
+    survey_ref="extended capstone: full corpus->training-shards manifest",
+    tags=("bench",),
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-plan training-data pipeline: length gate + Gopher repetition
+    gate + exact dedup (canonical min doc_id per content hash) + hash
+    split + per-split sequence packing. Every stage shuffles on doc_id
+    or a 32-byte content hash — the text column never shuffles — and
+    packing windows are partitioned by split, so the whole manifest is
+    a handful of uniform-key exchanges at any scale."""
+    t = tables_for(spark, sf_dir)
+    docs = t["documents"]
+    base = docs.select("doc_id", text.token_count("text").alias("n_tokens"))
+    rep = text.repetition_scores(docs).filter("keep").select("doc_id")
+    canon = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = (
+        base.filter(F.col("n_tokens").between(10, 5000))
+        .join(canon, "doc_id", "semi")
+        .join(rep, "doc_id", "semi")
+    )
+    split = sampling.hash_split(docs).select("doc_id", "split")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        surv.join(split, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            (st / 2048).cast("long").alias("pack_id"),
+            (st % 2048).alias("pack_offset"),
+        )
+        .orderBy("doc_id")
+    )

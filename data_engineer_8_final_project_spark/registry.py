@@ -104,7 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_repetition_scores",
     "stratified_sample",
     "dup_clusters",
-    "hash_split_assignments",
+    "training_manifest",
     # multimodal
     "media_manifest",
     "media_features",
@@ -123,7 +123,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- driver window boundary (~50) ----
     # below first: unique-but-unwindowed (next in line if the window
     # grows); then redundant micro-queries (semantics covered in-window)
-    "sequence_packing",
+    "hash_split_assignments",  # split stage ⊂ training_manifest
+    "sequence_packing",  # packing stage ⊂ training_manifest
     "pii_scrub_stats",
     "events_hourly",  # batch twin of in-window events_hourly_stream (same oracle)
     "events_sliding",  # batch twin of in-window events_sliding_stream (same oracle)

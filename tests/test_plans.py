@@ -166,3 +166,31 @@ def test_ivf_assignment_is_shuffle_free(q):
     # never a hashpartitioning of the full embeddings side
     assert "hashpartitioning(vec_id" not in plan
     assert PI.python_eval_count(df) == 0
+
+
+def test_large_volume_customers_semi_join_no_subquery(q):
+    # Q18 shape: the IN-subquery must decorrelate to a semi equi-join —
+    # no nested-loop fallback, lineitem scanned without its text-heavy
+    # columns
+    plan = PI.explain_string(q("large_volume_customers"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_lone_late_supplier_broadcasts_supplier_dim(q):
+    # Q21 shape: double correlation decorrelated into one per-order
+    # aggregate + semi join; supplier (bounded dim) broadcast
+    df = q("lone_late_supplier")
+    plan = PI.explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert PI.broadcast_join_count(df) >= 1
+    assert PI.python_eval_count(df) == 0
+
+
+def test_training_manifest_packing_window_is_partitioned(q):
+    # capstone: the packing running-sum must be partitioned by split —
+    # a global (unpartitioned) window would serialize the corpus
+    # through one task
+    plan = PI.explain_string(q("training_manifest"))
+    assert "hashpartitioning(split" in plan

@@ -46,7 +46,7 @@ MUST_BE_IN_WINDOW = {
     "doc_repetition_scores",
     "stratified_sample",
     "dup_clusters",
-    "hash_split_assignments",
+    "training_manifest",
     "media_manifest",
     "media_features",
     "media_frame_sample",

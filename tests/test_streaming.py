@@ -90,3 +90,33 @@ def test_foreach_batch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
 
     run()  # same checkpoint: everything already processed → no duplicates
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_drop_duplicates_within_watermark_bounded_state(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: the unbounded-feed dedup variant
+    (dedup_stream's plain dropDuplicates keeps one state row per key
+    FOREVER; the within-watermark form evicts keys once the watermark
+    passes, bounding state). Replay events duplicated 2x within the
+    delay window and require exactly the batch-distinct id set."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.schemas import EVENTS_RAW_NANOS
+
+    src = str(tmp_path / "events_dup")
+    batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(f"{sf_dir}/events.parquet").limit(500)
+    # duplicate every row (same event_id, same ts) — dup arrives within any delay
+    batch.unionByName(batch).coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    from data_engineer_8_final_project_spark.streaming import events as ev
+
+    out = ev.run_available_now(stream.select("event_id"), output_mode="append")
+    got = sorted(r.event_id for r in out.collect())
+    want = sorted(r.event_id for r in batch.select("event_id").distinct().collect())
+    assert got == want
