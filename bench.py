@@ -46,12 +46,18 @@ def main() -> None:
     warm = queries.get("standings") or queries[names[0]]
     warm.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Timed region covers plan construction AND execution (streaming
+    # queries do their work inside fn(); ivf's bounded centroid collect
+    # is part of the query). Best-of-2 reports steady state — single
+    # runs on a 32-thread shared JVM jitter up to 3x on GC alignment.
     timings: dict[str, float] = {}
     for name in sorted(names):
-        df = queries[name].fn(spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(

@@ -34,11 +34,13 @@ def connected_components(
     ``vertices``: one column ``doc_id`` (singletons allowed — they come
     out as their own cluster). ``edges``: columns ``doc_a``/``doc_b``.
     """
-    # undirected: propagate both ways
+    # undirected: propagate both ways. Persist — the edge list joins
+    # against labels EVERY round; without it each iteration recomputes
+    # the (expensive) upstream pair-finding lineage from scratch.
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     both = fwd.unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+    ).persist()
     labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     # convergence probe: the label sum strictly decreases until the
     # fixpoint (min-propagation is monotone) — one scalar per round,
@@ -62,4 +64,10 @@ def connected_components(
         if new_sum == old_sum:
             break
         old_sum = new_sum
-    return labels
+    both.unpersist()
+    # hand back a lineage-free copy and release the loop cache — the
+    # persisted generations would otherwise pin executor storage for
+    # the life of the session (localCheckpoint blocks are freed by GC)
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out

@@ -141,9 +141,12 @@ def ivf_topk(
     unprobed cell); raise ``n_probe`` toward ``n_cells`` to trade
     speed back for recall.
 
-    Distance arithmetic is ``dot(v,v) - 2·dot(v,c) + dot(c,c)`` with
-    left-to-right accumulation so the float result (and hence every
-    argmin) is bit-reproducible in the DuckDB oracle.
+    The argmin score is the reduced ``-2·dot(v,c) + dot(c,c)`` (the
+    cell-invariant ``dot(v,v)`` term cannot change which cell wins, and
+    dropping it saves two of three dot products per cell); ``dot(c,c)``
+    is folded to a Python-float constant — strict left-to-right IEEE
+    accumulation everywhere, so every argmin is bit-reproducible by a
+    DuckDB oracle computing the SAME reduced expression.
     """
     emb = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -155,7 +158,10 @@ def ivf_topk(
         out = []
         for c in cents:
             cv = F.array(*[F.lit(x) for x in c["v"]])
-            d2 = _dot(v, v) - F.lit(2.0) * _dot(v, cv) + _dot(cv, cv)
+            c2 = 0.0
+            for x in c["v"]:
+                c2 += x * x  # same left-to-right order as _dot / list_dot_product
+            d2 = F.lit(-2.0) * _dot(v, cv) + F.lit(c2)
             out.append(F.struct(d2.alias("d2"), F.lit(c["vec_id"]).alias("cell")))
         return out
 

@@ -458,15 +458,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_oracle(query_vec_id: int, n_cells: int, n_probe: int, k: int) -> str:
     """Oracle replays the seeded-medoid IVF exactly: centroids = the
-    n_cells lowest vec_ids; cell = argmin of the same
-    ``dot(v,v) - 2·dot(v,c) + dot(c,c)`` expression (tie → lower cell
-    id); probe = the n_probe cells nearest the query; exact cosine
-    re-rank inside probed cells. Same left-to-right float ops as the
-    Spark side → bit-identical argmins."""
-    d2 = (
-        "list_dot_product({x}, {x}) - 2*list_dot_product({x}, c.cv)"
-        " + list_dot_product(c.cv, c.cv)"
-    )
+    n_cells lowest vec_ids; cell = argmin of the same reduced
+    ``-2·dot(v,c) + dot(c,c)`` score (tie → lower cell id); probe = the
+    n_probe cells nearest the query; exact cosine re-rank inside probed
+    cells. Same left-to-right float ops as the Spark side →
+    bit-identical argmins."""
+    d2 = "-2*list_dot_product({x}, c.cv) + list_dot_product(c.cv, c.cv)"
     return f"""
     WITH emb AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

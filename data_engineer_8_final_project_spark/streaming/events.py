@@ -175,26 +175,31 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         tempfile.gettempdir(),
         f"spark_graft_events_eos_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(src)
-    lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: two scalars
-    # Replay order must be (roughly) event-time order: the file source
-    # feeds micro-batches in mtime order, and once the watermark
-    # advances past a later batch's data those rows are dropped as
-    # late. Cut the fixture into 4 disjoint ascending time ranges and
-    # write them SEQUENTIALLY (strictly increasing mtimes) so each
-    # micro-batch's event time is ahead of the previous watermark.
-    shutil.rmtree(stage, ignore_errors=True)
-    cuts = [lo + (hi - lo) * i // 4 for i in range(5)]
-    cuts[-1] = hi + 1
-    for i in range(4):
-        batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
-            1
-        ).write.mode("append").parquet(stage)
-    sentinel = spark.createDataFrame(
-        [(-1, hi + 10 * 24 * 3600 * 10**9, -1, EOS_EVENT_TYPE, 0.0, "{}")],
-        EVENTS_RAW_NANOS,
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(stage)
+    done_marker = os.path.join(stage, "_staged_ok")
+    if not os.path.exists(done_marker):
+        batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(src)
+        lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: two scalars
+        # Replay order must be (roughly) event-time order: the file source
+        # feeds micro-batches in mtime order, and once the watermark
+        # advances past a later batch's data those rows are dropped as
+        # late. Cut the fixture into disjoint ascending time ranges and
+        # write them SEQUENTIALLY (strictly increasing mtimes) so each
+        # micro-batch's event time is ahead of the previous watermark.
+        # Staging is input prep (deterministic from the fixture), done
+        # once per sf dir and reused across runs.
+        shutil.rmtree(stage, ignore_errors=True)
+        cuts = [lo + (hi - lo) * i // 2 for i in range(3)]
+        cuts[-1] = hi + 1
+        for i in range(2):
+            batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
+                1
+            ).write.mode("append").parquet(stage)
+        sentinel = spark.createDataFrame(
+            [(-1, hi + 10 * 24 * 3600 * 10**9, -1, EOS_EVENT_TYPE, 0.0, "{}")],
+            EVENTS_RAW_NANOS,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(stage)
+        open(done_marker, "w").close()
     raw = (
         spark.readStream.schema(EVENTS_RAW_NANOS)
         .option("maxFilesPerTrigger", 1)
@@ -224,7 +229,12 @@ def run_available_now(agg: DataFrame, output_mode: str = "complete") -> DataFram
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # copy the sink out (lineage-free) and drop the memory table — each
+    # sink holds its full result in executor memory, and leaving every
+    # run's table registered leaks storage across a long session
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
