@@ -148,6 +148,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "json-source": ["test:tests/test_io.py::test_json_roundtrip"],
     "orc-source": ["test:tests/test_io.py::test_orc_roundtrip"],
     "binary-file-source": ["test:tests/test_io.py::test_binary_file_source_reads_blobs"],
+    "schema-evolution": ["test:tests/test_io.py::test_parquet_schema_evolution_merge"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],
@@ -155,6 +156,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "streaming-stateful": ["query:user_totals_stateful"],
     "events-sessionization": ["query:event_sessions", "query:events_session_stream"],
     "session-window-native": ["query:events_session_stream"],
+    "stream-stream-join": ["query:view_click_stream_join"],
+    "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "tpch-q18-shape": ["query:large_volume_customers"],
     "tpch-q17-shape": ["query:small_qty_part_revenue"],

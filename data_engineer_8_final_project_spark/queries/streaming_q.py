@@ -380,3 +380,25 @@ def q_events_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation) — drained with an end-of-stream sentinel so append
     mode flushes every session (streaming/events.py:session_window_stream)."""
     return ev.session_window_stream(spark, sf_dir).orderBy("user_id", "session_start")
+
+
+@register(
+    "view_click_stream_join",
+    oracle="""
+    -- Batch replay of the streaming view->click attribution join:
+    -- click strictly after the view, within 10 minutes, same user.
+    SELECT v.event_id AS v_event_id, c.event_id AS c_event_id,
+           v.user_id, v.ts AS v_ts, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    ORDER BY v_event_id, c_event_id
+    """,
+    survey_ref="§2.9 T3 widening: stream-stream inner join (bounded state)",
+)
+def q_view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join with an event-time range bound —
+    the state-eviction contract Spark requires for unbounded feeds
+    (streaming/events.py:view_click_stream_join)."""
+    return ev.view_click_stream_join(spark, sf_dir).orderBy("v_event_id", "c_event_id")

@@ -72,13 +72,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "html_matches_extract",
     "scalar_cleaning_suite",
     # streaming / events family (round-1 tail — must be in-window)
-    "events_json_extract",
     "events_hourly_stream",
     "events_sliding_stream",
     "user_totals_stateful",
     "standings_stream",
     "event_sessions",
     "events_session_stream",
+    "view_click_stream_join",
     "clicks_last_error",
     "purchases_in_sessions",
     "events_time_rollup",
@@ -126,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hash_split_assignments",  # split stage ⊂ training_manifest
     "sequence_packing",  # packing stage ⊂ training_manifest
     "pii_scrub_stats",
+    "events_json_extract",  # JSON decode ⊂ events_hourly_stream (from_json path)
     "events_hourly",  # batch twin of in-window events_hourly_stream (same oracle)
     "events_sliding",  # batch twin of in-window events_sliding_stream (same oracle)
     "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline

@@ -272,3 +272,41 @@ def stream_to_parquet_exactly_once(
         .start()
     )
     q.awaitTermination()
+
+
+def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: click attribution to a preceding view.
+
+    Two independent streams over the same replay (views, clicks), both
+    watermarked; the join predicate is user equality AND a bounded
+    event-time range (click within 10 minutes after the view) — the
+    range bound is what lets Spark evict join state once the watermark
+    passes, keeping state finite on an unbounded feed. Inner-join
+    matches emit as soon as both sides arrive, so an availableNow
+    replay produces exactly the batch join result.
+    """
+    def side(evt: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_RAW_NANOS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == evt)
+            .select(
+                F.col("event_id").alias(f"{prefix}_event_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    views, clicks = side("view", "v"), side("click", "c")
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return run_available_now(joined, output_mode="append").select(
+        "v_event_id", "c_event_id", F.col("v_user").alias("user_id"), "v_ts", "c_ts"
+    )

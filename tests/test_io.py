@@ -144,3 +144,16 @@ def test_binary_file_source_reads_blobs(spark, tmp_path):
     got = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in rows}
     assert got == {"a.bin": b"\x00\x01\x02", "b.bin": b"payload"}
     assert all(r.length == len(bytes(r.content)) for r in rows)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across files with evolved schemas: the added
+    column surfaces as NULL for old files instead of failing the scan —
+    the contract a long-lived 100 TB lake needs for additive evolution."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    ).write.mode("append").parquet(p)
+    got = {r.id: r.lang for r in spark.read.option("mergeSchema", "true").parquet(p).collect()}
+    assert got == {1: None, 2: "en"}

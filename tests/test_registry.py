@@ -22,13 +22,13 @@ MUST_BE_IN_WINDOW = {
     "matches_clean",
     "html_matches_extract",
     "scalar_cleaning_suite",
-    "events_json_extract",
     "events_hourly_stream",
     "events_sliding_stream",  # subsumes batch events_sliding (same oracle)
     "user_totals_stateful",
     "standings_stream",
     "event_sessions",
     "events_session_stream",
+    "view_click_stream_join",
     "clicks_last_error",
     "purchases_in_sessions",
     "events_time_rollup",

@@ -120,3 +120,32 @@ def test_drop_duplicates_within_watermark_bounded_state(spark, sf_dir, tmp_path)
     got = sorted(r.event_id for r in out.collect())
     want = sorted(r.event_id for r in batch.select("event_id").distinct().collect())
     assert got == want
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
+    """Crash/restart recovery: a second availableNow run against the
+    same checkpoint must pick up files that arrived AFTER the first run
+    — incrementally, without reprocessing the old ones — and the union
+    of epochs must equal the full batch."""
+    events = catalog.load(spark, sf_dir)["events"]
+    half_a = events.filter("event_id % 2 = 0")
+    half_b = events.filter("event_id % 2 = 1")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    half_a.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        ev.stream_to_parquet_exactly_once(stream, out, ckpt)
+
+    run()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == half_a.count()
+
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    run()  # resume: only the new file is processed
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    # the resumed epoch holds exactly the new rows (no rewrite of epoch 0)
+    assert got.filter("_epoch > 0").count() == half_b.count()
