@@ -834,3 +834,141 @@ def q_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+@register(
+    "priority_order_counts",
+    oracle="""
+    -- TPC-H Q4 shape: EXISTS correlated subquery (any line shipped
+    -- >30 days after order placement) — decorrelated in Spark as a
+    -- LEFT SEMI join on the pre-filtered join of lineitem x orders.
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    survey_ref="§2.3 widening: TPC-H Q4 shape (EXISTS -> semi join)",
+)
+def q_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated EXISTS becomes a semi join whose right side is
+    the orders-filtered lineitem scan; the date window is pushed to the
+    orders parquet scan so the semi join's build side is six months of
+    keys, not the whole table."""
+    t = tables_for(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late_orders = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add("o_orderdate", 30))
+        .select("o_orderkey")
+    )
+    return (
+        o.join(late_orders, "o_orderkey", "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    -- TPC-H Q13 shape: outer-join aggregation — per-customer order
+    -- counts (urgent orders excluded in the JOIN predicate, so
+    -- customers keep their row even at count 0) then the distribution
+    -- of those counts.
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey_ref="§2.3/§2.4 widening: TPC-H Q13 shape (left-join agg distribution)",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation: the first groupBy shuffles on c_custkey
+    (same key as the join, so AQE coalesces into one exchange); the
+    second groups the tiny count-histogram — its shuffle is bounded by
+    the distinct count values, independent of table size."""
+    t = tables_for(spark, sf_dir)
+    non_urgent = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(non_urgent.select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle="""
+    -- TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS anti join —
+    -- above-average-balance customers with no URGENT order, rolled up
+    -- by market segment (the fixture's analog of Q22's phone country
+    -- code; at fixture SFs every customer has SOME order, so the anti
+    -- side filters to urgent orders to keep the result non-degenerate).
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    survey_ref="§2.3 widening: TPC-H Q22 shape (scalar subquery + anti join)",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar average is a 1-row aggregate broadcast into the
+    filter (no driver-side collect); NOT EXISTS is a LEFT ANTI join on
+    o_custkey. At scale the anti join's right side projects only the
+    join key, so the shuffle carries 8 bytes per order."""
+    t = tables_for(spark, sf_dir)
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

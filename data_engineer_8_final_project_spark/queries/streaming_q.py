@@ -9,7 +9,7 @@ correctness-gated rather than rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register, tables_for
@@ -402,3 +402,41 @@ def q_view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the state-eviction contract Spark requires for unbounded feeds
     (streaming/events.py:view_click_stream_join)."""
     return ev.view_click_stream_join(spark, sf_dir).orderBy("v_event_id", "c_event_id")
+
+
+@register(
+    "latest_event_snapshot",
+    oracle="""
+    -- CDC / SCD-type-1 compaction: latest-record-wins snapshot of the
+    -- event feed keyed by (user_id, event_type), tiebroken by event_id
+    -- so the result is deterministic under equal timestamps.
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    survey_ref="§2.5 widening: CDC latest-wins compaction (changelog -> snapshot)",
+)
+def q_latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction as one row_number window — the upsert-merge
+    a mutable-table sink would do, expressed over the immutable log. At
+    scale this is the standard pre-merge step for a 100 TB CDC mirror:
+    one shuffle on the primary key, map-side nothing, and the window
+    never materializes more than a partition's rows."""
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    )

@@ -136,6 +136,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "large_volume_customers",
     "small_qty_part_revenue",
     "lone_late_supplier",
+    "priority_order_counts",  # EXISTS semi join ⊂ high_value_customers_semi family
+    "customer_order_distribution",  # left-join agg ⊂ full_outer_coalesce family
+    "idle_rich_customers",  # anti join ⊂ customers_without_orders family
+    "latest_event_snapshot",  # row_number latest-wins ⊂ clicks_last_error family
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
     "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
     "returned_items",  # join+agg ⊂ revenue_by_nation/pricing_summary
