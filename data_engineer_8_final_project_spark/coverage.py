@@ -149,6 +149,24 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "orc-source": ["test:tests/test_io.py::test_orc_roundtrip"],
     "binary-file-source": ["test:tests/test_io.py::test_binary_file_source_reads_blobs"],
     "schema-evolution": ["test:tests/test_io.py::test_parquet_schema_evolution_merge"],
+    "zorder-layout": [
+        "test:tests/test_layout.py::test_zorder_prunes_on_second_dimension",
+        "test:tests/test_layout.py::test_zorder_prunes_on_both_dimensions",
+    ],
+    "approx-distinct-hll": ["test:tests/test_approx.py::test_approx_count_distinct_within_rsd"],
+    "approx-quantile-sketch": [
+        "test:tests/test_approx.py::test_percentile_approx_within_accuracy"
+    ],
+    "runtime-bloom-filter": [
+        "test:tests/test_plans.py::test_runtime_bloom_filter_injects_on_selective_join"
+    ],
+    "cdc-latest-snapshot": ["query:latest_event_snapshot"],
+    "tpch-q4-shape": ["query:priority_order_counts"],
+    "pandas-udaf-grouped-agg": ["query:doc_median_length_udaf"],
+    "apply-in-pandas-grouped-map": ["query:doc_norm_length_grouped"],
+    "python-udtf-lateral": ["query:doc_tokens_udtf"],
+    "tpch-q13-shape": ["query:customer_order_distribution"],
+    "tpch-q22-shape": ["query:idle_rich_customers"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

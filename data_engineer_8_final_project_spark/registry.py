@@ -140,6 +140,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",  # left-join agg ⊂ full_outer_coalesce family
     "idle_rich_customers",  # anti join ⊂ customers_without_orders family
     "latest_event_snapshot",  # row_number latest-wins ⊂ clicks_last_error family
+    "doc_median_length_udaf",  # §2.10 escape-hatch demos — Arrow boundary ⊂ media_features
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
     "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
     "returned_items",  # join+agg ⊂ revenue_by_nation/pricing_summary
@@ -177,6 +180,7 @@ def all_queries() -> dict[str, Query]:
         scalar,
         streaming_q,
         training_q,
+        udf_q,
     )
 
     rank = {name: i for i, name in enumerate(DRIVER_PRIORITY)}

@@ -1,0 +1,62 @@
+"""Approximate aggregates: the sketches a 100 TB scan actually uses.
+
+Exact COUNT(DISTINCT) and exact percentiles are full-shuffle operators;
+at scale the working answers come from mergeable sketches —
+HyperLogLog++ (`approx_count_distinct`) and the Greenwald-Khanna /
+KLL-style quantile sketch (`percentile_approx`). These cannot
+hash-match a DuckDB oracle (sketch internals differ by engine), so the
+gate is quantitative: measured error within the documented bound
+against the exact answer on the same data.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_8_final_project_spark.registry import tables_for
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return tables_for(spark, sf_dir)["lineitem"]
+
+
+def test_approx_count_distinct_within_rsd(lineitem):
+    """HLL++ at rsd=0.02: observed error must stay within ~3x the
+    requested relative standard deviation (a lenient multiple — rsd is
+    a standard deviation, not a hard bound)."""
+    row = lineitem.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact <= 0.06
+
+
+def test_approx_count_distinct_partial_merge(lineitem, spark):
+    """Sketch mergeability — the property that makes HLL scale: the
+    union of per-group sketches must estimate the global cardinality,
+    not the sum of group cardinalities (keys appear in many groups)."""
+    per_flag = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("d")
+    )
+    merged = lineitem.agg(F.approx_count_distinct("l_suppkey", rsd=0.02).alias("d")).first().d
+    exact = lineitem.agg(F.countDistinct("l_suppkey")).first()[0]
+    summed = per_flag.agg(F.sum("d")).first()[0]
+    assert abs(merged - exact) / exact <= 0.06
+    assert summed > exact * 1.5  # naive sum over groups overcounts — merge is required
+
+
+def test_percentile_approx_within_accuracy(lineitem):
+    """percentile_approx(acc=10000): each estimate must land within a
+    small rank-error band of the exact percentile (rank tolerance
+    1/accuracy of the row count, with a float-value cushion)."""
+    exact = lineitem.agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))").alias("p")
+    ).first().p
+    approx = lineitem.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]), 10000
+        ).alias("p")
+    ).first().p
+    spread = max(exact) - min(exact)
+    for e, a in zip(exact, approx):
+        assert abs(a - e) <= 0.02 * spread

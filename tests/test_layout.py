@@ -1,0 +1,101 @@
+"""Z-order layout: multi-dimensional file skipping (sources/layout.py).
+
+The measurable contract: after ``write_zordered`` on (x, y), a
+selective predicate on EITHER dimension overlaps only a small fraction
+of the output files' footer min/max ranges — whereas a linear sort on
+x leaves y unclustered, so every file overlaps any y predicate. File
+overlap is computed from the real parquet footers (pyarrow), i.e. the
+exact statistics a 100 TB scan planner prunes with.
+"""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineer_8_final_project_spark.sources import layout
+
+
+def _files_overlapping(path: str, box: dict[str, tuple[int, int]]) -> int:
+    """Count parquet files whose footer [min, max] ranges overlap the
+    conjunctive box predicate — exactly the skip test a scan planner
+    applies per file: prune iff ANY predicate column's range misses."""
+    n = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        sch = md.schema.to_arrow_schema()
+        hit = True
+        for col, (lo, hi) in box.items():
+            idx = sch.get_field_index(col)
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)
+            )
+            if fmax < lo or fmin > hi:
+                hit = False
+                break
+        if hit:
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def grid_paths(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    zpath, xpath = str(base / "zordered"), str(base / "xsorted")
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    layout.write_zordered(grid, zpath, ["x", "y"], n_files=16)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+    return zpath, xpath
+
+
+def test_zorder_preserves_rows(spark, grid_paths):
+    zpath, _ = grid_paths
+    got = spark.read.parquet(zpath)
+    assert got.count() == 256 * 256
+    assert got.agg(F.sum("payload")).first()[0] == (256 * 256 - 1) * (256 * 256) // 2
+    assert len(glob.glob(f"{zpath}/*.parquet")) == 16
+
+
+def test_zorder_prunes_on_second_dimension(grid_paths):
+    """y-only predicate: x-sorted layout cannot skip any file; Z-order
+    confines a 1/4-range y slice to the files of that y band."""
+    zpath, xpath = grid_paths
+    assert _files_overlapping(xpath, {"y": (0, 63)}) == 16
+    assert _files_overlapping(zpath, {"y": (0, 63)}) <= 6
+
+
+def test_zorder_prunes_on_both_dimensions(grid_paths):
+    """Box predicate on (x, y): Z-order isolates the quadrant-of-
+    quadrant; the x-sorted layout only prunes along x."""
+    zpath, xpath = grid_paths
+    box = {"x": (0, 63), "y": (0, 63)}
+    x_files = _files_overlapping(xpath, box)
+    z_files = _files_overlapping(zpath, box)
+    assert z_files < x_files  # 2-D clustering beats 1-D on the box query
+    assert z_files <= 4
+
+
+def test_zvalue_interleaves_bits(spark):
+    """Morton-code ground truth on hand-checkable points (bits=2):
+    (x=1, y=0) -> 0b0001, (x=0, y=1) -> 0b0010, (x=3, y=3) -> 0b1111."""
+    df = spark.createDataFrame([(1, 0), (0, 1), (3, 3)], "x long, y long")
+    got = [
+        r.z
+        for r in df.select(
+            layout.zvalue([F.col("x"), F.col("y")], bits=2).alias("z")
+        ).collect()
+    ]
+    assert got == [0b0001, 0b0010, 0b1111]

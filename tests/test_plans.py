@@ -194,3 +194,39 @@ def test_training_manifest_packing_window_is_partitioned(q):
     # through one task
     plan = PI.explain_string(q("training_manifest"))
     assert "hashpartitioning(split" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim-side predicate must
+    inject a bloom_filter_agg / might_contain pair onto the fact scan
+    when the optimizer's size gates allow it — the 100 TB lever that
+    drops non-matching fact rows at the scan instead of the shuffle.
+    (Thresholds are session-tuned here because the fixture tables are
+    far below the production 10 GB defaults.)"""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
