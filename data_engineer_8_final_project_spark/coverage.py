@@ -163,6 +163,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "cdc-latest-snapshot": ["query:latest_event_snapshot"],
     "tpch-q4-shape": ["query:priority_order_counts"],
     "pandas-udaf-grouped-agg": ["query:doc_median_length_udaf"],
+    "small-file-compaction": [
+        "test:tests/test_maintenance.py::test_compact_collapses_small_files",
+        "test:tests/test_maintenance.py::test_compact_with_sort_clusters_ranges",
+    ],
+    "incremental-materialized-view": [
+        "test:tests/test_maintenance.py::test_incremental_view_refreshes_only_new_data_and_matches_batch"
+    ],
     "apply-in-pandas-grouped-map": ["query:doc_norm_length_grouped"],
     "python-udtf-lateral": ["query:doc_tokens_udtf"],
     "tpch-q13-shape": ["query:customer_order_distribution"],

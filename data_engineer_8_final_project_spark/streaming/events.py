@@ -33,17 +33,20 @@ from ..schemas import EVENT_PROPS, EVENTS, EVENTS_RAW_NANOS
 _sink_ids = itertools.count()
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events fixture (explicit schema, 1-file micro-batches)."""
-    # The streaming file source requires a directory; glob-filter the
-    # events file out of the fixture dir. ts arrives as INT64 nanos
-    # (schemas.EVENTS_RAW_NANOS) → truncate to µs.
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, path_glob: str | None = "events.parquet"
+) -> DataFrame:
+    """Streaming source over an events directory (explicit schema, 1-file micro-batches).
+
+    The default glob picks the single ``events.parquet`` out of a
+    fixture dir; pass ``path_glob=None`` for a landing directory of
+    arbitrarily-named arriving files (the incremental-MV case).
+    """
+    # ts arrives as INT64 nanos (schemas.EVENTS_RAW_NANOS) → truncate to µs.
+    reader = spark.readStream.schema(EVENTS_RAW_NANOS).option("maxFilesPerTrigger", 1)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    raw = reader.parquet(sf_dir)
     # integral div — float division drifts ±1µs on epoch-nanos > 2^53
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
