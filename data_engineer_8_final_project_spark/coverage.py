@@ -174,6 +174,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "python-udtf-lateral": ["query:doc_tokens_udtf"],
     "tpch-q13-shape": ["query:customer_order_distribution"],
     "tpch-q22-shape": ["query:idle_rich_customers"],
+    "tpch-q7-shape": ["query:nation_pair_volume"],
+    "tpch-q15-shape": ["query:top_revenue_supplier"],
+    "tpch-q16-shape": ["query:part_supplier_counts"],
     "multimodal-manifest": ["query:media_manifest"],
     "multimodal-features": ["query:media_features"],
     "multimodal-frames": ["query:media_frame_sample"],

@@ -140,6 +140,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",  # left-join agg ⊂ full_outer_coalesce family
     "idle_rich_customers",  # anti join ⊂ customers_without_orders family
     "latest_event_snapshot",  # row_number latest-wins ⊂ clicks_last_error family
+    "nation_pair_volume",  # TPC-H Q7 shape ⊂ revenue_by_nation join family
+    "top_revenue_supplier",  # TPC-H Q15 shape ⊂ large_volume_customers agg-subquery family
+    "part_supplier_counts",  # TPC-H Q16 shape ⊂ customers_without_orders anti family
     "doc_median_length_udaf",  # §2.10 escape-hatch demos — Arrow boundary ⊂ media_features
     "doc_norm_length_grouped",
     "doc_tokens_udtf",
