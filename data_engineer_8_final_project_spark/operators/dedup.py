@@ -349,8 +349,16 @@ def minhash_native_pairs(
             val = val * MINHASH_PRIME + F.col(f"m{i}")
         return val
 
+    # Signatures ride along as an array column so the pair stage never
+    # re-joins (and never recomputes) the signature relation: one md5
+    # pass, one doc_id shuffle, one band shuffle — no join operator at
+    # all. The array adds k*8 bytes per band row to the shuffle, a
+    # fixed small constant per doc; the two signature re-shuffles and
+    # the full shingle re-hash it replaces grow with corpus size.
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     bands = sig.select(
         "doc_id",
+        sig_arr.alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -359,11 +367,13 @@ def minhash_native_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", F.col("b.band_no"), F.col("b.bv"))
+    ).select("doc_id", "sig", F.col("b.band_no"), F.col("b.bv"))
     buckets = (
         bands.groupBy("band_no", "bv")
-        .agg(F.collect_list("doc_id").alias("ds"))
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        # struct sort orders by doc_id (first field) — same pair order
+        # as the plain doc_id formulation
         .select(F.array_sort("ds").alias("ds"))
     )
     pairs_arr = F.flatten(
@@ -371,35 +381,26 @@ def minhash_native_pairs(
             F.col("ds"),
             lambda x, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    pairs = (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()  # a pair can agree on several bands
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)]
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)]
-    )
-    matches = reduce(
-        operator.add,
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(num_hashes)
-        ],
+    matched = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
     return (
-        pairs.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.sig").alias("sig_a"),
+            F.col("p.b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair can agree on several bands
         .select(
             "doc_a",
             "doc_b",
-            F.round(matches / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+            F.round(matched / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= min_est)
     )
