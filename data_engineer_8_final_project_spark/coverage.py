@@ -185,6 +185,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "events-sessionization": ["query:event_sessions", "query:events_session_stream"],
     "session-window-native": ["query:events_session_stream"],
     "stream-stream-join": ["query:view_click_stream_join"],
+    "stream-static-join": ["query:events_by_segment_stream"],
+    "rocksdb-state-store": [
+        "test:tests/test_streaming.py::test_rocksdb_state_store_matches_default"
+    ],
+    "data-quality-audit": ["query:dq_audit"],
     "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "tpch-q18-shape": ["query:large_volume_customers"],

@@ -1116,3 +1116,80 @@ def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
         .limit(50)
     )
+
+@register(
+    "dq_audit",
+    oracle="""
+    -- Data-quality audit: one row per constraint with its violation
+    -- count. The checks every ingest gate runs before publishing a
+    -- 100 TB table: key nullability, primary-key uniqueness,
+    -- referential integrity, domain ranges, temporal sanity.
+    SELECT 'lineitem_discount_range' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_future_date',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderdate > TIMESTAMP '2002-01-01') AS BIGINT)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    ORDER BY check_name
+    """,
+    survey_ref="extended: data-quality constraint audit (ingest gate)",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six constraints in three passes: one conditional-sum scan over
+    orders, one over lineitem, one anti join for referential integrity
+    — then an unpivot to (check_name, violations). No per-check scans,
+    no collect; adding a constraint adds a column to an existing agg,
+    not a pass over the table."""
+    t = tables_for(spark, sf_dir)
+    o = t["orders"].agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "orders_null_custkey"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orders_dup_orderkey"),
+        F.sum(
+            F.when(F.col("o_orderdate") > F.lit("2002-01-01").cast("timestamp"), 1).otherwise(0)
+        ).alias("orders_future_date"),
+    )
+    li = t["lineitem"].agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "lineitem_nonpositive_qty"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        ).alias("lineitem_discount_range"),
+    )
+    orphans = (
+        t["lineitem"]
+        .select("l_orderkey")
+        .join(t["orders"].select("o_orderkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"), "anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orphan_orderkey"))
+    )
+    wide = o.join(li).join(orphans)  # three 1-row frames
+    checks = [
+        "lineitem_discount_range",
+        "lineitem_nonpositive_qty",
+        "lineitem_orphan_orderkey",
+        "orders_dup_orderkey",
+        "orders_future_date",
+        "orders_null_custkey",
+    ]
+    stack = ", ".join(f"'{c}', cast(`{c}` as bigint)" for c in checks)
+    return wide.selectExpr(
+        f"stack({len(checks)}, {stack}) as (check_name, violations)"
+    ).orderBy("check_name")

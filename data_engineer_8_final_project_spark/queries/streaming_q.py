@@ -440,3 +440,24 @@ def q_latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id", "ts", "value")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "events_by_segment_stream",
+    oracle="""
+    -- Batch replay of the stream-static enrichment join + aggregation.
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY c.c_mktsegment, e.event_type
+    """,
+    survey_ref="§2.9 T3 widening: stream-static enrichment join",
+)
+def q_events_by_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (dim broadcast per micro-batch, no stream
+    shuffle for the enrichment) feeding a streaming aggregation
+    (streaming/events.py:segment_enriched_stream)."""
+    return ev.segment_enriched_stream(spark, sf_dir).orderBy("c_mktsegment", "event_type")

@@ -313,3 +313,35 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, output_mode="append").select(
         "v_event_id", "c_event_id", F.col("v_user").alias("user_id"), "v_ts", "c_ts"
     )
+
+
+def segment_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregation by enriched key.
+
+    The static side (customer market segment) is a plain batch
+    DataFrame joined into the stream — Spark re-plans it per
+    micro-batch and broadcasts it under the join threshold, so the
+    stream never shuffles for the enrichment; only the aggregation
+    state is keyed. Inner semantics: events with no customer row
+    (unknown user) drop, matching the batch oracle.
+    """
+    segments = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+        )
+        .parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = (
+        spark.readStream.schema(EVENTS_RAW_NANOS)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .join(segments, "user_id")
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return run_available_now(agg, output_mode="complete")

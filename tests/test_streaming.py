@@ -149,3 +149,31 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert got.count() == events.count()
     # the resumed epoch holds exactly the new rows (no rewrite of epoch 0)
     assert got.filter("_epoch > 0").count() == half_b.count()
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """Large-state lever: the RocksDB state store provider keeps
+    streaming aggregation state off-heap/on-disk (the only provider
+    that survives 100 TB-scale keyspaces). Same replay, same result as
+    the default HDFS-backed in-memory provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    want = sorted(
+        (r.window_start, r.event_type, r.n_events)
+        for r in ev.streaming_hourly(spark, sf_dir).collect()
+    )
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        got = sorted(
+            (r.window_start, r.event_type, r.n_events)
+            for r in ev.streaming_hourly(spark, sf_dir).collect()
+        )
+    finally:
+        if saved:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)
+    assert got == want and len(got) > 0
