@@ -190,6 +190,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "test:tests/test_streaming.py::test_rocksdb_state_store_matches_default"
     ],
     "data-quality-audit": ["query:dq_audit"],
+    "entity-resolution-fuzzy": ["query:customer_name_fuzzy_pairs"],
     "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "tpch-q18-shape": ["query:large_volume_customers"],

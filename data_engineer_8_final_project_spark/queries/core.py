@@ -1193,3 +1193,46 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(checks)}, {stack}) as (check_name, violations)"
     ).orderBy("check_name")
+
+@register(
+    "customer_name_fuzzy_pairs",
+    oracle="""
+    -- Entity resolution: blocked fuzzy match on edit distance. The
+    -- block key (name prefix) turns the quadratic all-pairs problem
+    -- into an equi-join; the Levenshtein verify runs only inside
+    -- blocks. The custkey sample bounds fixture output.
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+      AND a.c_custkey % 10 < 3 AND b.c_custkey % 10 < 3
+    ORDER BY key_a, key_b
+    """,
+    survey_ref="extended: entity resolution (blocked Levenshtein fuzzy join)",
+)
+def q_customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching, the scale-safe way: an equi-join on a
+    blocking key (here a name prefix; phonetic keys or sorted-
+    neighborhood windows slot in the same place), then the exact
+    edit-distance verify only within blocks — never an all-pairs theta
+    join. One shuffle on the block key; block size bounds the verify
+    cost, exactly like the simhash/minhash band buckets."""
+    t = tables_for(spark, sf_dir)
+    c = t["customer"].filter(F.col("c_custkey") % 10 < 3).select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 17).alias("blk")
+    )
+    a = c.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+                 F.col("blk").alias("blk_a"))
+    b = c.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
+                 F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )

@@ -230,3 +230,32 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_nation_pair_volume_broadcasts_both_nation_dims(q):
+    """Q7 shape: the two 25-row nation dims must broadcast — only the
+    fact-side equi-joins may shuffle."""
+    df = q("nation_pair_volume")
+    assert PI.broadcast_join_count(df) >= 2
+    assert PI.python_eval_count(df) == 0
+
+
+def test_latest_event_snapshot_single_shuffle(q):
+    """CDC compaction: one hash exchange on the primary key feeds both
+    the row_number window and the filter — plus only the presentation
+    sort's range exchange."""
+    df = q("latest_event_snapshot")
+    assert PI.exchange_count(df) <= 2
+    assert PI.python_eval_count(df) == 0
+
+
+def test_dq_audit_bounded_scan_count(q):
+    """Constraint audit: six checks may not mean six table passes —
+    the plan holds one orders scan for the conditional sums, one
+    lineitem scan for its pair, plus the referential anti join's pair."""
+    import re
+
+    plan = PI.explain_string(q("dq_audit"))
+    # formatted explain prints each node in the tree AND the detail
+    # list — count the numbered detail entries only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 4
