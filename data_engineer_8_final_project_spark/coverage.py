@@ -191,6 +191,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     ],
     "data-quality-audit": ["query:dq_audit"],
     "entity-resolution-fuzzy": ["query:customer_name_fuzzy_pairs"],
+    "array-nested-analytics": ["query:order_qty_sequences"],
     "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "tpch-q18-shape": ["query:large_volume_customers"],

@@ -1236,3 +1236,50 @@ def q_customer_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
+
+@register(
+    "order_qty_sequences",
+    oracle="""
+    -- Nested/array analytics: per-order ordered quantity sequence +
+    -- higher-order-function reductions over the array.
+    SELECT l_orderkey,
+           array_to_string(list(CAST(l_quantity AS INT) ORDER BY l_linenumber, CAST(l_quantity AS INT)), ',')
+             AS qty_seq,
+           CAST(list_sum(list(CAST(l_quantity AS INT))) AS BIGINT) AS total_qty,
+           CAST(list_max(list(CAST(l_quantity AS INT))) AS INT) AS max_qty,
+           CAST(len(list(l_quantity)) AS INT) AS n_items
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    survey_ref="extended: array/nested-type analytics (collect, sort, HOF reduce)",
+)
+def q_order_qty_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array column lifecycle in one pass: collect_list(struct) under
+    the groupBy (one shuffle), array_sort over the (linenumber, qty)
+    struct restores line order without a sort exchange — qty as the
+    tiebreak, since the fixture's linenumbers repeat within an order, then transform /
+    aggregate / array_max run as codegen'd expressions — the
+    sequence-shaped analytics (session paths, token streams, sensor
+    traces) a 100 TB log table needs. Integer math keeps the HOF
+    reduction bit-identical to the oracle's list_sum. The key sample
+    bounds fixture output."""
+    t = tables_for(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_quantity").cast("int").alias("q")))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .groupBy("l_orderkey")
+        .agg(arr.alias("s"))
+        .select(
+            "l_orderkey",
+            F.array_join(F.transform("s", lambda x: x["q"].cast("string")), ",").alias("qty_seq"),
+            F.aggregate("s", F.lit(0).cast("long"), lambda acc, x: acc + x["q"]).alias("total_qty"),
+            F.array_max(F.transform("s", lambda x: x["q"])).alias("max_qty"),
+            F.size("s").alias("n_items"),
+        )
+        .orderBy("l_orderkey")
+    )
