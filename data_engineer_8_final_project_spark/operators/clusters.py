@@ -38,10 +38,25 @@ def connected_components(
     # against labels EVERY round; without it each iteration recomputes
     # the (expensive) upstream pair-finding lineage from scratch.
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    both = fwd.unionByName(
+    both_cached = fwd.unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
-    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    # Right-size the loop frames: the near-dup edge list is usually far
+    # smaller than the corpus, and per-round task overhead at the
+    # session's full shuffle width dominates the tiny joins (AQE cannot
+    # coalesce under the persisted frames here). ~100k edges per
+    # partition, never above the session's shuffle width — so a truly
+    # large graph keeps full parallelism. The count also materializes
+    # the persist, so round 1 never recomputes the edge lineage.
+    spark = vertices.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(width, both_cached.count() // 100_000 + 1))
+    both = both_cached.coalesce(parts)
+    labels = (
+        vertices.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .coalesce(parts)
+        .persist()
+    )
     # convergence probe: the label sum strictly decreases until the
     # fixpoint (min-propagation is monotone) — one scalar per round,
     # and persisting each generation keeps the lineage flat so round k
@@ -64,7 +79,7 @@ def connected_components(
         if new_sum == old_sum:
             break
         old_sum = new_sum
-    both.unpersist()
+    both_cached.unpersist()
     # hand back a lineage-free copy and release the loop cache — the
     # persisted generations would otherwise pin executor storage for
     # the life of the session (localCheckpoint blocks are freed by GC)
