@@ -192,6 +192,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "data-quality-audit": ["query:dq_audit"],
     "entity-resolution-fuzzy": ["query:customer_name_fuzzy_pairs"],
     "array-nested-analytics": ["query:order_qty_sequences"],
+    "timeseries-gapfill": ["query:events_hourly_gapfill"],
+    "range-interval-window": ["query:events_trailing_hour_window"],
     "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "tpch-q18-shape": ["query:large_volume_customers"],

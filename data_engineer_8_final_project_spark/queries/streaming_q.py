@@ -461,3 +461,97 @@ def q_events_by_segment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the enrichment) feeding a streaming aggregation
     (streaming/events.py:segment_enriched_stream)."""
     return ev.segment_enriched_stream(spark, sf_dir).orderBy("c_mktsegment", "event_type")
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    -- Time-series gap filling (the hypertable time_bucket_gapfill
+    -- analog): every hour in each type's observed range appears, empty
+    -- hours as zero.
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY 1),
+    grid AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    )
+    SELECT g.event_type, g.hr, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN h USING (event_type, hr)
+    ORDER BY g.event_type, g.hr
+    """,
+    survey_ref="§2.9 widening: time-series gap fill (dense hourly grid)",
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time grid via sequence()+explode per group — the grid is
+    generated from each type's own (min, max) bounds, so its size is
+    hours-of-history x types regardless of event volume; the left join
+    back to the sparse rollup shuffles only the tiny grid and the
+    already-aggregated hours, never raw events."""
+    t = tables_for(spark, sf_dir)
+    h = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        h.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr"),
+        )
+    )
+    return (
+        grid.join(h, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce("n", F.lit(0)).cast("long").alias("n_events"))
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
+    "events_trailing_hour_window",
+    oracle="""
+    -- Event-time RANGE frame: per event, totals over the trailing hour
+    -- of its own type (integer cents — frame membership is identical
+    -- on both sides, so sums are exact). Sampled AFTER the window so
+    -- every frame still sees the full feed.
+    SELECT * FROM (
+      SELECT event_id, event_type, ts,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS trail_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ) t
+    WHERE event_id % 20 = 0
+    ORDER BY event_id
+    """,
+    survey_ref="§2.5/§2.9 widening: event-time RANGE window frame",
+)
+def q_events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval frames are the window form Spark evaluates with a
+    single sort per partition and a sliding frame pointer — no
+    self-join, no per-row scan. The event_id sample sits ABOVE the
+    window (a non-partition-key filter never pushes below it), bounding
+    driver-compare volume without changing any frame."""
+    t = tables_for(spark, sf_dir)
+    t["events"].createOrReplaceTempView("_ev_trail")
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT event_id, event_type, ts,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS trail_cents,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+          FROM _ev_trail
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ) t
+        WHERE event_id % 20 = 0
+        ORDER BY event_id
+        """
+    )
