@@ -146,6 +146,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "repetition-gate": ["query:doc_repetition_scores"],
     "stratified-sampling": ["query:stratified_sample"],
     "json-source": ["test:tests/test_io.py::test_json_roundtrip"],
+    "corrupt-record-quarantine": [
+        "test:tests/test_io.py::test_json_corrupt_records_quarantined"
+    ],
     "orc-source": ["test:tests/test_io.py::test_orc_roundtrip"],
     "binary-file-source": ["test:tests/test_io.py::test_binary_file_source_reads_blobs"],
     "schema-evolution": ["test:tests/test_io.py::test_parquet_schema_evolution_merge"],
@@ -190,7 +193,10 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "test:tests/test_streaming.py::test_rocksdb_state_store_matches_default"
     ],
     "data-quality-audit": ["query:dq_audit"],
-    "entity-resolution-fuzzy": ["query:customer_name_fuzzy_pairs"],
+    "entity-resolution-fuzzy": [
+        "query:customer_name_fuzzy_pairs",
+        "query:sorted_neighborhood_pairs",
+    ],
     "array-nested-analytics": ["query:order_qty_sequences"],
     "timeseries-gapfill": ["query:events_hourly_gapfill"],
     "range-interval-window": ["query:events_trailing_hour_window"],

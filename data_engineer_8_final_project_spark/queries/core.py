@@ -1283,3 +1283,69 @@ def q_order_qty_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    -- Sorted-neighborhood entity resolution: order candidates by the
+    -- match key, compare each record only to its w nearest neighbors
+    -- in that order (here w = 3). The window formulation replaces
+    -- prefix blocking where typos break prefixes but preserve rank
+    -- locality.
+    WITH ranked AS (
+      SELECT c_custkey, c_name,
+             ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+      FROM customer
+      WHERE c_custkey % 10 < 3
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM ranked a
+    JOIN ranked b
+      ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY key_a, key_b
+    """,
+    survey_ref="extended: sorted-neighborhood entity resolution (windowed blocking)",
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The neighborhood is materialized with lead() over the sort order
+    — each record carries its w successors as columns; no self-join at
+    all (the oracle's rank-band join is the relational statement of the
+    same pairs), and candidate volume is w x n by construction.
+
+    Scale caveat, stated honestly: an unpartitioned window executes in
+    ONE task. The 100 TB formulation range-partitions on the sort key
+    and overlaps each partition's tail by w rows (mapInPandas or a
+    partition-boundary union) so lead() never crosses tasks; the fixture
+    registration keeps the simple global form because n here is 450."""
+    t = tables_for(spark, sf_dir)
+    w = Window.orderBy("c_name", "c_custkey")
+    c = (
+        t["customer"]
+        .filter(F.col("c_custkey") % 10 < 3)
+        .select("c_custkey", "c_name")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    neighbors = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        *[F.lead("c_custkey", i).over(w).alias(f"k{i}") for i in range(1, 4)],
+        *[F.lead("c_name", i).over(w).alias(f"n{i}") for i in range(1, 4)],
+    )
+    pairs = None
+    for i in range(1, 4):
+        leg = neighbors.select(
+            "key_a",
+            "name_a",
+            F.col(f"k{i}").alias("key_b"),
+            F.col(f"n{i}").alias("name_b"),
+        ).filter(F.col("key_b").isNotNull())
+        pairs = leg if pairs is None else pairs.unionByName(leg)
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )

@@ -144,6 +144,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dq_audit",  # constraint audit ⊂ group_count/anti-join families
     "customer_name_fuzzy_pairs",  # blocked Levenshtein ⊂ simhash banded-block family
     "order_qty_sequences",  # array/HOF analytics ⊂ token/shingle HOF family
+    "sorted_neighborhood_pairs",  # windowed ER blocking ⊂ fuzzy-pairs family
     "events_hourly_gapfill",  # dense grid ⊂ events_time_rollup family
     "events_trailing_hour_window",  # RANGE frame ⊂ order_gaps_lag window family
     "nation_pair_volume",  # TPC-H Q7 shape ⊂ revenue_by_nation join family

@@ -157,3 +157,38 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     ).write.mode("append").parquet(p)
     got = {r.id: r.lang for r in spark.read.option("mergeSchema", "true").parquet(p).collect()}
     assert got == {1: None, 2: "en"}
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE-mode ingest: malformed lines land in _corrupt_record
+    instead of failing the scan; the ingest gate splits clean rows from
+    the quarantine — the contract a 100 TB landing zone needs (one bad
+    producer must not kill the nightly load)."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{not json at all}\n"
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": "wrong type", "name": 3}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # Spark requires materializing before querying _corrupt_record alone
+    )
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in clean.collect()) == [1, 2]
+    assert quarantine.count() == 2
+    df.unpersist()
