@@ -200,6 +200,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "array-nested-analytics": ["query:order_qty_sequences"],
     "timeseries-gapfill": ["query:events_hourly_gapfill"],
     "range-interval-window": ["query:events_trailing_hour_window"],
+    "quantile-winsorization": ["query:events_winsorized_stats"],
+    "freq-items-sketch": ["test:tests/test_approx.py::test_freq_items_superset_guarantee"],
     "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],
     "tpch-q18-shape": ["query:large_volume_customers"],

@@ -555,3 +555,61 @@ def q_events_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY event_id
         """
     )
+
+
+@register(
+    "events_winsorized_stats",
+    oracle="""
+    -- Outlier gate: winsorize event values at the exact p01/p99 per
+    -- type, then re-aggregate. Exact quantiles keep the clip
+    -- thresholds bit-identical on both sides; cents keep sums exact.
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(CAST(round(
+             GREATEST(b.lo, LEAST(b.hi, e.value)) * 100) AS BIGINT)) AS BIGINT)
+             AS clipped_cents
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    survey_ref="extended: quantile winsorization (outlier clipping gate)",
+)
+def q_events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data outlier gate: per-group exact percentile
+    bounds (one shuffle on the group key), broadcast back (bounded by
+    group cardinality), clip with greatest/least — no row leaves the
+    JVM. At 100 TB swap the exact percentile for percentile_approx and
+    the join shape is unchanged (the approx variant's error bound is
+    gated in tests/test_approx.py)."""
+    t = tables_for(spark, sf_dir)
+    bounds = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.01)").alias("lo"),
+            F.expr("percentile(value, 0.99)").alias("hi"),
+        )
+    )
+    clipped = F.greatest("lo", F.least("hi", F.col("value")))
+    return (
+        t["events"]
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            ).alias("n_clipped"),
+            F.sum(F.round(clipped * 100).cast("long")).alias("clipped_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -60,3 +60,18 @@ def test_percentile_approx_within_accuracy(lineitem):
     spread = max(exact) - min(exact)
     for e, a in zip(exact, approx):
         assert abs(a - e) <= 0.02 * spread
+
+
+def test_freq_items_superset_guarantee(lineitem):
+    """Single-pass frequent-items sketch (Karp-style): every value with
+    frequency > 1/k of rows MUST be reported (false positives allowed,
+    false negatives not) — the heavy-hitter scan a skew diagnosis runs
+    before choosing a salting strategy."""
+    k = 10
+    got = set(lineitem.stat.freqItems(["l_returnflag"], 1 / k).first()[0])
+    n = lineitem.count()
+    truly_frequent = {
+        r.l_returnflag
+        for r in lineitem.groupBy("l_returnflag").count().filter(f"count > {n}/{k}").collect()
+    }
+    assert truly_frequent <= got
