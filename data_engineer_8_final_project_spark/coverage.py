@@ -201,6 +201,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "timeseries-gapfill": ["query:events_hourly_gapfill"],
     "range-interval-window": ["query:events_trailing_hour_window"],
     "quantile-winsorization": ["query:events_winsorized_stats"],
+    "nullsafe-equality-join": ["query:status_reconciliation_nullsafe"],
     "freq-items-sketch": ["test:tests/test_approx.py::test_freq_items_superset_guarantee"],
     "checkpoint-recovery": ["test:tests/test_streaming.py::test_checkpoint_resume_processes_only_new_files"],
     "skew-salted-distinct": ["query:distinct_customers_salted"],

@@ -1349,3 +1349,52 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
+
+@register(
+    "status_reconciliation_nullsafe",
+    oracle="""
+    -- Null-safe equality join (IS NOT DISTINCT FROM / <=>): the NULL
+    -- bucket on each side must reconcile against the other side's NULL
+    -- bucket — a plain equi-join silently drops it, the classic
+    -- reconciliation-report bug.
+    WITH o AS (
+      SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS sk,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    l AS (
+      SELECT CASE WHEN l_linestatus = 'O' THEN NULL ELSE l_linestatus END AS sk,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.sk AS status_key, o.n_orders, l.n_lines
+    FROM o JOIN l ON o.sk IS NOT DISTINCT FROM l.sk
+    ORDER BY status_key NULLS FIRST
+    """,
+    survey_ref="§2.3 widening: null-safe equality join (eqNullSafe / <=>)",
+)
+def q_status_reconciliation_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eqNullSafe plans as a hash join whose key includes the null flag
+    (NULLs co-partition like any other value) — same shuffle shape as a
+    plain equi-join, none of the null-dropping. The open-status bucket
+    is mapped to NULL on both sides to make the hazard explicit."""
+    t = tables_for(spark, sf_dir)
+    o = (
+        t["orders"]
+        .select(F.when(F.col("o_orderstatus") == "O", None)
+                .otherwise(F.col("o_orderstatus")).alias("sk"))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    li = (
+        t["lineitem"]
+        .select(F.when(F.col("l_linestatus") == "O", None)
+                .otherwise(F.col("l_linestatus")).alias("sk"))
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+    return (
+        o.join(li, o["sk"].eqNullSafe(li["sk"]))
+        .select(o["sk"].alias("status_key"), "n_orders", "n_lines")
+        .orderBy(F.asc_nulls_first("status_key"))
+    )

@@ -148,6 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hourly_gapfill",  # dense grid ⊂ events_time_rollup family
     "events_trailing_hour_window",  # RANGE frame ⊂ order_gaps_lag window family
     "events_winsorized_stats",  # quantile clip ⊂ price_quantiles + doc_quality gates
+    "status_reconciliation_nullsafe",  # <=> join ⊂ full_outer_coalesce family
     "nation_pair_volume",  # TPC-H Q7 shape ⊂ revenue_by_nation join family
     "top_revenue_supplier",  # TPC-H Q15 shape ⊂ large_volume_customers agg-subquery family
     "part_supplier_counts",  # TPC-H Q16 shape ⊂ customers_without_orders anti family
