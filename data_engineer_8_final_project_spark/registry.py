@@ -56,22 +56,65 @@ def register(
 
 #: Driver-facing registration order. The driver's CORRECTNESS pass
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
-#: (round-1 finding: positions 50+ get no driver evidence), so this
-#: list puts every never-redundant operator family — streaming,
-#: as-of/range/sessionization, time rollup, dedup/similarity/text,
-#: multimodal, the reference pipeline — inside that window. Queries
-#: AFTER the window marker are micro-queries whose semantics are
-#: already verified by an in-window query (noted per name); they were
-#: driver-green in round 1 and keep pytest/oracle coverage via the
-#: parity harness.
+#: (round-1 finding: positions 50+ get no driver evidence).
+#:
+#: Round-3 rotation (VERDICT r2 item 1): rounds 1+2 accumulated green
+#: driver rows for 68 of the 99 round-2 queries; the 30 that had
+#: NEVER received a driver CORRECTNESS row now occupy the head of the
+#: window. The rest of the window holds (a) queries whose
+#: implementation changed this round (must be re-proven), and (b) new
+#: round-3 queries. Demoted tail queries all carry green r1/r2 driver
+#: rows and stay oracle-gated locally via the parity harness.
+#: ``minhash_lsh_pairs`` is deliberately OUT of the window: it has no
+#: SQL oracle (pyspark.ml's internal hashes) so it can never go green
+#: in a driver row; its recall gate lives in tests/test_dedup.py and
+#: the fully-oracled ``minhash_native_pairs`` construction stays in.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # flagship + reference-native pipeline
+    # ---- never driver-verified before round 3 (30) ----
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "events_json_extract",
+    "events_hourly",
+    "events_sliding",
+    "doc_unigram_logprob",
+    "dedup_stream",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "latest_event_snapshot",
+    "events_by_segment_stream",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_hourly_gapfill",
+    "events_trailing_hour_window",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    # ---- implementation changed in round 3 → re-prove (2) ----
+    "training_manifest",  # packing stage rewritten (two-level prefix sum)
+    "dup_clusters",  # connected-components iteration changes
+    # ---- new round-3 queries (uncommented as implemented) ----
+    # ---- re-verify slots (already green; heaviest/changed plans) ----
     "standings",
+    "revenue_by_nation",  # r2 bench regression under A/B this round
+    "simhash_near_dup",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
     "reference_standings",
     "matches_clean",
     "html_matches_extract",
     "scalar_cleaning_suite",
-    # streaming / events family (round-1 tail — must be in-window)
     "events_hourly_stream",
     "events_sliding_stream",
     "user_totals_stateful",
@@ -81,18 +124,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "view_click_stream_join",
     "clicks_last_error",
     "purchases_in_sessions",
+    # ---- driver window boundary (50) ----
+    # all below carry green r1/r2 driver rows (or, for
+    # minhash_lsh_pairs, can never go green — no SQL oracle) and stay
+    # parity-gated locally at sf0.01.
     "events_time_rollup",
-    # dedup / similarity / text / corpus
     "dedup_exact",
     "jaccard_near_dup",
-    "simhash_near_dup",
-    "minhash_lsh_pairs",
-    "minhash_native_pairs",
+    "minhash_lsh_pairs",  # no_oracle by nature — recall-gated in pytest
     "embedding_topk",
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",
     "ann_lsh_topk",
-    "ivf_ann_topk",
     "label_centroids",
     "text_stats_by_lang",
     "doc_quality_scores",
@@ -103,16 +146,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_clean_pipeline",
     "doc_repetition_scores",
     "stratified_sample",
-    "dup_clusters",
-    "training_manifest",
-    # multimodal
     "media_manifest",
     "media_features",
     "media_frame_sample",
     "media_decode_fake",
-    # core joins / aggs / windows / sorts (unique semantics)
     "pricing_summary",
-    "revenue_by_nation",
     "shipping_priority",
     "full_outer_coalesce",
     "customers_without_orders",
@@ -120,41 +158,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_customers_per_nation",
     "rollup_region_nation",
     "distinct_customers_salted",
-    # ---- driver window boundary (~50) ----
-    # below first: unique-but-unwindowed (next in line if the window
-    # grows); then redundant micro-queries (semantics covered in-window)
-    "hash_split_assignments",  # split stage ⊂ training_manifest
-    "sequence_packing",  # packing stage ⊂ training_manifest
-    "pii_scrub_stats",
-    "events_json_extract",  # JSON decode ⊂ events_hourly_stream (from_json path)
-    "events_hourly",  # batch twin of in-window events_hourly_stream (same oracle)
-    "events_sliding",  # batch twin of in-window events_sliding_stream (same oracle)
     "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline
     "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",  # EXISTS semi join ⊂ high_value_customers_semi family
-    "customer_order_distribution",  # left-join agg ⊂ full_outer_coalesce family
-    "idle_rich_customers",  # anti join ⊂ customers_without_orders family
-    "latest_event_snapshot",  # row_number latest-wins ⊂ clicks_last_error family
-    "events_by_segment_stream",  # stream-static join ⊂ view_click_stream_join family
-    "dq_audit",  # constraint audit ⊂ group_count/anti-join families
-    "customer_name_fuzzy_pairs",  # blocked Levenshtein ⊂ simhash banded-block family
-    "order_qty_sequences",  # array/HOF analytics ⊂ token/shingle HOF family
-    "sorted_neighborhood_pairs",  # windowed ER blocking ⊂ fuzzy-pairs family
-    "events_hourly_gapfill",  # dense grid ⊂ events_time_rollup family
-    "events_trailing_hour_window",  # RANGE frame ⊂ order_gaps_lag window family
-    "events_winsorized_stats",  # quantile clip ⊂ price_quantiles + doc_quality gates
-    "status_reconciliation_nullsafe",  # <=> join ⊂ full_outer_coalesce family
-    "nation_pair_volume",  # TPC-H Q7 shape ⊂ revenue_by_nation join family
-    "top_revenue_supplier",  # TPC-H Q15 shape ⊂ large_volume_customers agg-subquery family
-    "part_supplier_counts",  # TPC-H Q16 shape ⊂ customers_without_orders anti family
-    "doc_median_length_udaf",  # §2.10 escape-hatch demos — Arrow boundary ⊂ media_features
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
     "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
     "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
     "returned_items",  # join+agg ⊂ revenue_by_nation/pricing_summary
