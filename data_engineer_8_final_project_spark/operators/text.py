@@ -159,15 +159,19 @@ def unigram_logprob_scores(
     degenerates to a map-side lookup.
     """
     tok = documents.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
-    total = tok.count()
+    # Corpus token total as a 1-row aggregate broadcast-cross-joined in,
+    # NOT an eager tok.count(): keeps the whole plan lazy (no corpus
+    # scan at DataFrame-construction time) and off the driver.
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("_total_tokens"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     return (
         tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.round(
-                F.avg(-F.log(F.col("tf") / F.lit(float(total)))), decimals
+                F.avg(-F.log(F.col("tf") / F.col("_total_tokens"))), decimals
             ).alias("avg_neg_logprob"),
         )
     )

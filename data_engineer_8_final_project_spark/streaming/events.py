@@ -166,6 +166,7 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     user_id=-1 key, and is dropped from the bounded sink output;
     availableNow's final no-data micro-batch then flushes every session.
     """
+    import hashlib
     import os
     import tempfile
 
@@ -174,10 +175,15 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     import shutil
 
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_events_eos_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    # Stage-dir key = fingerprint of the ABSOLUTE source path + its
+    # stat (mtime, size): two sf dirs sharing a basename get distinct
+    # stages, and a changed fixture at the same path restages instead
+    # of silently reusing stale data.
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"spark_graft_events_eos_{key}")
     done_marker = os.path.join(stage, "_staged_ok")
     if not os.path.exists(done_marker):
         batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(src)
@@ -186,22 +192,37 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         # feeds micro-batches in mtime order, and once the watermark
         # advances past a later batch's data those rows are dropped as
         # late. Cut the fixture into disjoint ascending time ranges and
-        # write them SEQUENTIALLY (strictly increasing mtimes) so each
-        # micro-batch's event time is ahead of the previous watermark.
+        # write them sequentially, then pin EXPLICIT strictly-increasing
+        # mtimes on the staged part files (os.utime): on filesystems
+        # with coarse mtime granularity two sequential writes can tie,
+        # and the source's tiebreak over random part-file names could
+        # replay a later chunk first, dropping the earlier one as late.
         # Staging is input prep (deterministic from the fixture), done
-        # once per sf dir and reused across runs.
+        # once per fixture content and reused across runs.
         shutil.rmtree(stage, ignore_errors=True)
         cuts = [lo + (hi - lo) * i // 2 for i in range(3)]
         cuts[-1] = hi + 1
+        staged_so_far: set[str] = set()
+
+        def _pin_new_files_mtime(chunk_no: int) -> None:
+            t = st.st_mtime + 1 + chunk_no  # whole seconds: coarse-fs safe
+            for name in sorted(os.listdir(stage)):
+                p = os.path.join(stage, name)
+                if name.endswith(".parquet") and p not in staged_so_far:
+                    os.utime(p, (t, t))
+                    staged_so_far.add(p)
+
         for i in range(2):
             batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
                 1
             ).write.mode("append").parquet(stage)
+            _pin_new_files_mtime(i)
         sentinel = spark.createDataFrame(
             [(-1, hi + 10 * 24 * 3600 * 10**9, -1, EOS_EVENT_TYPE, 0.0, "{}")],
             EVENTS_RAW_NANOS,
         )
         sentinel.coalesce(1).write.mode("append").parquet(stage)
+        _pin_new_files_mtime(2)
         open(done_marker, "w").close()
     raw = (
         spark.readStream.schema(EVENTS_RAW_NANOS)
@@ -347,10 +368,10 @@ def segment_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is keyed. Inner semantics: events with no customer row
     (unknown user) drop, matching the batch oracle.
     """
+    from ..schemas import CUSTOMER
+
     segments = (
-        spark.read.schema(
-            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
-        )
+        spark.read.schema(CUSTOMER)
         .parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )

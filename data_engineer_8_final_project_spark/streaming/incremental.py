@@ -46,7 +46,9 @@ def maintain_hourly_counts(
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") * 100).cast("long")).alias("value_cents"),
+            # round-then-cast: the repo-wide cents convention (a bare
+            # cast truncates, e.g. 1.13*100 = 112.999... -> 112)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd-HH").alias("hour"),

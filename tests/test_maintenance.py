@@ -81,7 +81,7 @@ def test_incremental_view_refreshes_only_new_data_and_matches_batch(
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd-HH").alias("hour"),
