@@ -321,9 +321,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_manifest",
     oracle="""
     -- Capstone: gates -> exact dedup -> split -> per-split packing in
-    -- one statement. Packing is PARTITIONED BY split (each split packs
-    -- its own token stream) so the running-sum window scales out
-    -- instead of collapsing to one partition.
+    -- one statement. The oracle states packing as one global window
+    -- per split; the engine computes the same sum as a two-level
+    -- bucketed prefix sum (identical output for any bucket size).
     WITH base AS (
       SELECT doc_id, text,
              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
@@ -378,8 +378,11 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate + exact dedup (canonical min doc_id per content hash) + hash
     split + per-split sequence packing. Every stage shuffles on doc_id
     or a 32-byte content hash — the text column never shuffles — and
-    packing windows are partitioned by split, so the whole manifest is
-    a handful of uniform-key exchanges at any scale."""
+    the packing running sum is the two-level prefix sum
+    (sampling.running_token_start): local windows per (split, bucket)
+    plus broadcast bucket offsets, so the ~80% train split packs across
+    many tasks instead of one (the round-2 scale flaw, fixed; output is
+    provably identical, so the oracle is unchanged)."""
     t = tables_for(spark, sf_dir)
     docs = t["documents"]
     base = docs.select("doc_id", text.token_count("text").alias("n_tokens"))
@@ -395,22 +398,14 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id", "semi")
     )
     split = sampling.hash_split(docs).select("doc_id", "split")
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("split")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    packed = sampling.running_token_start(
+        surv.join(split, "doc_id"), part_cols=("split",)
     )
-    st = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
-        surv.join(split, "doc_id")
-        .select(
-            "doc_id",
-            "split",
-            "n_tokens",
-            (st / 2048).cast("long").alias("pack_id"),
-            (st % 2048).alias("pack_offset"),
-        )
-        .orderBy("doc_id")
-    )
+    st = F.col("_pack_start")
+    return packed.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        (st / 2048).cast("long").alias("pack_id"),
+        (st % 2048).alias("pack_offset"),
+    ).orderBy("doc_id")

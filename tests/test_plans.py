@@ -189,11 +189,37 @@ def test_lone_late_supplier_broadcasts_supplier_dim(q):
 
 
 def test_training_manifest_packing_window_is_partitioned(q):
-    # capstone: the packing running-sum must be partitioned by split —
-    # a global (unpartitioned) window would serialize the corpus
-    # through one task
+    # capstone: the packing running-sum must be the two-level prefix
+    # sum — local windows partitioned by (split, bucket), NOT a global
+    # per-split window (3 distinct split values = one task per split =
+    # the whole train split serialized through one sort at any scale)
     plan = PI.explain_string(q("training_manifest"))
     assert "hashpartitioning(split" in plan
+    assert "_pack_bucket" in plan
+
+
+def test_sequence_packing_two_level_prefix_sum_matches_global_window(spark, sf_dir):
+    """The bucketed prefix sum must equal the single-task global window
+    bit-for-bit at every bucket size (including bucket_docs larger than
+    the corpus — the degenerate single-bucket case)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark import catalog
+    from data_engineer_8_final_project_spark.operators import sampling
+    from data_engineer_8_final_project_spark.operators.text import token_count
+
+    docs = catalog.load(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = toks.select(
+        "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("st")
+    )
+    for bucket_docs in (7, 64, 10**9):
+        got = sampling.running_token_start(toks, bucket_docs=bucket_docs).select(
+            "doc_id", F.col("_pack_start").alias("st")
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
 def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
