@@ -135,6 +135,46 @@ def pack_sequences(
     )
 
 
+def distributed_row_number(
+    df: DataFrame,
+    sort_cols: tuple[str, ...],
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1..N rank over a total order WITHOUT a single-task window.
+
+    ``row_number() OVER (ORDER BY ...)`` plans as Exchange
+    SinglePartition → one task sorts everything. This is the
+    distributed equivalent: ``repartitionByRange`` on the sort key
+    (partition order == global order), a local row_number per
+    partition, then per-partition row counts — a |partitions|-row
+    aggregate — prefix-summed and broadcast back as offsets. Output is
+    identical for any partition count because ``sort_cols`` must be a
+    total order (tiebreak-complete), which also makes it independent
+    of where the range sampler lands the boundaries.
+    """
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *sort_cols)
+    else:
+        ranged = df.repartitionByRange(*sort_cols)
+    ranged = ranged.withColumn("_rank_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_rank_pid").orderBy(*sort_cols)
+    local = ranged.withColumn("_local_rnk", F.row_number().over(w_local))
+    counts = local.groupBy("_rank_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = (
+        Window.orderBy("_rank_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_rank_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_rank_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_rank_pid")
+        .withColumn(rank_col, (F.col("_local_rnk") + F.col("_rank_offset")).cast("long"))
+        .drop("_rank_pid", "_local_rnk", "_rank_offset")
+    )
+
+
 def stratified_cap_sample(
     documents: DataFrame,
     stratum_col: str = "lang",

@@ -1310,39 +1310,40 @@ def q_order_qty_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="extended: sorted-neighborhood entity resolution (windowed blocking)",
 )
 def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The neighborhood is materialized with lead() over the sort order
-    — each record carries its w successors as columns; no self-join at
-    all (the oracle's rank-band join is the relational statement of the
-    same pairs), and candidate volume is w x n by construction.
+    """Scale-safe sorted-neighborhood, no single-task stage anywhere:
 
-    Scale caveat, stated honestly: an unpartitioned window executes in
-    ONE task. The 100 TB formulation range-partitions on the sort key
-    and overlaps each partition's tail by w rows (mapInPandas or a
-    partition-boundary union) so lead() never crosses tasks; the fixture
-    registration keeps the simple global form because n here is 450."""
+    1. the global rank comes from sampling.distributed_row_number —
+       range-repartition on the sort key, per-partition row_number,
+       broadcast per-partition offsets (the round-2 unpartitioned
+       Window.orderBy ran the whole candidate set through ONE task);
+    2. the w-successor candidate pairs come from a rank-band EQUI-join:
+       bucket = floor((rnk-1) / w) puts every (a, b) with
+       a.rnk < b.rnk <= a.rnk + w in a's bucket or the next one, so two
+       bucket-keyed joins (same bucket, bucket+1) + the band filter
+       enumerate exactly the oracle's rank-band pairs — candidate
+       volume stays w x n and the join key is uniformly distributed by
+       construction.
+    Levenshtein verifies only inside the w-neighborhood, as before."""
+    from ..operators import sampling as smp
+
     t = tables_for(spark, sf_dir)
-    w = Window.orderBy("c_name", "c_custkey")
-    c = (
-        t["customer"]
-        .filter(F.col("c_custkey") % 10 < 3)
-        .select("c_custkey", "c_name")
-        .withColumn("rnk", F.row_number().over(w))
+    w = 3
+    ranked = smp.distributed_row_number(
+        t["customer"].filter(F.col("c_custkey") % 10 < 3).select("c_custkey", "c_name"),
+        sort_cols=("c_name", "c_custkey"),
+    ).withColumn("bkt", F.floor((F.col("rnk") - 1) / w))
+    a = ranked.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+        F.col("rnk").alias("rnk_a"), F.col("bkt").alias("bkt_a"),
     )
-    neighbors = c.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
-        *[F.lead("c_custkey", i).over(w).alias(f"k{i}") for i in range(1, 4)],
-        *[F.lead("c_name", i).over(w).alias(f"n{i}") for i in range(1, 4)],
+    b = ranked.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
+        F.col("rnk").alias("rnk_b"), F.col("bkt").alias("bkt_b"),
     )
-    pairs = None
-    for i in range(1, 4):
-        leg = neighbors.select(
-            "key_a",
-            "name_a",
-            F.col(f"k{i}").alias("key_b"),
-            F.col(f"n{i}").alias("name_b"),
-        ).filter(F.col("key_b").isNotNull())
-        pairs = leg if pairs is None else pairs.unionByName(leg)
+    band = (F.col("rnk_b") > F.col("rnk_a")) & (F.col("rnk_b") <= F.col("rnk_a") + w)
+    pairs = a.join(b, (F.col("bkt_b") == F.col("bkt_a")) & band).unionByName(
+        a.join(b, (F.col("bkt_b") == F.col("bkt_a") + 1) & band)
+    )
     return (
         pairs.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)

@@ -222,6 +222,40 @@ def test_sequence_packing_two_level_prefix_sum_matches_global_window(spark, sf_d
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_sorted_neighborhood_has_no_single_task_stage(q):
+    """ER blocking: the global rank must be the distributed form
+    (range repartition + pid-partitioned local window + broadcast
+    offsets) and pair production a bucket equi-join — never the
+    round-2 unpartitioned Window.orderBy (one task) or a nested-loop
+    fallback on the rank-band predicate."""
+    df = q("sorted_neighborhood_pairs")
+    plan = PI.explain_string(df)
+    assert "hashpartitioning(_rank_pid" in plan  # local rank window, many tasks
+    assert "rangepartitioning(c_name" in plan  # sort-order-preserving spread
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_distributed_row_number_matches_global_window(spark, sf_dir):
+    """The distributed rank must equal row_number() OVER (ORDER BY ...)
+    bit-for-bit at any partition count (incl. 1, the degenerate case)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark import catalog
+    from data_engineer_8_final_project_spark.operators import sampling
+
+    c = catalog.load(spark, sf_dir)["customer"].select("c_custkey", "c_name")
+    want = c.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("c_name", "c_custkey")).cast("long")
+    )
+    for parts in (1, 5, 16):
+        got = sampling.distributed_row_number(
+            c, sort_cols=("c_name", "c_custkey"), num_partitions=parts
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     """Runtime row-level filtering: a selective dim-side predicate must
     inject a bloom_filter_agg / might_contain pair onto the fact scan
