@@ -214,4 +214,28 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:label_centroids",
         "test:tests/test_extended_ops.py::test_apply_in_pandas_centroids_match_native",
     ],
+    # --- round 3 additions ---
+    "dedup-clustering-twostar": [
+        "query:dup_clusters_twostar",
+        "test:tests/test_extended_ops.py::test_twostar_converges_on_deep_chain_where_minlabel_cannot",
+    ],
+    "ivf-lloyd-refinement": [
+        "test:tests/test_extended_ops.py::test_ivf_lloyd_refinement_recall_at_least_seeded"
+    ],
+    "multimodal-decode-real": [
+        "test:tests/test_multimodal.py::test_decode_media_real_pil_path"
+    ],
+    "distributed-rank": [
+        "test:tests/test_plans.py::test_distributed_row_number_matches_global_window",
+        "query:vocab_build",
+    ],
+    "tpch-q2-shape": ["query:cheapest_part_per_brand"],
+    "tpch-q8-shape": ["query:market_share_by_year"],
+    "tpch-q9-shape": ["query:product_profit_by_nation_year"],
+    "tpch-q19-shape": ["query:disjunctive_pred_revenue"],
+    "tpch-q20-shape": ["query:excess_shipped_suppliers"],
+    "ngram-decontamination": ["query:ngram_decontamination"],
+    "vocab-build": ["query:vocab_build"],
+    "tfidf-terms": ["query:tfidf_topk_terms"],
+    "lang-mixture-weights": ["query:lang_mixture_weights"],
 }

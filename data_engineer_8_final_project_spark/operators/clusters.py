@@ -86,3 +86,96 @@ def connected_components(
     out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out
+
+
+def connected_components_twostar(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Large-star/small-star connected components → (doc_id, cluster_id).
+
+    Same interface and same unique fixpoint as
+    :func:`connected_components`, different iteration: alternating
+    large-star (every vertex points its LARGER neighbors at the min of
+    its neighborhood) and small-star (every vertex re-points its
+    smaller neighbors and itself at their min) rounds, per Kiveris et
+    al., "Connected Components in MapReduce and Beyond" (SOCC'14).
+    Min-label propagation needs rounds = component diameter — fine for
+    near-dup cliques (2-3), pathological for chain-shaped components;
+    two-star contracts path graphs in O(log n) rounds, so it's the
+    swap-in when components may be long and thin (e.g. transitive
+    similarity chains). Each round is two join+min-agg passes over the
+    edge list — key-partitioned shuffles only; the per-round distinct
+    keeps the edge set from ballooning past the star graphs it
+    converges to.
+    """
+    # localCheckpoint (not persist) every generation: each round
+    # references the previous edge set several times (union with its
+    # swap, plus the min side), so the LOGICAL plan doubles per round —
+    # persist caches data but still canonicalizes the full lineage,
+    # which stack-overflows Catalyst after ~8 rounds. Checkpointing
+    # truncates the plan to the materialized blocks.
+    e = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe = e.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
+    ).collect()[0]
+    state = (probe["n"], probe["s"])
+    for _ in range(max_iters):
+        # large-star: under each u, all neighbors (both directions);
+        # larger neighbors re-attach to m = min(neighborhood ∪ {u})
+        nbr = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            nbr.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        big = (
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: smaller neighbors AND u itself re-attach to the
+        # min of the smaller neighborhood
+        nbr2 = big.unionByName(
+            big.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        sm = nbr2.filter(F.col("v") < F.col("u"))
+        m2 = sm.groupBy("u").agg(F.min("v").alias("mv"))
+        new_e = (
+            sm.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .unionByName(m2.select("u", F.col("mv").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        probe = new_e.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
+        ).collect()[0]
+        e = new_e
+        if (probe["n"], probe["s"]) == state:
+            break
+        state = (probe["n"], probe["s"])
+    # fixpoint edge set is a union of stars rooted at component minima:
+    # every vertex's label = min(itself, its min neighbor)
+    min_nbr = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.min("v").alias("mv"))
+    )
+    labels = (
+        vertices.join(min_nbr, vertices.doc_id == min_nbr.u, "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("mv", F.col("doc_id"))).alias("cluster_id"),
+        )
+    )
+    return labels.localCheckpoint(eager=True)

@@ -161,13 +161,15 @@ def sample_frames(
 def decode_media(media: DataFrame, *, deterministic_fake: bool = False) -> DataFrame:
     """Decode payloads to pixel/sample dimensions.
 
-    STUB: real decoding needs codec libraries (PIL / soundfile / ffmpeg)
-    that are not in this container — calling without
-    ``deterministic_fake=True`` raises ``NotImplementedError``. The fake
-    path derives width/height/channels deterministically from payload
-    bytes so the mapInPandas plumbing (batch shape, schema, partition
-    independence) is exercised by tests exactly as a real decoder
-    would be.
+    Dispatch: with ``deterministic_fake=True`` the fake decoder derives
+    width/height/channels from payload bytes so the mapInPandas
+    plumbing (batch shape, schema, partition independence) is
+    exercised exactly as a real decoder would be. Otherwise the REAL
+    path runs — PIL decodes each payload inside the same Arrow-batched
+    stage (undecodable payloads yield NULL dims rather than failing
+    the task, the quarantine-not-crash rule for dirty corpora) — and
+    only if PIL is absent from the environment does the call raise
+    ``NotImplementedError`` (the container-forced stub case).
     """
     if not deterministic_fake:
         try:
@@ -178,6 +180,32 @@ def decode_media(media: DataFrame, *, deterministic_fake: bool = False) -> DataF
                 "not present in this environment; pass deterministic_fake=True "
                 "for the test decoder"
             ) from exc
+
+        def pil_decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            from io import BytesIO
+
+            import pandas as pd
+            from PIL import Image
+
+            for pdf in batches:
+                rows: list[tuple] = []
+                for doc_id, media_type, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]
+                ):
+                    b = bytes(payload) if payload is not None else b""
+                    try:
+                        with Image.open(BytesIO(b)) as img:
+                            w, h = img.size
+                            rows.append((doc_id, media_type, w, h, len(img.getbands())))
+                    except Exception:
+                        rows.append((doc_id, media_type, None, None, None))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "media_type", "width", "height", "n_channels"]
+                )
+
+        return media.select("doc_id", "media_type", "payload").mapInPandas(
+            pil_decode, DECODE_SCHEMA
+        )
 
     def fake_decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -118,6 +118,57 @@ def cosine_near_dup_pairs(
     )
 
 
+def _cell_structs(v: Column, cents: list[tuple[int, list[float]]]) -> list[Column]:
+    """(reduced-distance, cell-id) structs for every centroid — the
+    argmin building block shared by assignment, probing and Lloyd
+    refinement. ``dot(c,c)`` folds to a Python float in the same
+    left-to-right order as ``_dot``, keeping argmins bit-reproducible."""
+    out = []
+    for cell_id, cv_list in cents:
+        cv = F.array(*[F.lit(x) for x in cv_list])
+        c2 = 0.0
+        for x in cv_list:
+            c2 += x * x
+        d2 = F.lit(-2.0) * _dot(v, cv) + F.lit(c2)
+        out.append(F.struct(d2.alias("d2"), F.lit(cell_id).alias("cell")))
+    return out
+
+
+def refine_centroids_lloyd(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int = 2,
+    decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Refine IVF centroids with k-means (Lloyd) rounds.
+
+    Each round: assign every vector to its nearest centroid (inlined
+    literals — per-row expression, zero shuffle), then take the
+    per-cell coordinate means via posexplode + avg (one uniform-key
+    aggregation; the n_cells × dim result is a bounded model
+    parameter, collected like the seeds). Means round to ``decimals``
+    so float summation order cannot leak into downstream assignments.
+    Empty cells keep their previous centroid. Cell ids stay the seed
+    ids — stable identifiers across refinement.
+    """
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "cell", F.least(*_cell_structs(F.col("v"), cents)).getField("cell")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), decimals).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("v"))
+            .collect()
+        )
+        new = {r["cell"]: list(r["v"]) for r in means}
+        cents = [(cid, new.get(cid, v)) for cid, v in cents]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -125,14 +176,16 @@ def ivf_topk(
     n_probe: int = 4,
     k: int = 10,
     decimals: int = 6,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat ANN top-k: coarse-quantize into ``n_cells`` Voronoi
     cells, search only the ``n_probe`` cells nearest the query.
 
     Centroids are the ``n_cells`` lowest-``vec_id`` vectors — seeded
     medoids, fully deterministic, so the cell assignment is replayable
-    by any engine (production would refine them with a few Lloyd
-    rounds; the interface doesn't change). The centroid table is a
+    by any engine; ``lloyd_iters > 0`` refines them with k-means
+    rounds (:func:`refine_centroids_lloyd`) for better-shaped cells at
+    the same query cost. The centroid table is a
     bounded model parameter (k rows), so it is collected and inlined as
     literals: cell assignment becomes a pure per-row expression —
     **zero shuffle, zero join** — and the plan is one scan + a
@@ -152,26 +205,24 @@ def ivf_topk(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     # bounded collect: n_cells centroid rows are model parameters, not data
-    cents = emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+    if lloyd_iters:
+        # optional k-means refinement (default off: the seeded-medoid
+        # path is what the SQL oracle replays)
+        cents = refine_centroids_lloyd(emb, cents, iters=lloyd_iters, decimals=decimals)
 
-    def cell_structs(v: Column) -> list[Column]:
-        out = []
-        for c in cents:
-            cv = F.array(*[F.lit(x) for x in c["v"]])
-            c2 = 0.0
-            for x in c["v"]:
-                c2 += x * x  # same left-to-right order as _dot / list_dot_product
-            d2 = F.lit(-2.0) * _dot(v, cv) + F.lit(c2)
-            out.append(F.struct(d2.alias("d2"), F.lit(c["vec_id"]).alias("cell")))
-        return out
-
-    assigned_cell = F.least(*cell_structs(F.col("v"))).getField("cell")
+    assigned_cell = F.least(*_cell_structs(F.col("v"), cents)).getField("cell")
     probe = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(
             F.col("v").alias("qv"),
             F.explode(
-                F.slice(F.sort_array(F.array(*cell_structs(F.col("v")))), 1, n_probe)
+                F.slice(
+                    F.sort_array(F.array(*_cell_structs(F.col("v"), cents))), 1, n_probe
+                )
             ).alias("pc"),
         )
         .select("qv", F.col("pc.cell").alias("cell"))

@@ -1399,3 +1399,237 @@ def q_status_reconciliation_nullsafe(spark: SparkSession, sf_dir: str) -> DataFr
         .select(o["sk"].alias("status_key"), "n_orders", "n_lines")
         .orderBy(F.asc_nulls_first("status_key"))
     )
+
+
+@register(
+    "cheapest_part_per_brand",
+    oracle="""
+    -- TPC-H Q2 shape: correlated groupwise-MIN subquery decorrelated
+    -- into a per-group aggregate joined back on (group, min-equality).
+    -- (The fixture has no partsupp table, so the group is brand and
+    -- the measure retailprice — the decorrelation shape is identical.)
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+    survey_ref="§2.3/§2.4 widening: TPC-H Q2 shape (correlated groupwise min)",
+)
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated scalar subquery decorrelates to one brand-keyed
+    min aggregate (bounded: one row per brand) broadcast back against
+    the table — one scan + one tiny join, never a per-row subquery."""
+    t = tables_for(spark, sf_dir)
+    mins = t["part"].groupBy(F.col("p_brand").alias("mb")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        t["part"]
+        .join(
+            F.broadcast(mins),
+            (F.col("p_brand") == F.col("mb"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@register(
+    "market_share_by_year",
+    oracle="""
+    -- TPC-H Q8 shape: a conditional share inside the aggregate — one
+    -- nation's fraction of total shipped volume per order year.
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN n.n_name = 'NATION_3'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    survey_ref="§2.4 widening: TPC-H Q8 shape (conditional share aggregate)",
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerator and denominator are two conditional sums in ONE
+    aggregation pass (never two scans + a join); nation broadcasts,
+    supplier/orders join on their uniform fact keys."""
+    t = tables_for(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_profit_by_nation_year",
+    oracle="""
+    -- TPC-H Q9 shape: multi-join derived-measure rollup by (nation,
+    -- year). The fixture has no partsupp/supplycost, so cost is proxied
+    -- at 90% of retail — the join/rollup shape is Q9's.
+    -- profit accumulates in integer cents (round per row, SUM exact,
+    -- divide once): a double SUM's order-dependent error can straddle
+    -- a half-cent boundary and diverge between engines.
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                     - 0.9 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT))
+                AS BIGINT) / 100.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    survey_ref="§2.3/§2.4 widening: TPC-H Q9 shape (profit rollup, 5-way join)",
+)
+def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selective p_type filter lands on the part scan (pushdown)
+    BEFORE its join, shrinking the fact stream early; nation broadcasts;
+    the rollup groups a bounded (nation x year) grid."""
+    t = tables_for(spark, sf_dir)
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.9 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_type") == "PROMO")
+              .select("p_partkey", "p_retailprice"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_cents) / 100.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "disjunctive_pred_revenue",
+    oracle="""
+    -- TPC-H Q19 shape: OR-of-conjuncts over two tables — the classic
+    -- pushdown test (each disjunct mixes part and lineitem columns; the
+    -- common part-key join must still be recognized as an equi-join).
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey_ref="§2.2 widening: TPC-H Q19 shape (disjunctive mixed-table predicates)",
+)
+def q_disjunctive_pred_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst extracts the common l_partkey = p_partkey conjunct so
+    the join stays equi (no nested-loop fallback), and derives a
+    partial part-side filter (brand IN ...) pushed to the part scan;
+    the residual OR evaluates post-join. Single-row result."""
+    t = tables_for(spark, sf_dir)
+    p, li = t["part"], t["lineitem"]
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#17") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "excess_shipped_suppliers",
+    oracle="""
+    -- TPC-H Q20 shape: nested aggregate inside an IN chain — suppliers
+    -- who shipped an outsized quantity of some PROMO part in 1997.
+    -- (No partsupp/availqty in the fixture; the per-(supplier, part)
+    -- HAVING aggregate plays availqty's role — same decorrelation.)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 50
+    )
+    ORDER BY s.s_suppkey
+    """,
+    survey_ref="§2.3 widening: TPC-H Q20 shape (nested agg -> semi join chain)",
+)
+def q_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-to-outer: part filter pushed to its scan -> (suppkey,
+    partkey)-keyed quantity rollup -> HAVING -> distinct suppliers as a
+    LEFT SEMI join against the supplier dim. Every shuffle keys on
+    uniform fact keys; the semi probe side is the small aggregate."""
+    t = tables_for(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -1,0 +1,241 @@
+"""Round-3 corpus-pipeline queries: decontamination, vocabulary,
+TF-IDF, mixture weights.
+
+The remaining plumbing a pre-training corpus pipeline runs that the
+round-2 training layer didn't cover: train/test n-gram decontamination
+(the eval-integrity gate), frequency-ranked vocabulary construction,
+per-document TF-IDF salient terms, and language-mixture reweighting.
+All pure built-ins over uniform keys (gram hash / token / lang), each
+with a value-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import sampling, text
+from ..registry import register, tables_for
+
+_DUCK_TOKENS = "string_split(trim(text), ' ')"
+#: 5-token shingles (the fixture docs are ~40 tokens; real
+#: decontamination uses 13-grams — same plan, different n).
+_DUCK_SHINGLES5 = (
+    "list_transform(range(1, greatest(len(t)-4, 0)+1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])"
+)
+_DUCK_SPLIT = (
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 100 < 80 THEN 'train' WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR))"
+    ", 1, 15)) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "ngram_decontamination",
+    oracle=f"""
+    -- Train/test decontamination: a test document is contaminated when
+    -- any of its 5-gram shingles also occurs in ANY train document —
+    -- the standard eval-integrity gate (13-grams at production n).
+    -- Grams compare by md5 so the join key is fixed-width.
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_SPLIT} AS split, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split, md5(unnest(list_distinct({_DUCK_SHINGLES5}))) AS h
+      FROM toks
+    ),
+    train_grams AS (SELECT DISTINCT h FROM grams WHERE split = 'train'),
+    test_grams AS (SELECT doc_id, h FROM grams WHERE split = 'test')
+    SELECT tg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+    FROM test_grams tg LEFT JOIN train_grams t ON tg.h = t.h
+    GROUP BY tg.doc_id
+    ORDER BY tg.doc_id
+    """,
+    survey_ref="extended: train/test n-gram decontamination gate",
+)
+def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: grams hash to fixed-width md5 keys before the join
+    (the text never shuffles); the train side is a DISTINCT gram set —
+    gram-keyed uniform shuffles throughout, and the left join marks
+    hits without ever materializing pairs. At 100 TB both sides
+    partition by gram hash; Zipf-hot grams are exactly what AQE skew
+    handling splits."""
+    t = tables_for(spark, sf_dir)
+    split = sampling.hash_split(t["documents"]).select("doc_id", "split")
+    grams = (
+        t["documents"]
+        .join(split, "doc_id")
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(text.shingles("text", 5))).alias("g"),
+        )
+        .select("doc_id", "split", F.md5("g").alias("h"))
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("h").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("split") == "test")
+        .join(train_grams, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_hits"),
+            (F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "vocab_build",
+    oracle=f"""
+    -- Frequency-ranked vocabulary: tokens with corpus count >= 5, ids
+    -- assigned by (count DESC, token) — the tiebreak-complete total
+    -- order every tokenizer build step needs to be reproducible.
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+      GROUP BY token HAVING COUNT(*) >= 5
+    )
+    SELECT token, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS vocab_id
+    FROM counts
+    ORDER BY vocab_id
+    """,
+    survey_ref="extended: frequency-ranked vocabulary construction",
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts are one uniform-key aggregation; the global rank
+    uses sampling.distributed_row_number (range repartition + local
+    rank + broadcast offsets) — a natural-language vocabulary is small,
+    but a byte-BPE/URL/code vocabulary at 100 TB is not, and the rank
+    must never serialize it through one task."""
+    t = tables_for(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .withColumn("_neg_n", -F.col("n"))
+    )
+    return (
+        sampling.distributed_row_number(
+            counts, sort_cols=("_neg_n", "token"), rank_col="vocab_id"
+        )
+        .select("token", "n", "vocab_id")
+        .orderBy("vocab_id")
+    )
+
+
+@register(
+    "tfidf_topk_terms",
+    oracle=f"""
+    -- Top-3 salient terms per document by TF-IDF (ln N/df), ranked
+    -- with a tiebreak-complete (score DESC, term) order.
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, tf, tfidf
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+    survey_ref="extended: per-document TF-IDF salient terms",
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, term) term frequencies feed both the document-frequency
+    aggregate and the scoring join — term-keyed uniform shuffles; the
+    corpus size is a 1-row broadcast aggregate (lazy, off the driver);
+    the per-document top-3 window partitions by doc_id, so ranking
+    scales with documents, not corpus size."""
+    t = tables_for(spark, sf_dir)
+    tok = t["documents"].select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t["documents"].agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "term")
+    )
+
+
+@register(
+    "lang_mixture_weights",
+    oracle="""
+    -- Language-mixture reweighting: per-language sampling weight that
+    -- moves the corpus to a uniform target mix (weight = target share
+    -- / actual share) — the knob for rebalancing under/over-
+    -- represented languages before training.
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS n_langs
+      FROM c
+    )
+    SELECT lang, n_docs,
+           ROUND(n_docs / (SELECT total FROM tot), 6) AS actual_share,
+           ROUND((SELECT total FROM tot) / ((SELECT n_langs FROM tot) * n_docs), 6)
+             AS weight
+    FROM c
+    ORDER BY lang
+    """,
+    survey_ref="extended: language-mixture reweighting (target-share sampling weights)",
+)
+def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lang-keyed count aggregation; the totals are a 1-row
+    broadcast aggregate over the (tiny) per-lang counts. Nothing else
+    moves — the weights table is what a sampler joins back against the
+    corpus, broadcast."""
+    t = tables_for(spark, sf_dir)
+    c = t["documents"].groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = c.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_share"),
+            F.round(
+                F.col("total") / (F.col("n_langs") * F.col("n_docs")), 6
+            ).alias("weight"),
+        )
+        .orderBy("lang")
+    )

@@ -232,7 +232,9 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_pairs",
     oracle=None,  # approximate (hash-bucket recall) — rows-only check
     survey_ref="extended: MinHash-LSH near-dup (scale path)",
-    tags=("bench",),
+    # not in the bench set (VERDICT r2 item 6): un-oracled, and the
+    # fully-oracled minhash_native_pairs construction benches the same
+    # tier strictly faster; recall gate lives in tests/test_dedup.py
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)

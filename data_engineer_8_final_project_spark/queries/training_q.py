@@ -224,6 +224,26 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_clusters_twostar",
+    oracle=_dup_clusters_oracle(min_jaccard=0.5),
+    survey_ref="extended: connected components, large-star/small-star variant",
+)
+def q_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dup_clusters (identical oracle — the fixpoint
+    is unique), computed with the large-star/small-star iteration:
+    rounds bounded ~log n even for chain-shaped components where
+    min-label propagation needs rounds = diameter. The pytest chain
+    gate (test_extended_ops) proves the bound on a path graph deeper
+    than min-label's iteration cap."""
+    t = tables_for(spark, sf_dir)
+    edges = dedup.jaccard_candidate_pairs(
+        t["documents"], shingle_n=3, min_shared=2, max_df=100
+    ).filter(F.col("jaccard") >= 0.5)
+    verts = t["documents"].select("doc_id")
+    return clusters.connected_components_twostar(verts, edges).orderBy("doc_id")
+
+
+@register(
     "dedup_stream",
     oracle="""
     -- Streaming exact dedup drained over the replay == batch DISTINCT

@@ -104,7 +104,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- implementation changed in round 3 → re-prove (2) ----
     "training_manifest",  # packing stage rewritten (two-level prefix sum)
     "dup_clusters",  # connected-components iteration changes
-    # ---- new round-3 queries (uncommented as implemented) ----
+    # ---- new round-3 queries ----
+    "dup_clusters_twostar",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "ngram_decontamination",
+    "vocab_build",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
     # ---- re-verify slots (already green; heaviest/changed plans) ----
     "standings",
     "revenue_by_nation",  # r2 bench regression under A/B this round
@@ -114,6 +124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "reference_standings",
     "matches_clean",
     "html_matches_extract",
+    # ---- driver window boundary (50) ----
     "scalar_cleaning_suite",
     "events_hourly_stream",
     "events_sliding_stream",
@@ -124,7 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "view_click_stream_join",
     "clicks_last_error",
     "purchases_in_sessions",
-    # ---- driver window boundary (50) ----
     # all below carry green r1/r2 driver rows (or, for
     # minhash_lsh_pairs, can never go green — no SQL oracle) and stay
     # parity-gated locally at sf0.01.
@@ -190,6 +200,7 @@ def all_queries() -> dict[str, Query]:
     # Import for side effects: each module registers its queries.
     from .queries import (  # noqa: F401
         core,
+        corpus_q,
         extended,
         flagship,
         multimodal_q,

@@ -90,3 +90,71 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     approx = set(reg["ivf_ann_topk"].fn(spark, sf_dir).toPandas()["vec_id"])
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.2f} < 0.8"
+
+
+def test_twostar_converges_on_deep_chain_where_minlabel_cannot(spark):
+    """A path graph of depth 60 has diameter ≫ min-label's default
+    iteration cap (10 rounds); large-star/small-star must still reach
+    the exact fixpoint (everything labeled 0) within its ~log n bound —
+    the property that makes it the swap-in for long thin components."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    n = 61
+    verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    got = clusters.connected_components_twostar(verts, edges, max_iters=12).toPandas()
+    assert len(got) == n
+    assert (got["cluster_id"] == 0).all()
+
+
+def test_twostar_matches_minlabel_on_mixed_graph(spark):
+    """Both iterations reach the same unique fixpoint on a graph mixing
+    cliques, a chain, and singletons."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    pairs = (
+        [(1, 2), (2, 3), (1, 3)]          # clique
+        + [(10, 11), (11, 12), (12, 13)]  # chain
+        + [(20, 21)]                      # pair
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in sorted({v for p in pairs for v in p} | {99})], "doc_id long"
+    )
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    a = clusters.connected_components(verts, edges).toPandas().sort_values("doc_id")
+    b = (
+        clusters.connected_components_twostar(verts, edges)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_ivf_lloyd_refinement_recall_at_least_seeded(spark, sf_dir):
+    """Lloyd-refined centroids must not lose recall vs the seeded
+    medoids at equal n_probe (better-shaped cells concentrate true
+    neighbors into fewer probes). The refined path is flag-gated; the
+    registered query keeps the seeded, oracle-replayable centroids."""
+    from data_engineer_8_final_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = set(
+        similarity.brute_force_topk(emb, query_vec_id=0, k=10).toPandas()["vec_id"]
+    )
+
+    def recall(lloyd_iters):
+        got = set(
+            similarity.ivf_topk(
+                emb, query_vec_id=0, n_cells=16, n_probe=4, k=10, lloyd_iters=lloyd_iters
+            ).toPandas()["vec_id"]
+        )
+        return len(exact & got) / len(exact)
+
+    r_seed, r_lloyd = recall(0), recall(2)
+    assert r_lloyd >= r_seed, f"lloyd recall {r_lloyd:.2f} < seeded {r_seed:.2f}"

@@ -64,3 +64,32 @@ def test_fake_decode_deterministic_across_partitioning(spark):
              media.repartition(7), deterministic_fake=True).collect()}
     assert a == b
     assert all(16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 4 for w, h, c in a.values())
+
+
+def test_decode_media_real_pil_path(spark):
+    """When PIL is importable the real decoder runs: true pixel dims for
+    valid images, NULL dims (not a task failure) for undecodable
+    payloads. Skips where the container forces the stub."""
+    PIL = pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    def png(w, h, mode="RGB"):
+        buf = BytesIO()
+        Image.new(mode, (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", bytearray(png(20, 10))),
+        (2, "image", bytearray(png(7, 5, mode="L"))),
+        (3, "image", bytearray(b"not an image")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["n_channels"])
+        for r in multimodal.decode_media(media).collect()
+    }
+    assert got[1] == (20, 10, 3)
+    assert got[2] == (7, 5, 1)
+    assert got[3] == (None, None, None)
