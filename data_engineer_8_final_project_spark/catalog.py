@@ -14,13 +14,53 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from .schemas import EVENTS_RAW_NANOS, FIXTURE_SCHEMAS
+from .schemas import FIXTURE_SCHEMAS
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 TABLE_NAMES = tuple(FIXTURE_SCHEMAS)
+
+#: (resolved path, mtime_ns) pairs already footer-checked this process.
+_format_checked: set[tuple[str, int]] = set()
+
+
+def _assert_events_ts_format(path: str) -> None:
+    """Tripwire: fail LOUDLY if the events fixture's physical ``ts``
+    encoding ever changes again.
+
+    The fixture encoding silently moved from INT64-nanoseconds to
+    parquet TIMESTAMP(µs) between driver rounds, and the then-current
+    nanos read path kept "working" while collapsing every event onto
+    1970-01-20 — wrong answers, no error. A one-footer-read assertion
+    converts that failure mode into an immediate, explained crash.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(target):  # directory-of-parts form of the fixture
+        parts = sorted(
+            f for f in os.listdir(target) if f.endswith(".parquet")
+        )
+        if not parts:
+            return  # let Spark raise its own empty-source error
+        target = os.path.join(target, parts[0])
+    key = (os.path.abspath(target), os.stat(target).st_mtime_ns)
+    if key in _format_checked:
+        return
+    ts_type = pq.ParquetFile(target).schema_arrow.field("ts").type
+    if ts_type not in (pa.timestamp("us"), pa.timestamp("us", "UTC")):
+        raise RuntimeError(
+            f"events fixture {target!r} stores ts as {ts_type} — this engine "
+            "expects parquet TIMESTAMP(us) (read as TimestampType under the "
+            "UTC session-timezone pin). The fixture encoding has changed; "
+            "update catalog.load_table/schemas.EVENTS deliberately instead "
+            "of letting a stale read path produce silently wrong timestamps "
+            "(pre-round-5 the fixture was INT64-nanos and a leftover "
+            "`ts div 1000` read collapsed all events onto 1970-01-20)."
+        )
+    _format_checked.add(key)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,12 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # ts is stored as INT64 nanos (schemas.EVENTS_RAW_NANOS) — read
-        # raw and truncate to µs, matching DuckDB's timestamp precision.
-        # Integral `div`, NOT float `/`: epoch-nanos exceed 2^53, so
-        # double division drifts the low microsecond (±1µs off-by-one).
-        raw = spark.read.schema(EVENTS_RAW_NANOS).parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _assert_events_ts_format(path)
     return spark.read.schema(FIXTURE_SCHEMAS[name]).parquet(path)
 
 

@@ -59,8 +59,8 @@ def bucketed_range_join(
     name collisions other than ``key`` must be resolved by the caller.
     """
     step_us = step_minutes * 60 * 1_000_000
-    # integral div (not float / + cast): same 2^53 discipline as the
-    # nanos→micros conversion in catalog.py
+    # integral div (not float / + cast): epoch-micros exceed 2^53 ÷
+    # nothing, but the bucket math must be exact, not rounded
     p = points.withColumn("_b", F.expr(f"unix_micros({ts}) div {step_us}"))
     i = intervals.withColumn(
         "_b",

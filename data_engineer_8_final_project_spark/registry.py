@@ -58,90 +58,40 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 #:
-#: Round-3 rotation (VERDICT r2 item 1): rounds 1+2 accumulated green
-#: driver rows for 68 of the 99 round-2 queries; the 30 that had
-#: NEVER received a driver CORRECTNESS row now occupy the head of the
-#: window. The rest of the window holds (a) queries whose
-#: implementation changed this round (must be re-proven), and (b) new
-#: round-3 queries. Demoted tail queries all carry green r1/r2 driver
-#: rows and stay oracle-gated locally via the parity harness.
+#: Round-5 rotation (VERDICT r4 item 3): the events fixture's ts
+#: encoding changed between rounds and the engine's read path was fixed
+#: this round — so EVERY query whose output depends on event timestamps
+#: needs a fresh driver row. The window head holds the 14
+#: events-family queries (5 red in r4 + 9 whose r1/r2 green rows
+#: predate the fixture change and are evidence for nothing). The
+#: remaining 36 slots refresh queries whose most recent green row is
+#: r1/r2. All 45 r4 greens carry fresh evidence and rotate to the
+#: tail, where the local sf0.01 parity harness still oracle-gates them.
 #: ``minhash_lsh_pairs`` is deliberately OUT of the window: it has no
 #: SQL oracle (pyspark.ml's internal hashes) so it can never go green
 #: in a driver row; its recall gate lives in tests/test_dedup.py and
 #: the fully-oracled ``minhash_native_pairs`` construction stays in.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- never driver-verified before round 3 (30) ----
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "events_json_extract",
+    # ---- events-family: ts read fixed this round → re-prove (14) ----
     "events_hourly",
     "events_sliding",
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "latest_event_snapshot",
-    "events_by_segment_stream",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
     "events_hourly_gapfill",
+    "latest_event_snapshot",
     "events_trailing_hour_window",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    # ---- implementation changed in round 3 → re-prove (2) ----
-    "training_manifest",  # packing stage rewritten (two-level prefix sum)
-    "dup_clusters",  # connected-components iteration changes
-    # ---- new round-3 queries ----
-    "dup_clusters_twostar",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    "ngram_decontamination",
-    "vocab_build",
-    "tfidf_topk_terms",
-    "lang_mixture_weights",
-    # ---- re-verify slots (already green; heaviest/changed plans) ----
-    "standings",
-    "revenue_by_nation",  # r2 bench regression under A/B this round
-    "simhash_near_dup",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    "reference_standings",
-    "matches_clean",
-    "html_matches_extract",
-    # ---- driver window boundary (50) ----
-    "scalar_cleaning_suite",
     "events_hourly_stream",
     "events_sliding_stream",
-    "user_totals_stateful",
-    "standings_stream",
-    "event_sessions",
     "events_session_stream",
-    "view_click_stream_join",
-    "clicks_last_error",
-    "purchases_in_sessions",
-    # all below carry green r1/r2 driver rows (or, for
-    # minhash_lsh_pairs, can never go green — no SQL oracle) and stay
-    # parity-gated locally at sf0.01.
     "events_time_rollup",
+    "event_sessions",
+    "purchases_in_sessions",
+    "clicks_last_error",
+    "user_totals_stateful",
+    "view_click_stream_join",
+    # ---- last green row is r1/r2 → refresh evidence (36) ----
+    "scalar_cleaning_suite",
+    "standings_stream",
     "dedup_exact",
     "jaccard_near_dup",
-    "minhash_lsh_pairs",  # no_oracle by nature — recall-gated in pytest
     "embedding_topk",
     "embedding_near_dup_pairs",
     "lsh_near_dup_pairs",
@@ -168,21 +118,71 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_customers_per_nation",
     "rollup_region_nation",
     "distinct_customers_salted",
-    "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline
-    "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints
-    "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
-    "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
-    "returned_items",  # join+agg ⊂ revenue_by_nation/pricing_summary
-    "order_gaps_lag",  # lag window ⊂ event_sessions sessionization
-    "group_count",  # ⊂ pricing_summary (A1 ⊂ A2)
-    "group_sum_multi",  # ⊂ pricing_summary
-    "top_orders",  # ⊂ shipping_priority (O1/O2)
-    "custkey_set_ops",  # U1 also in standings legs
     "promo_revenue_share",
     "price_quantiles",
     "pivot_qty_by_status",
     "order_value_quartiles",
     "unpivot_order_metrics",
+    "returned_items",  # r7 perf A/B this round — keep its row fresh too
+    # ---- driver window boundary (50) ----
+    # all below carry green r4 driver rows (or, for minhash_lsh_pairs,
+    # can never go green — no SQL oracle) and stay parity-gated locally
+    # at sf0.01.
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "events_json_extract",
+    "doc_unigram_logprob",
+    "dedup_stream",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "events_by_segment_stream",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "training_manifest",
+    "dup_clusters",
+    "dup_clusters_twostar",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "ngram_decontamination",
+    "vocab_build",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
+    "standings",
+    "revenue_by_nation",
+    "simhash_near_dup",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "reference_standings",
+    "matches_clean",
+    "html_matches_extract",
+    "minhash_lsh_pairs",  # no_oracle by nature — recall-gated in pytest
+    "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline
+    "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints
+    "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
+    "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
+    "order_gaps_lag",  # lag window ⊂ event_sessions sessionization
+    "group_count",  # ⊂ pricing_summary (A1 ⊂ A2)
+    "group_sum_multi",  # ⊂ pricing_summary
+    "top_orders",  # ⊂ shipping_priority (O1/O2)
+    "custkey_set_ops",  # U1 also in standings legs
     "orders_by_month",  # F6/F11 ⊂ matches_clean
     "day_name_dimension",  # F2 ⊂ matches_clean
     "season_year_inference",  # F4 ⊂ matches_clean

@@ -138,6 +138,15 @@ LINEITEM = T.StructType(
     ]
 )
 
+#: Events table — one definition, shared by batch readers, streaming
+#: readers (file replay and Kafka JSON decode), and createDataFrame in
+#: tests. The fixture stores ``ts`` as parquet TIMESTAMP(µs, NTZ);
+#: reading it as TimestampType is oracle-correct ONLY under the UTC
+#: session-timezone pin (session.py) — the same convention orders and
+#: lineitem use, and the one DuckDB hashes against. catalog.load_table
+#: asserts the physical footer type so a future fixture re-encode
+#: fails loudly instead of producing wrong answers (this drift burned
+#: rounds 3–4 when the fixture moved from INT64-nanos to TIMESTAMP).
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
@@ -151,22 +160,6 @@ EVENTS = T.StructType(
 
 #: ``events.props`` JSON payload schema (for F.from_json).
 EVENT_PROPS = T.StructType([T.StructField("k", T.IntegerType(), True)])
-
-#: Physical schema of events.parquet: ts is INT64 *nanoseconds*
-#: (TESTDATA.md). Spark's vectorized parquet reader refuses the
-#: nanos→timestamp coercion when given an explicit TimestampType, so
-#: readers take raw nanos and convert via timestamp_micros (µs
-#: truncation — same as DuckDB's µs timestamps, so oracles agree).
-EVENTS_RAW_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), False),
-        T.StructField("props", T.StringType(), False),
-    ]
-)
 
 DOCUMENTS = T.StructType(
     [
@@ -199,18 +192,3 @@ FIXTURE_SCHEMAS: dict[str, T.StructType] = {
     "documents": DOCUMENTS,
     "embeddings": EMBEDDINGS,
 }
-
-
-#: Logical event schema (µs timestamp) — the shape Kafka JSON payloads
-#: decode into (streaming/events.py:from_kafka) and the columns every
-#: event query sees after the nanos→micros conversion.
-EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.TimestampType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), False),
-        T.StructField("props", T.StringType(), False),
-    ]
-)

@@ -98,12 +98,31 @@ def write_zordered(
     and the within-partition sort makes every file's min/max tight on
     every participating dimension. The ``_zkey`` helper column is
     dropped from the stored schema.
+
+    The file count is part of this function's CONTRACT (a compaction
+    job sizes files deliberately), so the confs that can re-plan the
+    exchange — AQE partition coalescing and the range-sampler's seed
+    input ``spark.sql.shuffle.partitions`` — are pinned for the write
+    and restored after: a long-lived session whose earlier queries
+    retuned those confs must not change this layout.
     """
-    keyed = with_zorder_key(df, cols, bits)
-    (
-        keyed.repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    spark = df.sparkSession
+    pins = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": str(n_files),
+    }
+    saved = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        keyed = with_zorder_key(df, cols, bits)
+        (
+            keyed.repartitionByRange(n_files, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -28,7 +28,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENT_PROPS, EVENTS, EVENTS_RAW_NANOS
+from ..schemas import EVENT_PROPS, EVENTS
 
 _sink_ids = itertools.count()
 
@@ -42,13 +42,12 @@ def read_events_stream(
     fixture dir; pass ``path_glob=None`` for a landing directory of
     arbitrarily-named arriving files (the incremental-MV case).
     """
-    # ts arrives as INT64 nanos (schemas.EVENTS_RAW_NANOS) → truncate to µs.
-    reader = spark.readStream.schema(EVENTS_RAW_NANOS).option("maxFilesPerTrigger", 1)
+    # ts is parquet TIMESTAMP(µs); the explicit EVENTS schema reads it
+    # directly (no inference) under the UTC session-timezone pin.
+    reader = spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1)
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    raw = reader.parquet(sf_dir)
-    # integral div — float division drifts ±1µs on epoch-nanos > 2^53
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(sf_dir)
 
 
 def from_kafka(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
@@ -166,27 +165,31 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     user_id=-1 key, and is dropped from the bounded sink output;
     availableNow's final no-data micro-batch then flushes every session.
     """
+    import datetime as dt
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    from ..schemas import EVENTS_RAW_NANOS
-
-    import shutil
+    from ..catalog import _assert_events_ts_format
 
     src = os.path.join(sf_dir, "events.parquet")
+    _assert_events_ts_format(src)
     # Stage-dir key = fingerprint of the ABSOLUTE source path + its
     # stat (mtime, size): two sf dirs sharing a basename get distinct
     # stages, and a changed fixture at the same path restages instead
     # of silently reusing stale data.
+    # _STAGE_FORMAT bumps force a restage when the staging CODE changes
+    # (v2: ts staged as TIMESTAMP(µs), not INT64-nanos) — without it a
+    # stale /tmp stage written by older code would be silently replayed.
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"spark_graft_events_eos_{key}")
     done_marker = os.path.join(stage, "_staged_ok")
     if not os.path.exists(done_marker):
-        batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(src)
+        batch = spark.read.schema(EVENTS).parquet(src)
         lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: two scalars
         # Replay order must be (roughly) event-time order: the file source
         # feeds micro-batches in mtime order, and once the watermark
@@ -201,7 +204,7 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         # once per fixture content and reused across runs.
         shutil.rmtree(stage, ignore_errors=True)
         cuts = [lo + (hi - lo) * i // 2 for i in range(3)]
-        cuts[-1] = hi + 1
+        cuts[-1] = hi + dt.timedelta(microseconds=1)
         staged_so_far: set[str] = set()
 
         def _pin_new_files_mtime(chunk_no: int) -> None:
@@ -218,19 +221,17 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
             ).write.mode("append").parquet(stage)
             _pin_new_files_mtime(i)
         sentinel = spark.createDataFrame(
-            [(-1, hi + 10 * 24 * 3600 * 10**9, -1, EOS_EVENT_TYPE, 0.0, "{}")],
-            EVENTS_RAW_NANOS,
+            [(-1, hi + dt.timedelta(days=10), -1, EOS_EVENT_TYPE, 0.0, "{}")],
+            EVENTS,
         )
         sentinel.coalesce(1).write.mode("append").parquet(stage)
         _pin_new_files_mtime(2)
         open(done_marker, "w").close()
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+    events = (
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark(
-        "ts", "0 seconds"
+        .withWatermark("ts", "0 seconds")
     )
     out = run_available_now(session_window_agg(events, gap), output_mode="append")
     return out.filter(F.col("user_id") >= 0)  # drop the sentinel's own session
@@ -333,10 +334,9 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     def side(evt: str, prefix: str) -> DataFrame:
         return (
-            spark.readStream.schema(EVENTS_RAW_NANOS)
+            spark.readStream.schema(EVENTS)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             .filter(F.col("event_type") == evt)
             .select(
                 F.col("event_id").alias(f"{prefix}_event_id"),
@@ -376,11 +376,10 @@ def segment_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
     enriched = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .join(segments, "user_id")
     )
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(

@@ -192,3 +192,51 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     assert sorted(r.id for r in clean.collect()) == [1, 2]
     assert quarantine.count() == 2
     df.unpersist()
+
+
+def test_events_ts_matches_duckdb_oracle(spark, sf_dir):
+    """Pin the events timestamp read against the DuckDB oracle.
+
+    The driver regenerated the events fixture between rounds, moving
+    ``ts`` from INT64-nanoseconds to parquet TIMESTAMP(µs); the stale
+    nanos read path collapsed every event onto 1970-01-20 with no error
+    (14 red queries across rounds 3-4). This test fails on ANY silent
+    encoding/read drift: engine min/max/count must equal DuckDB's on
+    the same file, to the microsecond.
+    """
+    import duckdb
+
+    from data_engineer_8_final_project_spark import catalog
+
+    events = catalog.load_table(spark, sf_dir, "events")
+    got = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    lo, hi, n = duckdb.sql(
+        f"select min(ts), max(ts), count(*) from '{sf_dir}/events.parquet'"
+    ).fetchall()[0]
+    assert (got.lo, got.hi, got.n) == (lo, hi, n)
+
+
+def test_events_fixture_format_tripwire(spark, tmp_path):
+    """A re-encoded events fixture (e.g. back to INT64-nanos) must raise
+    a loud, explained error at the read site — never wrong answers."""
+    import pytest as _pytest
+
+    from data_engineer_8_final_project_spark import catalog
+
+    spark.range(3).selectExpr(
+        "id as event_id",
+        "id as ts",  # INT64 — the pre-round-5 encoding
+        "id as user_id",
+        "'view' as event_type",
+        "0.0 as value",
+        "'{}' as props",
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+
+    part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    shutil.copy(part, tmp_path / "events.parquet")
+    with _pytest.raises(RuntimeError, match="INT64-nanos|TIMESTAMP"):
+        catalog.load_table(spark, str(tmp_path), "events")

@@ -52,12 +52,26 @@ def grid_paths(spark, tmp_path_factory):
         F.col("id").alias("payload"),
     )
     layout.write_zordered(grid, zpath, ["x", "y"], n_files=16)
-    (
-        grid.repartitionByRange(16, "x")
-        .sortWithinPartitions("x")
-        .write.mode("overwrite")
-        .parquet(xpath)
-    )
+    # pin the same confs write_zordered pins, so the 1-D comparison
+    # layout is immune to session state left by earlier test modules
+    # (AQE coalesce merging range partitions changes the file count)
+    pins = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "16",
+    }
+    saved = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        (
+            grid.repartitionByRange(16, "x")
+            .sortWithinPartitions("x")
+            .write.mode("overwrite")
+            .parquet(xpath)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return zpath, xpath
 
 

@@ -63,9 +63,9 @@ def test_incremental_view_refreshes_only_new_data_and_matches_batch(
     ckpt = str(tmp_path / "ckpt")
     # parity split: both halves span the full time range, so refresh 2
     # updates windows refresh 1 already wrote (the late-data case)
-    from data_engineer_8_final_project_spark.schemas import EVENTS_RAW_NANOS
+    from data_engineer_8_final_project_spark.schemas import EVENTS
 
-    events_raw = spark.read.schema(EVENTS_RAW_NANOS).parquet(f"{sf_dir}/events.parquet")
+    events_raw = spark.read.schema(EVENTS).parquet(f"{sf_dir}/events.parquet")
     events_raw.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
     incremental.maintain_hourly_counts(spark, src, view, ckpt)
     first = incremental.read_view(spark, view)

@@ -98,19 +98,16 @@ def test_drop_duplicates_within_watermark_bounded_state(spark, sf_dir, tmp_path)
     FOREVER; the within-watermark form evicts keys once the watermark
     passes, bounding state). Replay events duplicated 2x within the
     delay window and require exactly the batch-distinct id set."""
-    from pyspark.sql import functions as F
-
-    from data_engineer_8_final_project_spark.schemas import EVENTS_RAW_NANOS
+    from data_engineer_8_final_project_spark.schemas import EVENTS
 
     src = str(tmp_path / "events_dup")
-    batch = spark.read.schema(EVENTS_RAW_NANOS).parquet(f"{sf_dir}/events.parquet").limit(500)
+    batch = spark.read.schema(EVENTS).parquet(f"{sf_dir}/events.parquet").limit(500)
     # duplicate every row (same event_id, same ts) — dup arrives within any delay
     batch.unionByName(batch).coalesce(2).write.parquet(src)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_NANOS)
+        spark.readStream.schema(EVENTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
