@@ -574,8 +574,13 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one row per custkey before the customer join, so the customer
     exchange carries (custkey, rev) pairs — not order-level rows with
     names attached. nation is the only bounded dim → the only broadcast
-    hint. A/B at sf0.1: 0.55 s pushdown vs 0.53 s flat (noise), with
-    the 100 TB shuffle volume strictly smaller.
+    hint. Isolated A/B at sf0.1, 5 interleaved reps: 0.70 s median
+    pushdown vs 0.60 s flat — the flat plan saves one partial-agg pass
+    at this scale, but the pushdown's shuffle volume is strictly
+    smaller (order-level rows never cross the customer exchange), which
+    is the term that dominates at 100 TB. The 3.36 s recorded for this
+    query in the round-4 single-pass bench was harness jitter, not
+    plan cost.
     """
     t = tables_for(spark, sf_dir)
     per_order = (
