@@ -238,4 +238,21 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "vocab-build": ["query:vocab_build"],
     "tfidf-terms": ["query:tfidf_topk_terms"],
     "lang-mixture-weights": ["query:lang_mixture_weights"],
+    # --- round 5 additions ---
+    "per-domain-cap": [
+        "query:per_source_cap",
+        "test:tests/test_sampling_ops.py::test_per_key_cap_matches_single_window",
+    ],
+    "temperature-mixing": [
+        "query:temperature_mixture_sample",
+        "test:tests/test_sampling_ops.py::test_temperature_rates_monotone_and_bounded",
+    ],
+    "training-shuffle-order": ["query:training_shuffle_order"],
+    "stateful-transform-with-state": [
+        # transformWithState needs google.protobuf (absent here, installs
+        # disallowed) — gated test runs wherever protobuf exists; the
+        # GroupState twin user_totals_stateful carries the driver gate.
+        "test:tests/test_streaming.py::test_transform_with_state_totals_match_batch",
+        "code:data_engineer_8_final_project_spark/streaming/stateful.py",
+    ],
 }

@@ -211,3 +211,107 @@ def stratified_cap_sample(
         .filter(F.col("bucket") < F.col("rate_bp"))
         .select(id_col, F.col(stratum_col).alias("stratum"), "bucket", "rate_bp")
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    cap: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, picked by stable hash order →
+    (id, key, pick_rank).
+
+    The per-domain / per-source cap every web-corpus pipeline applies
+    (no single site may dominate the training mix). Which rows survive
+    is a pure function of their ids — md5 order, id tiebreak — so the
+    selection is reproducible across engines, runs and cluster sizes,
+    unlike ``ORDER BY rand() LIMIT cap``.
+
+    Scale shape (the reason this is NOT one global window): a plain
+    ``row_number() OVER (PARTITION BY key)`` must sort EVERY row of a
+    hot key in one task — at 100 TB a single domain can be billions of
+    rows. Phase 1 ranks within (key, input-partition) and keeps ≤ cap
+    per pair, cutting each key to ≤ cap × partitions rows regardless of
+    skew; phase 2 ranks the survivors per key — a frame bounded by
+    cap × partitions, never by key frequency. Output is identical to
+    the single-window form for any partitioning because (hash, id) is a
+    total order.
+    """
+    pick = _hash60(F.col(id_col).cast("string")).alias("_pick")
+    base = df.select(id_col, key_col, pick).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w1 = Window.partitionBy(key_col, "_pid").orderBy("_pick", id_col)
+    survivors = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1", "_pid")
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_pick", id_col)
+    return (
+        survivors.withColumn("pick_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("pick_rank") <= cap)
+        .select(id_col, key_col, "pick_rank")
+    )
+
+
+def temperature_mixture_sample(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    alpha_sqrt: bool = True,
+    target: int = 250,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted cross-source sampling → (id, stratum,
+    bucket, wt_bp, rate_bp).
+
+    The corpus-mixing primitive: sources are re-weighted by
+    ``(n_s / N) ** alpha`` (alpha = 0.5 here — the square-root
+    temperature most data-mixture recipes start from), normalized, and
+    each source contributes ``p_s x target`` documents, chosen by the
+    stable md5 bucket so membership is a pure function of
+    (id, source counts).
+
+    Determinism discipline: the per-source weight is quantized to an
+    INTEGER basis-point value (``wt_bp = floor(1e4 x sqrt(n_s/N))``)
+    BEFORE normalization, so the normalizing sum is exact integer
+    arithmetic — never a float sum whose rounding depends on the
+    engine's reduction order. sqrt / * / / on doubles are IEEE
+    correctly-rounded, so identical expression trees give identical
+    doubles in Spark and DuckDB and the final floor cannot straddle.
+
+    Shape: one tiny per-source count aggregate (rows = |sources| —
+    bounded metadata, window over it is trivially safe), broadcast
+    back, stateless filter. No data shuffle.
+    """
+    assert alpha_sqrt, "only alpha=0.5 (sqrt temperature) is implemented"
+    bucket = (_hash60(F.col(id_col).cast("string")) % 10000).alias("bucket")
+    counts = documents.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    rates = (
+        counts.withColumn("total", F.sum("n").over(w_all))
+        .withColumn(
+            "wt_bp",
+            F.floor(F.lit(10000) * F.sqrt(F.col("n") / F.col("total"))).cast("long"),
+        )
+        .withColumn("sum_wt", F.sum("wt_bp").over(w_all))
+        .select(
+            stratum_col,
+            "wt_bp",
+            F.least(
+                F.lit(10000),
+                F.floor(
+                    F.lit(10000.0) * F.col("wt_bp") * target / (F.col("sum_wt") * F.col("n"))
+                ).cast("long"),
+            ).alias("rate_bp"),
+        )
+    )
+    return (
+        documents.select(id_col, stratum_col, bucket)
+        .join(F.broadcast(rates), stratum_col)
+        .filter(F.col("bucket") < F.col("rate_bp"))
+        .select(
+            id_col, F.col(stratum_col).alias("stratum"), "bucket", "wt_bp", "rate_bp"
+        )
+    )

@@ -613,3 +613,40 @@ def q_events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via the Spark 4 transformWithState API —
+    the modern twin of ``user_totals_stateful`` (same replay, same
+    oracle shape, typed ValueState instead of legacy GroupState).
+
+    NOT driver-registered: the transformWithState Python worker
+    requires ``google.protobuf`` for its state-server protocol, and
+    protobuf is absent from this container (no installs allowed) — the
+    same environment-blocked class as the live Kafka broker. The code
+    path is real and is correctness-gated by
+    tests/test_streaming.py::test_transform_with_state_totals_match_batch,
+    which runs wherever protobuf exists.
+
+    transformWithState only runs on the RocksDB state store provider,
+    so the query pins it for the duration of the stream and restores
+    the session's provider after — per-query state-backend selection,
+    which is exactly how a mixed workload would run it in production.
+    """
+    from ..streaming import stateful
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stateful.user_running_totals_tws(ev.read_events_stream(spark, sf_dir))
+        sink = ev.run_available_now(stream, output_mode="update")
+    finally:
+        if saved:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)
+    return stateful.finalize_totals(sink).orderBy("user_id")

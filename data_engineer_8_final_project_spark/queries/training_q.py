@@ -429,3 +429,109 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st / 2048).cast("long").alias("pack_id"),
         (st % 2048).alias("pack_offset"),
     ).orderBy("doc_id")
+
+
+@register(
+    "per_source_cap",
+    oracle="""
+    -- Per-source document cap: at most 10 docs per source, picked by
+    -- stable md5 order (id tiebreak) — the per-domain cap a web corpus
+    -- applies so no site dominates the mix. The oracle states it as
+    -- one window per source; the engine computes the identical result
+    -- as a two-phase rank (per-input-partition cap, then survivor
+    -- rank) so a hot key never sorts in a single task.
+    WITH h AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS pick_hash
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY pick_hash, doc_id) AS BIGINT) AS pick_rank
+      FROM h
+    )
+    SELECT doc_id, source, pick_rank FROM r
+    WHERE pick_rank <= 10
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: per-domain cap (skew-proof two-phase top-k per key)",
+)
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return sampling.per_key_cap(t["documents"], key_col="source", cap=10).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "temperature_mixture_sample",
+    oracle="""
+    -- sqrt-temperature corpus mixing: source weight = sqrt(n_s/N)
+    -- quantized to integer basis points BEFORE normalization (integer
+    -- sum is exact — a float normalizer would round differently per
+    -- engine), per-source rate = wt_bp * target / (sum_wt * n_s),
+    -- membership = stable md5 bucket under the rate.
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n,
+             CAST(FLOOR(10000 * SQRT(n / CAST(SUM(n) OVER () AS DOUBLE))) AS BIGINT) AS wt_bp
+      FROM c
+    ),
+    r AS (
+      SELECT source, wt_bp,
+             LEAST(10000, CAST(FLOOR(
+               10000.0 * wt_bp * 250 / (CAST(SUM(wt_bp) OVER () AS BIGINT) * n)
+             ) AS BIGINT)) AS rate_bp
+      FROM w
+    )
+    SELECT d.doc_id, d.source AS stratum,
+           CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 10000 AS bucket,
+           r.wt_bp, r.rate_bp
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10000 < r.rate_bp
+    ORDER BY d.doc_id
+    """,
+    survey_ref="extended: temperature-weighted source mixing (deterministic)",
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return sampling.temperature_mixture_sample(
+        t["documents"], stratum_col="source", target=250
+    ).orderBy("doc_id")
+
+
+@register(
+    "training_shuffle_order",
+    oracle="""
+    -- Deterministic global training order: md5-keyed permutation of the
+    -- corpus with a dense 1..N position. The oracle states one global
+    -- window; the engine computes the identical order as a range-
+    -- partitioned rank + prefix-summed offsets (distributed_row_number)
+    -- so no single task ever sorts the whole corpus.
+    SELECT doc_id,
+           md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: deterministic global shuffle order (distributed rank)",
+)
+def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    keyed = t["documents"].select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return sampling.distributed_row_number(
+        keyed, ("shuffle_key", "doc_id"), rank_col="shuffle_pos"
+    ).orderBy("doc_id")

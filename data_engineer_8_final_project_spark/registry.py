@@ -87,7 +87,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "clicks_last_error",
     "user_totals_stateful",
     "view_click_stream_join",
-    # ---- last green row is r1/r2 → refresh evidence (36) ----
+    # ---- new round-5 queries: no driver row yet (3) ----
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
+    # ---- last green row is r1/r2 → refresh evidence (33) ----
     "scalar_cleaning_suite",
     "standings_stream",
     "dedup_exact",
@@ -119,12 +123,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation",
     "distinct_customers_salted",
     "promo_revenue_share",
-    "price_quantiles",
-    "pivot_qty_by_status",
     "order_value_quartiles",
-    "unpivot_order_metrics",
     "returned_items",  # r7 perf A/B this round — keep its row fresh too
     # ---- driver window boundary (50) ----
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "unpivot_order_metrics",
     # all below carry green r4 driver rows (or, for minhash_lsh_pairs,
     # can never go green — no SQL oracle) and stay parity-gated locally
     # at sf0.01.

@@ -108,3 +108,70 @@ def finalize_totals(sink: DataFrame) -> DataFrame:
             F.timestamp_micros("last_us").alias("last_ts"),
         )
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor: the Spark 4 arbitrary-state
+    API expression of the same per-user running totals.
+
+    Same determinism contract as ``_update_user_totals`` above (integer
+    cents, epoch-micros longs, last emission = batch aggregate); the
+    difference is the state surface: a typed ValueState managed by the
+    operator (RocksDB-backed, with per-state-variable schemas and TTL
+    support) instead of one opaque GroupState tuple. This is the API a
+    new stateful operator should target — GroupState/applyInPandasWithState
+    is the legacy shape.
+    """
+
+    def init(self, handle) -> None:  # StatefulProcessorHandle
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+        import pandas as pd
+
+        prior = self._totals.get() if self._totals.exists() else None
+        n, cents, first_us, last_us = prior or (0, 0, None, None)
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            cents += int(np.rint(pdf["value"].to_numpy() * 100).astype("int64").sum())
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        self._totals.update((n, cents, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cents": [cents],
+                "first_us": [first_us],
+                "last_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (Spark 4).
+
+    Emits the running row for every user each micro-batch that touched
+    them (update mode); after an availableNow replay the last emission
+    per user equals the batch groupBy aggregate — the same oracle as
+    the GroupState twin. Requires the RocksDB state store provider
+    (the only provider transformWithState supports, and the right one
+    for 100 TB keyspaces anyway) — the caller pins it for the query.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )

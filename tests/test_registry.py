@@ -14,45 +14,32 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-3 rotation (VERDICT r2 item 1): the 30 queries that never
-#: received a driver CORRECTNESS row in rounds 1-2, plus the two whose
-#: implementation changed this round and must be re-proven. Demoted
-#: queries all carry green r1/r2 driver rows and stay parity-gated.
+#: Round-5 rotation (VERDICT r4 item 3): the events-timestamp read was
+#: fixed this round, so every query whose output depends on event time
+#: needs a FRESH driver row (the r1/r2 green rows for the stale-green
+#: nine predate the fixture's encoding change and prove nothing), plus
+#: the round-5 additions that have no driver row at all yet.
 MUST_BE_IN_WINDOW = {
-    # never driver-verified before round 3
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "events_json_extract",
+    # events-family: red in r4 and repaired by the ts-read fix
     "events_hourly",
     "events_sliding",
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "latest_event_snapshot",
-    "events_by_segment_stream",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
     "events_hourly_gapfill",
+    "latest_event_snapshot",
     "events_trailing_hour_window",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    # implementation changed in round 3
-    "training_manifest",
-    "dup_clusters",
+    # events-family: stale-green (verified only against the old fixture)
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "events_session_stream",
+    "events_time_rollup",
+    "event_sessions",
+    "purchases_in_sessions",
+    "clicks_last_error",
+    "user_totals_stateful",
+    "view_click_stream_join",
+    # new in round 5 — never driver-verified
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
 }
 
 

@@ -174,3 +174,32 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir):
         else:
             spark.conf.unset(key)
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_totals_match_batch(spark, sf_dir):
+    """Spark 4 transformWithState (typed ValueState, RocksDB-only) must
+    produce exactly the batch per-user aggregate after an availableNow
+    replay — the same contract the GroupState twin is driver-gated on.
+    Skips where google.protobuf is unavailable (the TWS Python worker's
+    state-server protocol needs it; this container has no protobuf and
+    installs are disallowed)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    pytest.importorskip("google.protobuf")
+    from data_engineer_8_final_project_spark.queries.streaming_q import user_totals_tws
+
+    got = user_totals_tws(spark, sf_dir).collect()
+    want = (
+        catalog.load(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
