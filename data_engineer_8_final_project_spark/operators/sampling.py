@@ -228,29 +228,22 @@ def per_key_cap(
     selection is reproducible across engines, runs and cluster sizes,
     unlike ``ORDER BY rand() LIMIT cap``.
 
-    Scale shape (the reason this is NOT one global window): a plain
-    ``row_number() OVER (PARTITION BY key)`` must sort EVERY row of a
-    hot key in one task — at 100 TB a single domain can be billions of
-    rows. Phase 1 ranks within (key, input-partition) and keeps ≤ cap
-    per pair, cutting each key to ≤ cap × partitions rows regardless of
-    skew; phase 2 ranks the survivors per key — a frame bounded by
-    cap × partitions, never by key frequency. Output is identical to
-    the single-window form for any partitioning because (hash, id) is a
-    total order.
+    Scale shape — written as ONE window on purpose: Catalyst's
+    rank-limit pushdown (InferWindowGroupLimit, Spark 3.5+) compiles
+    ``row_number() <= cap`` into a map-side Partial WindowGroupLimit
+    BEFORE the exchange, so each input partition ships at most ``cap``
+    rows per key and a hot domain's shuffle input is bounded by
+    cap × partitions, never by key frequency — exactly the hand-built
+    two-phase top-k, with one shuffle instead of two (a hand-rolled
+    (key, partition-id) pre-rank plans a second exchange; measured plan
+    is strictly worse). tests/test_plans.py pins the Partial limit so
+    a regression that silently reverts to sort-everything fails loudly.
     """
     pick = _hash60(F.col(id_col).cast("string")).alias("_pick")
-    base = df.select(id_col, key_col, pick).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w1 = Window.partitionBy(key_col, "_pid").orderBy("_pick", id_col)
-    survivors = (
-        base.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= cap)
-        .drop("_r1", "_pid")
-    )
-    w2 = Window.partitionBy(key_col).orderBy("_pick", id_col)
+    w = Window.partitionBy(key_col).orderBy("_pick", id_col)
     return (
-        survivors.withColumn("pick_rank", F.row_number().over(w2).cast("long"))
+        df.select(id_col, key_col, pick)
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_rank") <= cap)
         .select(id_col, key_col, "pick_rank")
     )

@@ -319,3 +319,27 @@ def test_dq_audit_bounded_scan_count(q):
     # formatted explain prints each node in the tree AND the detail
     # list — count the numbered detail entries only
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 4
+
+
+def test_per_source_cap_rank_limit_is_pushed_map_side(q):
+    """Catalyst's InferWindowGroupLimit must compile row_number()<=cap
+    into a Partial WindowGroupLimit BEFORE the exchange — each map task
+    ships <= cap rows per key, bounding a hot domain's shuffle input by
+    cap x partitions instead of key frequency. If the pushdown ever
+    stops firing (option renamed, filter shape changed), this fails
+    instead of the operator silently degrading to sort-everything."""
+    s = PI.explain_string(q("per_source_cap"))
+    assert "WindowGroupLimit" in s and "Partial" in s
+    # exactly one data exchange for the rank (plus AQE bookkeeping);
+    # a hand-rolled two-phase pre-rank would show two hash exchanges
+    assert s.count("hashpartitioning(source") == 1
+
+
+def test_temperature_sample_has_no_data_shuffle(q):
+    """The mixing filter is count-aggregate (tiny, per-source) +
+    broadcast join + stateless predicate: the documents scan itself
+    must reach the output without a hash exchange on the data path."""
+    df = q("temperature_mixture_sample")
+    s = PI.explain_string(df)
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" not in s
+    assert PI.broadcast_join_count(df) >= 1
