@@ -1,0 +1,47 @@
+"""Shuffle-config invariance for the driver verification window.
+
+The driver's hash compare is order-insensitive, so the failure mode it
+can't see coming is a query whose RESULT SET depends on physical
+execution — a rank/limit without a tiebreak-complete order, a float
+reduction whose rounding crosses a threshold, a window keyed on
+something partition-dependent. Those bugs surface exactly when the
+shuffle layout changes. This probe runs every in-window query under
+two different ``spark.sql.shuffle.partitions`` settings and requires
+canonically-identical results — so a nondeterministic query fails HERE
+(with a named diff) before it flakes a driver round.
+
+sf0.001 keeps the sweep fast (~2 min); the scale-dependent cases are
+the slow parity suite's job.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_engineer_8_final_project_spark import parity, registry
+
+DRIVER_WINDOW = 50
+
+
+def _window_names() -> list[str]:
+    return list(registry.all_queries())[:DRIVER_WINDOW]
+
+
+@pytest.mark.parametrize("name", _window_names())
+def test_window_query_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    q = registry.all_queries()[name]
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    frames: list[pd.DataFrame] = []
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set(key, parts)
+            frames.append(parity._canon(q.fn(spark, sf_dir).toPandas()))
+    finally:
+        spark.conf.set(key, saved)
+    a, b = frames
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b), f"{name}: {len(a)} rows at 3 parts vs {len(b)} at 17"
+    diff = a.compare(b) if a.shape == b.shape else None
+    assert diff is not None and diff.empty, f"{name}: result depends on shuffle layout"
