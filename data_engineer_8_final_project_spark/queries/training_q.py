@@ -457,6 +457,7 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     survey_ref="extended: per-domain cap (skew-proof two-phase top-k per key)",
+    tags=("bench",),
 )
 def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
@@ -498,6 +499,7 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d.doc_id
     """,
     survey_ref="extended: temperature-weighted source mixing (deterministic)",
+    tags=("bench",),
 )
 def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
@@ -523,6 +525,7 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     survey_ref="extended: deterministic global shuffle order (distributed rank)",
+    tags=("bench",),
 )
 def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
