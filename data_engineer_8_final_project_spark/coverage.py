@@ -248,6 +248,8 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "test:tests/test_sampling_ops.py::test_temperature_rates_monotone_and_bounded",
     ],
     "training-shuffle-order": ["query:training_shuffle_order"],
+    "span-level-dedup": ["query:dup_span_stats"],
+    "orc-source-sink": ["test:tests/test_io.py::test_orc_roundtrip_with_pushdown"],
     "stateful-transform-with-state": [
         # transformWithState needs google.protobuf (absent here, installs
         # disallowed) — gated test runs wherever protobuf exists; the

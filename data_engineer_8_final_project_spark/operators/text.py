@@ -207,3 +207,60 @@ def repetition_scores(
         dup_frac.alias("dup_bigram_frac"),
         ((F.max("c") / F.sum("c") <= 0.18) & ((F.sum("c") - F.count(F.lit(1))) / F.sum("c") <= 0.6)).alias("keep"),
     )
+
+
+def dup_span_stats(
+    documents: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus duplicated-span measurement → (doc_id, n_spans,
+    n_dup_spans, dup_span_frac).
+
+    The span-level view of exact dedup (the "deduplicating training
+    data makes language models better" measurement): an n-token span is
+    DUPLICATED if its exact text occurs more than once in the corpus
+    (any document, including elsewhere in its own); a document's
+    dup_span_frac is the fraction of its spans that are duplicated —
+    the signal a pipeline thresholds to drop or trim boilerplate-heavy
+    documents that whole-document hashing can never catch.
+
+    Scale shape: one explode of n-token shingles (rows = corpus token
+    count; the repartition spreads the shingle construction off a
+    single-file scan — same idiom as the winnowing op), one count
+    aggregation on the span text, one semi-style join back, one
+    per-doc count — all hash-partitioned, no windows, no driver data.
+    The same postings discipline as ngram_decontamination; at 100 TB
+    the span strings would ride as 64-bit hashes (xxhash of the
+    shingle) to cut shuffle bytes — kept as text here so the DuckDB
+    oracle is exact.
+    """
+    spark = documents.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    spans = (
+        documents.repartition(n_parts, id_col)
+        .select(id_col, F.explode(shingles(text_col, n)).alias("span"))
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
+    dup_per_doc = (
+        spans.join(counts.filter(F.col("c") > 1), "span")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    base = documents.select(
+        id_col,
+        F.greatest(token_count(text_col) - (n - 1), F.lit(0)).alias("n_spans"),
+    )
+    return (
+        base.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            (
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.col("n_spans"), F.lit(1)).cast("double")
+            ).alias("dup_span_frac"),
+        )
+    )

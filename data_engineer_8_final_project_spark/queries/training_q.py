@@ -538,3 +538,42 @@ def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.distributed_row_number(
         keyed, ("shuffle_key", "doc_id"), rank_col="shuffle_pos"
     ).orderBy("doc_id")
+
+
+@register(
+    "dup_span_stats",
+    oracle="""
+    -- Span-level dedup measurement: an 8-token span is duplicated if
+    -- its exact text occurs more than once in the corpus; per document
+    -- report span count, duplicated-span count, duplicated fraction.
+    -- DuckDB range(a, b) is end-exclusive and list_slice bounds are
+    -- inclusive: i in [1, len-7], slice i..i+7 = 8 tokens.
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(GREATEST(len(t) - 7, 0) AS BIGINT) AS n_spans FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS span
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    c AS (SELECT span, COUNT(*) AS n FROM spans GROUP BY span),
+    dup AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+      FROM spans JOIN c USING (span) WHERE c.n > 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_spans,
+           COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(d.n_dup_spans, 0) / CAST(GREATEST(b.n_spans, 1) AS DOUBLE)
+             AS dup_span_frac
+    FROM base b LEFT JOIN dup d USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+    survey_ref="extended: span-level dedup stats (duplicated n-gram fraction)",
+    tags=("bench",),
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return text.dup_span_stats(t["documents"], n=8).orderBy("doc_id")

@@ -240,3 +240,25 @@ def test_events_fixture_format_tripwire(spark, tmp_path):
     shutil.copy(part, tmp_path / "events.parquet")
     with _pytest.raises(RuntimeError, match="INT64-nanos|TIMESTAMP"):
         catalog.load_table(spark, str(tmp_path), "events")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink (built into the Spark distribution, unlike Avro
+    which needs the external spark-avro jar this container lacks):
+    schema-preserving round-trip, and the ORC reader must accept a
+    pushed predicate like the parquet path does — the lake-format
+    flexibility a 100 TB ingest layer needs when upstream systems
+    deliver ORC."""
+    from data_engineer_8_final_project_spark import catalog
+
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_orc")
+    nation.write.format("orc").save(p)
+    back = spark.read.schema(nation.schema).orc(p)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "n_regionkey" in plan  # filter reached the scan node

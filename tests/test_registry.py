@@ -40,6 +40,7 @@ MUST_BE_IN_WINDOW = {
     "per_source_cap",
     "temperature_mixture_sample",
     "training_shuffle_order",
+    "dup_span_stats",
 }
 
 
