@@ -250,6 +250,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "training-shuffle-order": ["query:training_shuffle_order"],
     "span-level-dedup": ["query:dup_span_stats"],
     "orc-source-sink": ["test:tests/test_io.py::test_orc_roundtrip_with_pushdown"],
+    "runtime-bloom-filter": [
+        "test:tests/test_plans.py::test_runtime_bloom_filter_injects_on_shuffle_join"
+    ],
     "stateful-transform-with-state": [
         # transformWithState needs google.protobuf (absent here, installs
         # disallowed) — gated test runs wherever protobuf exists; the

@@ -343,3 +343,39 @@ def test_temperature_sample_has_no_data_shuffle(q):
     s = PI.explain_string(df)
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" not in s
     assert PI.broadcast_join_count(df) >= 1
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Runtime bloom-filter pruning (InjectRuntimeFilter): a selective
+    filter on the orders side must materialize as a bloom_filter_agg
+    whose might_contain() probe is pushed into the lineitem side BELOW
+    the join — so at scale most non-matching rows die at the scan
+    instead of crossing the shuffle. The thresholds are lowered to make
+    the rule fire at test scale (at 100 TB the defaults — app side
+    > 10 GB, creation side < 10 MB — fire on exactly this query shape);
+    broadcast is disabled because a broadcast join needs no runtime
+    filter. Result must equal the unfiltered-plan join exactly."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    from data_engineer_8_final_project_spark import catalog
+
+    catalog.load(spark, sf_dir)
+    sql = """
+      SELECT l.l_orderkey, l.l_quantity FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+    """
+    want = spark.sql(sql).count()  # defaults: no bloom at this scale
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = spark.sql(sql)
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        assert q.count() == want  # pruning is transparent to results
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
