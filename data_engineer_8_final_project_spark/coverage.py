@@ -253,6 +253,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "runtime-bloom-filter": [
         "test:tests/test_plans.py::test_runtime_bloom_filter_injects_on_shuffle_join"
     ],
+    "xml-source-sink": [
+        "test:tests/test_io.py::test_xml_roundtrip_with_explicit_schema"
+    ],
     "stateful-transform-with-state": [
         # transformWithState needs google.protobuf (absent here, installs
         # disallowed) — gated test runs wherever protobuf exists; the

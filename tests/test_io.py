@@ -262,3 +262,24 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "n_regionkey" in plan  # filter reached the scan node
+
+
+def test_xml_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    """XML source/sink (built into Spark since 4.0 — the spark-xml
+    integration): write a dimension table as row-tagged XML, read it
+    back with an EXPLICIT schema (no inference — the engine-wide rule)
+    and require exact row equality. The markup-ingest sibling of the
+    HTML-table source the reference scrapes."""
+    from data_engineer_8_final_project_spark import catalog
+
+    nation = catalog.load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_xml")
+    nation.write.format("xml").option("rowTag", "nation").save(p)
+    back = (
+        spark.read.format("xml")
+        .schema(nation.schema)
+        .option("rowTag", "nation")
+        .load(p)
+    )
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
