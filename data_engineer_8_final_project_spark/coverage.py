@@ -256,6 +256,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "xml-source-sink": [
         "test:tests/test_io.py::test_xml_roundtrip_with_explicit_schema"
     ],
+    "observe-metrics": [
+        "test:tests/test_io.py::test_observation_metrics_piggyback_on_action"
+    ],
     "stateful-transform-with-state": [
         # transformWithState needs google.protobuf (absent here, installs
         # disallowed) — gated test runs wherever protobuf exists; the

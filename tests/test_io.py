@@ -283,3 +283,31 @@ def test_xml_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
     )
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_dir):
+    """df.observe(): data-quality counters collected DURING a real
+    action — zero extra scans, unlike a separate audit query. At 100 TB
+    this is how a pipeline stage reports row counts / null rates /
+    value bounds without re-reading its input: the metrics ride the
+    task results of the write it was already doing."""
+    from pyspark.sql import Observation
+
+    from data_engineer_8_final_project_spark import catalog
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_audit")
+    audited = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity")).alias("total_qty"),
+        F.count(F.when(F.col("l_discount") > 0.9, 1)).alias("suspicious_discounts"),
+    )
+    audited.write.format("noop").mode("overwrite").save()  # the real action
+    got = obs.get
+    want = li.agg(
+        F.count(F.lit(1)), F.sum("l_quantity"), F.count(F.when(F.col("l_discount") > 0.9, 1))
+    ).first()
+    assert got["n_rows"] == want[0] > 0
+    assert abs(got["total_qty"] - want[1]) < 1e-6
+    assert got["suspicious_discounts"] == want[2]
