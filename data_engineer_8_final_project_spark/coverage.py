@@ -259,6 +259,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "observe-metrics": [
         "test:tests/test_io.py::test_observation_metrics_piggyback_on_action"
     ],
+    "recursive-cte": ["query:order_chains_recursive"],
     "stateful-transform-with-state": [
         # transformWithState needs google.protobuf (absent here, installs
         # disallowed) — gated test runs wherever protobuf exists; the

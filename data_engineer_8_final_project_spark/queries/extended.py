@@ -785,3 +785,57 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("norm_fp", "doc_id", "n_copies", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+#: One SQL text that runs VERBATIM in both engines (Spark 4.1 gained
+#: WITH RECURSIVE; DuckDB has always had it): per-customer order
+#: chains — maximal runs of successive orders at most 7 days apart,
+#: walked by an acyclic time-forward recursion. The (date, orderkey)
+#: total order makes every step strictly increasing, so UNION ALL
+#: recursion terminates without cycle detection (Spark does not yet
+#: support UNION-distinct in the recursive branch — reachability over
+#: CYCLIC graphs stays with the iterative operators in clusters.py).
+ORDER_CHAINS_RECURSIVE_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS cust, o_orderkey AS k, o_orderdate AS d,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nk,
+         LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nd,
+         LAG(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pd
+  FROM orders
+),
+edges AS (
+  SELECT cust, k, nk FROM seq
+  WHERE nk IS NOT NULL AND nd <= d + INTERVAL 7 DAY
+),
+anchors AS (
+  SELECT cust, k FROM seq WHERE pd IS NULL OR d > pd + INTERVAL 7 DAY
+),
+chain(cust, anchor, cur, len) AS (
+  SELECT cust, k, k, 1 FROM anchors
+  UNION ALL
+  SELECT c.cust, c.anchor, e.nk, c.len + 1
+  FROM chain c JOIN edges e ON c.cust = e.cust AND c.cur = e.k
+)
+SELECT cust AS c_custkey, anchor AS chain_start,
+       CAST(MAX(len) AS BIGINT) AS chain_len
+FROM chain
+GROUP BY cust, anchor
+ORDER BY c_custkey, chain_start
+"""
+
+
+@register(
+    "order_chains_recursive",
+    oracle=ORDER_CHAINS_RECURSIVE_SQL,
+    survey_ref="extended: recursive CTE (Spark 4.1 WITH RECURSIVE, acyclic walk)",
+)
+def q_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs ORDER_CHAINS_RECURSIVE_SQL verbatim — the oracle IS the
+    query, so the gate proves Spark's recursive-CTE execution agrees
+    with DuckDB's on the same logic, not just that two translations
+    agree. Scale shape: the recursion seeds from anchors (one window
+    pass) and each step is an equi-join on (cust, cur) — depth bounded
+    by the longest chain (3 at fixture scale; bounded by order
+    frequency in any real corpus), rows bounded by total orders."""
+    tables_for(spark, sf_dir)
+    return spark.sql(ORDER_CHAINS_RECURSIVE_SQL)

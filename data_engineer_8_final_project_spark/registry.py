@@ -87,12 +87,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "clicks_last_error",
     "user_totals_stateful",
     "view_click_stream_join",
-    # ---- new round-5 queries: no driver row yet (4) ----
+    # ---- new round-5 queries: no driver row yet (5) ----
     "per_source_cap",
     "temperature_mixture_sample",
     "training_shuffle_order",
     "dup_span_stats",
-    # ---- last green row is r1/r2 → refresh evidence (32) ----
+    "order_chains_recursive",
+    # ---- last green row is r1/r2 → refresh evidence (31) ----
     "scalar_cleaning_suite",
     "standings_stream",
     "dedup_exact",
@@ -123,9 +124,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_customers_per_nation",
     "rollup_region_nation",
     "distinct_customers_salted",
-    "promo_revenue_share",
     "returned_items",  # r7 perf A/B this round — keep its row fresh too
     # ---- driver window boundary (50) ----
+    "promo_revenue_share",
     "order_value_quartiles",
     "price_quantiles",
     "pivot_qty_by_status",

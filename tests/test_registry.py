@@ -41,6 +41,7 @@ MUST_BE_IN_WINDOW = {
     "temperature_mixture_sample",
     "training_shuffle_order",
     "dup_span_stats",
+    "order_chains_recursive",
 }
 
 
