@@ -260,6 +260,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "test:tests/test_io.py::test_observation_metrics_piggyback_on_action"
     ],
     "recursive-cte": ["query:order_chains_recursive"],
+    "variant-semi-structured": ["query:events_props_variant"],
+    "python-datasource-producer": [
+        # T2's produce side (reference Makefile:149-179 declares a Faker
+        # producer whose script is absent) — Spark 4 Python DataSource,
+        # deterministic counter-hash generation, coordination-free splits
+        "test:tests/test_io.py::test_python_datasource_event_producer",
+        "code:data_engineer_8_final_project_spark/sources/generator.py",
+    ],
     "stateful-transform-with-state": [
         # transformWithState needs google.protobuf (absent here, installs
         # disallowed) — gated test runs wherever protobuf exists; the

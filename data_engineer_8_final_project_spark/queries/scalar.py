@@ -327,3 +327,38 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ref="§2.9 T3 extended: semi-structured payloads via VARIANT (Spark 4)",
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT-typed twin of events_json_extract: props parses once
+    into Spark 4's binary semi-structured VARIANT type and fields are
+    extracted with variant_get path expressions — the open-schema path
+    for payloads whose shape drifts (parse_json + a typed StructType
+    from_json would silently null new fields; VARIANT keeps them).
+    At scale VARIANT's binary encoding decodes fields without
+    re-tokenizing the JSON text per access — the same reason the
+    warehouse engines store semi-structured columns pre-parsed."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["events"]
+        .withColumn("v", F.parse_json("props"))
+        .withColumn("k", F.expr("variant_get(v, '$.k', 'long')"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -93,7 +93,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "training_shuffle_order",
     "dup_span_stats",
     "order_chains_recursive",
-    # ---- last green row is r1/r2 → refresh evidence (31) ----
+    "events_props_variant",
+    # ---- last green row is r1/r2 → refresh evidence (30) ----
     "scalar_cleaning_suite",
     "standings_stream",
     "dedup_exact",
@@ -115,7 +116,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_manifest",
     "media_features",
     "media_frame_sample",
-    "media_decode_fake",
     "pricing_summary",
     "shipping_priority",
     "full_outer_coalesce",
@@ -126,6 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "distinct_customers_salted",
     "returned_items",  # r7 perf A/B this round — keep its row fresh too
     # ---- driver window boundary (50) ----
+    "media_decode_fake",  # r2-green; decode path also pytest-gated
     "promo_revenue_share",
     "order_value_quartiles",
     "price_quantiles",

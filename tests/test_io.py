@@ -311,3 +311,40 @@ def test_observation_metrics_piggyback_on_action(spark, sf_dir):
     assert got["n_rows"] == want[0] > 0
     assert abs(got["total_qty"] - want[1]) < 1e-6
     assert got["suspicious_discounts"] == want[2]
+
+
+def test_python_datasource_event_producer(spark):
+    """The produce side of the reference's declared streaming leg
+    (its Faker event_producer.py is absent from the snapshot), as a
+    Spark 4 Python DataSource: seeded counter-hash generation — rows
+    are a pure function of (seed, row index), so two reads are exactly
+    equal, partitions generate independently (no coordination, the
+    dbgen pattern), and the schema is the events fixture schema."""
+    from data_engineer_8_final_project_spark.schemas import EVENTS
+    from data_engineer_8_final_project_spark.sources import generator
+
+    generator.register_source(spark)
+
+    def read():
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 300)
+            .option("seed", 42)
+            .option("numPartitions", 5)
+            .load()
+        )
+
+    df = read()
+    assert df.schema == EVENTS
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 300
+    assert rows == sorted(map(tuple, read().collect()))  # deterministic
+    assert {r[3] for r in rows} == set(generator.EVENT_TYPES)
+    # a different seed must generate different data
+    other = (
+        spark.read.format("synthetic_events")
+        .option("rows", 300)
+        .option("seed", 43)
+        .load()
+    )
+    assert sorted(map(tuple, other.collect())) != rows

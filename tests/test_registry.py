@@ -42,6 +42,7 @@ MUST_BE_IN_WINDOW = {
     "training_shuffle_order",
     "dup_span_stats",
     "order_chains_recursive",
+    "events_props_variant",
 }
 
 
