@@ -264,8 +264,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "python-datasource-producer": [
         # T2's produce side (reference Makefile:149-179 declares a Faker
         # producer whose script is absent) — Spark 4 Python DataSource,
-        # deterministic counter-hash generation, coordination-free splits
+        # deterministic counter-hash generation, coordination-free splits,
+        # plus a replayable streaming face (row-index offsets) proven
+        # equal to the batch read
         "test:tests/test_io.py::test_python_datasource_event_producer",
+        "test:tests/test_streaming.py::test_python_datasource_stream_producer_equals_batch",
         "code:data_engineer_8_final_project_spark/sources/generator.py",
     ],
     "stateful-transform-with-state": [

@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from ..schemas import EVENTS
@@ -60,17 +64,9 @@ class SyntheticEventsReader(DataSourceReader):
         return bounds
 
     def read(self, partition):
-        import datetime as dt
-
         lo, hi = partition.value
-        base = dt.datetime(2024, 1, 1)
         for i in range(lo, hi):
-            ts = base + dt.timedelta(microseconds=_h(self.seed, i, "ts") % (30 * 24 * 3600 * 10**6))
-            user_id = _h(self.seed, i, "user") % 1000
-            etype = EVENT_TYPES[_h(self.seed, i, "type") % len(EVENT_TYPES)]
-            value = round((_h(self.seed, i, "value") % 10**6) / 100.0, 2)
-            props = '{"k": %d}' % (_h(self.seed, i, "k") % 100)
-            yield (i, ts, user_id, etype, value, props)
+            yield _row(self.seed, i)
 
 
 class SyntheticEventsSource(DataSource):
@@ -84,7 +80,55 @@ class SyntheticEventsSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_source(spark) -> None:
     """Idempotently register the format with a SparkSession."""
     spark.dataSource.register(SyntheticEventsSource)
+
+
+def _row(seed: int, i: int):
+    """One deterministic event row — shared by batch and stream readers."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ts = base + dt.timedelta(microseconds=_h(seed, i, "ts") % (30 * 24 * 3600 * 10**6))
+    return (
+        i,
+        ts,
+        _h(seed, i, "user") % 1000,
+        EVENT_TYPES[_h(seed, i, "type") % len(EVENT_TYPES)],
+        round((_h(seed, i, "value") % 10**6) / 100.0, 2),
+        '{"k": %d}' % (_h(seed, i, "k") % 100),
+    )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the producer (SimpleDataSourceStreamReader):
+    offsets are plain row indices, so replay between any two committed
+    offsets regenerates EXACTLY the rows of the original micro-batch —
+    the reader is replayable by construction, which is the property
+    exactly-once sinks need from a source. ``maxRows`` bounds the feed
+    for deterministic tests; a production feed would leave it unbounded.
+    """
+
+    def __init__(self, options: dict):
+        self.seed = int(options.get("seed", 0))
+        self.batch_rows = int(options.get("batchRows", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return iter([_row(self.seed, i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(self.seed, i) for i in range(start["i"], end["i"])])
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -203,3 +203,51 @@ def test_transform_with_state_totals_match_batch(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_python_datasource_stream_producer_equals_batch(spark):
+    """The producer's streaming face (SimpleDataSourceStreamReader):
+    row-index offsets make every micro-batch replayable by construction
+    — and draining the bounded feed must yield EXACTLY the batch-read
+    rows for the same seed, proving produce-side determinism across
+    both execution modes (the property the reference's declared Kafka
+    producer could never test)."""
+    import time
+
+    from data_engineer_8_final_project_spark.sources import generator
+
+    generator.register_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("maxRows", 400)
+        .option("batchRows", 90)
+        .option("seed", 11)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gen_stream_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table("gen_stream_sink").count() < 400:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = sorted(map(tuple, spark.table("gen_stream_sink").collect()))
+    spark.catalog.dropTempView("gen_stream_sink")
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("synthetic_events")
+            .option("rows", 400)
+            .option("seed", 11)
+            .load()
+            .collect(),
+        )
+    )
+    assert len(got) == 400 and got == want
