@@ -61,13 +61,24 @@ def main() -> None:
     # is part of the query). Three INTERLEAVED passes over the set:
     # query A's reps are separated by every other query's work, not
     # back-to-back, so shared-JVM jitter decorrelates across reps.
+    # Wall-clock guard: pass 1 always completes (every query gets a
+    # number); later passes start only while the elapsed time is under
+    # the budget — so a slow machine or a driver-side timeout still
+    # gets a full single-pass result instead of a killed process and
+    # no BENCH record at all.
     reps: dict[str, list[float]] = {name: [] for name in sorted(names)}
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    for _ in range(n_passes):
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "420"))
+    bench_t0 = time.perf_counter()
+    passes_done = 0
+    for p in range(n_passes):
+        if p > 0 and time.perf_counter() - bench_t0 > budget:
+            break
         for name in sorted(names):
             t0 = time.perf_counter()
             queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(time.perf_counter() - t0)
+        passes_done += 1
 
     timings = {n: round(sorted(ts)[len(ts) // 2], 4) for n, ts in reps.items()}
     spread = {n: [round(min(ts), 4), round(max(ts), 4)] for n, ts in reps.items()}
@@ -80,7 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
-                "passes": n_passes,
+                "passes": passes_done,
                 "sf": _sf_label(SF_DIR),
             }
         )
