@@ -828,6 +828,7 @@ ORDER BY c_custkey, chain_start
     "order_chains_recursive",
     oracle=ORDER_CHAINS_RECURSIVE_SQL,
     survey_ref="extended: recursive CTE (Spark 4.1 WITH RECURSIVE, acyclic walk)",
+    tags=("bench",),
 )
 def q_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs ORDER_CHAINS_RECURSIVE_SQL verbatim — the oracle IS the
