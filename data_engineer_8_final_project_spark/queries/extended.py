@@ -837,6 +837,25 @@ def q_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree. Scale shape: the recursion seeds from anchors (one window
     pass) and each step is an equi-join on (cust, cur) — depth bounded
     by the longest chain (3 at fixture scale; bounded by order
-    frequency in any real corpus), rows bounded by total orders."""
-    tables_for(spark, sf_dir)
+    frequency in any real corpus), rows bounded by total orders.
+
+    Scale governor: Spark caps accumulated recursion output at
+    ``spark.sql.cteRecursionRowLimit`` (default 1e6) and depth at
+    ``cteRecursionLevelLimit`` (100) — an 8x orders replication
+    already trips the row limit (measured: RECURSION_ROW_LIMIT_EXCEEDED
+    at 1.16M chain rows). Total chain rows are bounded by the orders
+    row count, so the limit is raised to that bound for the query and
+    restored after — at cluster scale this conf is part of the
+    operator's contract, not an afterthought."""
+    t = tables_for(spark, sf_dir)
+    key = "spark.sql.cteRecursionRowLimit"
+    # bound: every chain row is a distinct (anchor, order) pair walked
+    # forward, so output rows <= orders rows; double it for headroom.
+    # The limit is read at EXECUTION time (verified: raising it only
+    # around plan construction still fails on the returned lazy frame),
+    # so it is deliberately NOT save/restored — and leaving a larger
+    # governor set is harmless, it gates only recursive CTEs.
+    n_orders = t["orders"].count()
+    current = int(spark.conf.get(key))
+    spark.conf.set(key, str(max(current, 2 * n_orders)))
     return spark.sql(ORDER_CHAINS_RECURSIVE_SQL)
