@@ -110,6 +110,15 @@ def write_zordered(
     pins = {
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.shuffle.partitions": str(n_files),
+        # Range bounds come from a sample whose RNG seed is derived from
+        # the shuffle RDD's id — a session-global counter — so with the
+        # default 100 samples/partition the file boundaries (and thus
+        # every file's min/max footer stats) drift run-to-run depending
+        # on what executed earlier in the session. Tight, reproducible
+        # boundaries ARE the product of a layout job, so sample densely:
+        # RangePartitioner hard-caps total samples at 1e6, which keeps
+        # this write-time cost bounded at any table size.
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition": "1000000",
     }
     saved = {k: spark.conf.get(k) for k in pins}
     for k, v in pins.items():
