@@ -264,6 +264,67 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_verified_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    candidate_max_distance: float = 0.5,
+    min_jaccard_x10: int = 7,
+) -> DataFrame:
+    """MinHash-LSH candidates post-verified by EXACT shingle Jaccard.
+
+    The production LSH+verify pattern: the (seeded, deterministic)
+    pyspark.ml MinHash-LSH prunes the pair space to candidates, then an
+    exact Jaccard over the two documents' distinct shingle sets keeps
+    only true near-dups. The emitted set is therefore decidable — it
+    equals *all* pairs with Jaccard ≥ threshold whenever LSH recall at
+    the threshold is total, which the wide margin guarantees in
+    practice: candidates are kept out to distance 0.5 while the verify
+    keeps only similarity ≥ 0.7, so a true pair is missed only if all
+    ``num_hash_tables`` OR-ed tables miss (≤ 0.3^8 ≈ 7e-5 per pair,
+    and deterministic per seed). The threshold compare is an integer
+    cross-multiply (``shared*10 ≥ union*min_jaccard_x10``) so the
+    boundary is bit-exact in any engine, float-free.
+
+    Scale: LSH cost is O(docs × tables); the verify join touches only
+    candidate pairs and ships shingle arrays for those pairs alone.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = _spread(documents).select(
+        "doc_id", F.array_distinct(shingles("text", shingle_n)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    cand = lsh.fit(feats).approxSimilarityJoin(
+        feats, feats, candidate_max_distance, distCol="lsh_dist"
+    )
+    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - shared
+    return (
+        cand.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetA.sh").alias("sh_a"),
+            F.col("datasetB.sh").alias("sh_b"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", shared.alias("shared_shingles"), union.alias("union_sh"))
+        .filter(F.col("shared_shingles") * 10 >= F.col("union_sh") * min_jaccard_x10)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_shingles",
+            F.round(F.col("shared_shingles") / F.col("union_sh"), 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 #: Modulus for the native MinHash permutation family: the Mersenne
 #: prime 2³¹−1. Hash values and coefficients both stay < 2³¹, so the
 #: affine rehash ``(a·h + b) mod p`` peaks below 2⁶² — safe in int64

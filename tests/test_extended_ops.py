@@ -158,3 +158,23 @@ def test_ivf_lloyd_refinement_recall_at_least_seeded(spark, sf_dir):
 
     r_seed, r_lloyd = recall(0), recall(2)
     assert r_lloyd >= r_seed, f"lloyd recall {r_lloyd:.2f} < seeded {r_seed:.2f}"
+
+
+def test_order_chains_recursive_builds_plan_without_running_a_job(spark, sf_dir):
+    """Sizing the recursion governor must come from parquet footer
+    metadata, not an eager full-table count() — at 100 TB that count is
+    a whole extra stage per invocation. Pin it: constructing the query
+    (lazy frame + conf raise) launches ZERO Spark jobs."""
+    from data_engineer_8_final_project_spark.queries.extended import (
+        q_order_chains_recursive,
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("recursive-governor-probe", "no eager jobs allowed")
+    try:
+        frame = q_order_chains_recursive(spark, sf_dir)
+        assert list(sc.statusTracker().getJobIdsForGroup("recursive-governor-probe")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # the frame itself still executes (governor is read at execution time)
+    assert frame.limit(1).count() >= 0
