@@ -250,7 +250,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "training-shuffle-order": ["query:training_shuffle_order"],
     "span-level-dedup": ["query:dup_span_stats"],
     "orc-source-sink": ["test:tests/test_io.py::test_orc_roundtrip_with_pushdown"],
-    "runtime-bloom-filter": [
+    "runtime-bloom-filter-shuffle": [
         "test:tests/test_plans.py::test_runtime_bloom_filter_injects_on_shuffle_join"
     ],
     "xml-source-sink": [
@@ -277,5 +277,16 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # GroupState twin user_totals_stateful carries the driver gate.
         "test:tests/test_streaming.py::test_transform_with_state_totals_match_batch",
         "code:data_engineer_8_final_project_spark/streaming/stateful.py",
+    ],
+    # --- round 6 additions ---
+    "skew-join-aqe-split": [
+        # VERDICT r5 item 7: skew proven with zipfian DATA — a 30%-hot
+        # key over a million generated rows, driver-oracled, plus a plan
+        # test that forces the AQE skew split to engage at test bytes.
+        "query:skewed_user_join",
+        "test:tests/test_skew.py::test_aqe_splits_skewed_big_join",
+    ],
+    "skew-hot-key-partial-agg": [
+        "test:tests/test_skew.py::test_hot_key_aggregation_bounded_by_partial_agg",
     ],
 }

@@ -2,8 +2,10 @@
 
 from __future__ import annotations
 
+import ast
 import os
 
+import data_engineer_8_final_project_spark.coverage as coverage_mod
 from data_engineer_8_final_project_spark.coverage import EXTENDED_COVERAGE, SURVEY_COVERAGE
 from data_engineer_8_final_project_spark.registry import all_queries
 
@@ -18,6 +20,19 @@ INVENTORY = (
     + [f"F{i}" for i in range(1, 13)]
     + ["T1", "T2", "T3"]
 )
+
+
+def test_coverage_maps_have_no_duplicate_keys():
+    """A repeated dict-literal key silently drops the earlier entry —
+    which in round 5 dropped a plan test from the audit index. Parse
+    the module source and reject duplicate string keys per dict."""
+    with open(coverage_mod.__file__) as fh:
+        tree = ast.parse(fh.read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys if isinstance(k, ast.Constant)]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate coverage keys at line {node.lineno}: {dupes}"
 
 
 def test_every_inventory_id_is_covered():
