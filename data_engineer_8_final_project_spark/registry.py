@@ -58,21 +58,93 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 #:
-#: Round-5 rotation (VERDICT r4 item 3): the events fixture's ts
-#: encoding changed between rounds and the engine's read path was fixed
-#: this round — so EVERY query whose output depends on event timestamps
-#: needs a fresh driver row. The window head holds the 14
-#: events-family queries (5 red in r4 + 9 whose r1/r2 green rows
-#: predate the fixture change and are evidence for nothing). The
-#: remaining 36 slots refresh queries whose most recent green row is
-#: r1/r2. All 45 r4 greens carry fresh evidence and rotate to the
-#: tail, where the local sf0.01 parity harness still oracle-gates them.
-#: ``minhash_lsh_pairs`` is deliberately OUT of the window: it has no
-#: SQL oracle (pyspark.ml's internal hashes) so it can never go green
-#: in a driver row; its recall gate lives in tests/test_dedup.py and
-#: the fully-oracled ``minhash_native_pairs`` construction stays in.
+#: Round-6 rotation (VERDICT r5 item 2): the r5 window went 50/50
+#: green, so those queries rotate to the tail with fresh evidence. The
+#: r6 window refreshes the 19 queries whose newest green driver row is
+#: still r1/r2 (pre-dating the events-fixture regeneration — the r4
+#: lesson is that stale greens are how silent drift survives), adds
+#: ``minhash_lsh_pairs`` whose round-6 exact-verified reformulation
+#: gives it a value-exact oracle for the first time (VERDICT r5
+#: item 3), and fills the remaining 30 slots with r4 greens — oldest
+#: evidence first, keeping the flagship reference-parity family in.
+#: The 14 TPC-H-shape widenings (all stable orders/lineitem/part joins)
+#: sit out this round and ride the r7 window; every tail query stays
+#: oracle-gated locally by the sf0.01 parity suite.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- events-family: ts read fixed this round → re-prove (14) ----
+    # ---- newest green row is r1/r2 → refresh evidence (19) ----
+    "media_decode_fake",
+    "promo_revenue_share",
+    "order_value_quartiles",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "unpivot_order_metrics",
+    "text_normalize",
+    "doc_fingerprints",
+    "cube_flag_status",
+    "part_price_rank",
+    "order_gaps_lag",
+    "group_count",
+    "group_sum_multi",
+    "top_orders",
+    "custkey_set_ops",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    # ---- newly oracled in round 6 → first possible green row (1) ----
+    "minhash_lsh_pairs",
+    # ---- new in round 6: zipfian skew join, no driver row yet (1) ----
+    "skewed_user_join",
+    # ---- newest green row is r4 → refresh evidence (29) ----
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dedup_stream",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "training_manifest",
+    "dup_clusters",
+    "dup_clusters_twostar",
+    "ngram_decontamination",
+    "vocab_build",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
+    "standings",
+    "revenue_by_nation",
+    "simhash_near_dup",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "reference_standings",
+    "matches_clean",
+    "html_matches_extract",
+    # ---- driver window boundary (50) ----
+    # r4 greens bumped by this round's two additions — r7 window head
+    "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
+    "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
+    # r4-green TPC-H-shape widenings — rotate into the r7 window
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    # r5 window, 50/50 green — freshest evidence in the repo
     "events_hourly",
     "events_sliding",
     "events_hourly_gapfill",
@@ -87,14 +159,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "clicks_last_error",
     "user_totals_stateful",
     "view_click_stream_join",
-    # ---- new round-5 queries: no driver row yet (5) ----
     "per_source_cap",
     "temperature_mixture_sample",
     "training_shuffle_order",
     "dup_span_stats",
     "order_chains_recursive",
     "events_props_variant",
-    # ---- last green row is r1/r2 → refresh evidence (30) ----
     "scalar_cleaning_suite",
     "standings_stream",
     "dedup_exact",
@@ -124,76 +194,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_customers_per_nation",
     "rollup_region_nation",
     "distinct_customers_salted",
-    "returned_items",  # r7 perf A/B this round — keep its row fresh too
-    # ---- driver window boundary (50) ----
-    "media_decode_fake",  # r2-green; decode path also pytest-gated
-    "promo_revenue_share",
-    "order_value_quartiles",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "unpivot_order_metrics",
-    # all below carry green r4 driver rows (or, for minhash_lsh_pairs,
-    # can never go green — no SQL oracle) and stay parity-gated locally
-    # at sf0.01.
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "events_json_extract",
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "events_by_segment_stream",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    "training_manifest",
-    "dup_clusters",
-    "dup_clusters_twostar",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    "ngram_decontamination",
-    "vocab_build",
-    "tfidf_topk_terms",
-    "lang_mixture_weights",
-    "standings",
-    "revenue_by_nation",
-    "simhash_near_dup",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    "reference_standings",
-    "matches_clean",
-    "html_matches_extract",
-    "minhash_lsh_pairs",  # no_oracle by nature — recall-gated in pytest
-    "text_normalize",  # normalize stage ⊂ corpus_clean_pipeline
-    "doc_fingerprints",  # md5 fingerprint ⊂ dedup_exact + doc_winnow_fingerprints
-    "cube_flag_status",  # GROUPING SETS machinery ⊂ rollup_region_nation
-    "part_price_rank",  # rank window ⊂ top_customers_per_nation (W2)
-    "order_gaps_lag",  # lag window ⊂ event_sessions sessionization
-    "group_count",  # ⊂ pricing_summary (A1 ⊂ A2)
-    "group_sum_multi",  # ⊂ pricing_summary
-    "top_orders",  # ⊂ shipping_priority (O1/O2)
-    "custkey_set_ops",  # U1 also in standings legs
-    "orders_by_month",  # F6/F11 ⊂ matches_clean
-    "day_name_dimension",  # F2 ⊂ matches_clean
-    "season_year_inference",  # F4 ⊂ matches_clean
-    "completed_before_cutoff",  # P3 ⊂ matches_clean
+    "returned_items",
 )
 
 
@@ -213,6 +214,7 @@ def all_queries() -> dict[str, Query]:
         multimodal_q,
         reference_pipeline,
         scalar,
+        skew_q,
         streaming_q,
         training_q,
         udf_q,

@@ -14,44 +14,45 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-5 rotation (VERDICT r4 item 3): the events-timestamp read was
-#: fixed this round, so every query whose output depends on event time
-#: needs a FRESH driver row (the r1/r2 green rows for the stale-green
-#: nine predate the fixture's encoding change and prove nothing), plus
-#: the round-5 additions that have no driver row at all yet.
+#: Round-6 rotation (VERDICT r5 items 2+3): the 19 queries whose newest
+#: green driver row is still r1/r2 — evidence older than the events
+#: fixture regeneration — plus minhash_lsh_pairs, newly reformulated as
+#: exact-verified LSH with a value-exact DuckDB oracle (its first shot
+#: at a green driver row after four rounds of rows-only checks).
 MUST_BE_IN_WINDOW = {
-    # events-family: red in r4 and repaired by the ts-read fix
-    "events_hourly",
-    "events_sliding",
-    "events_hourly_gapfill",
-    "latest_event_snapshot",
-    "events_trailing_hour_window",
-    # events-family: stale-green (verified only against the old fixture)
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "events_session_stream",
-    "events_time_rollup",
-    "event_sessions",
-    "purchases_in_sessions",
-    "clicks_last_error",
-    "user_totals_stateful",
-    "view_click_stream_join",
-    # new in round 5 — never driver-verified
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "dup_span_stats",
-    "order_chains_recursive",
-    "events_props_variant",
+    # newest green row is r1/r2 — refresh
+    "media_decode_fake",
+    "promo_revenue_share",
+    "order_value_quartiles",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "unpivot_order_metrics",
+    "text_normalize",
+    "doc_fingerprints",
+    "cube_flag_status",
+    "part_price_rank",
+    "order_gaps_lag",
+    "group_count",
+    "group_sum_multi",
+    "top_orders",
+    "custkey_set_ops",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    # newly oracled in round 6 — never had a decidable driver row
+    "minhash_lsh_pairs",
+    # new in round 6 — the zipfian skew-join proof needs a driver row
+    "skewed_user_join",
 }
 
 
-def test_unoracled_query_not_in_window():
-    """minhash_lsh_pairs has no SQL oracle (pyspark.ml internal hashes)
-    so a driver slot on it can never go green — it must stay in the
-    tail (VERDICT r2 item 3). Its recall gate lives in test_dedup.py."""
-    window = set(list(registry.all_queries())[:DRIVER_WINDOW])
-    assert "minhash_lsh_pairs" not in window
+def test_every_window_query_has_an_oracle():
+    """A driver slot on an un-oracled query can never go green (rows-
+    only check) — since round 6 every registered query carries a SQL
+    oracle, so the whole window must be decidable."""
+    for name, q in list(registry.all_queries().items())[:DRIVER_WINDOW]:
+        assert q.oracle is not None, f"{name} would waste a driver slot (no oracle)"
 
 
 def test_priority_list_is_exhaustive_and_exact():
