@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -80,7 +81,10 @@ def main() -> None:
             reps[name].append(time.perf_counter() - t0)
         passes_done += 1
 
-    timings = {n: round(sorted(ts)[len(ts) // 2], 4) for n, ts in reps.items()}
+    # statistics.median interpolates even-count reps (a budget-truncated
+    # 2-pass run would otherwise report the UPPER of the two timings,
+    # biasing the headline sum upward vs the 3-pass median semantics)
+    timings = {n: round(statistics.median(ts), 4) for n, ts in reps.items()}
     spread = {n: [round(min(ts), 4), round(max(ts), 4)] for n, ts in reps.items()}
 
     print(

@@ -338,11 +338,18 @@ def test_per_source_cap_rank_limit_is_pushed_map_side(q):
 def test_temperature_sample_has_no_data_shuffle(q):
     """The mixing filter is count-aggregate (tiny, per-source) +
     broadcast join + stateless predicate: the documents scan itself
-    must reach the output without a hash exchange on the data path."""
+    must reach the output without a hash exchange on the data path.
+    The ONLY hash exchange allowed in the whole plan is the one under
+    the per-source counts aggregate (rows = |sources|, not |docs|);
+    the final rangepartitioning is the presentation sort, not a data
+    shuffle a regression could hide behind."""
     df = q("temperature_mixture_sample")
     s = PI.explain_string(df)
-    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" not in s
+    assert "BroadcastHashJoin" in s
     assert PI.broadcast_join_count(df) >= 1
+    assert s.count("hashpartitioning(") == 1, s
+    assert "hashpartitioning(source" in s, s
+    assert "hashpartitioning(doc_id" not in s, s
 
 
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
