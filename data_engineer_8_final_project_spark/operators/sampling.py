@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
 
 from .text import token_count
 
@@ -25,6 +26,30 @@ def _hash60(col: Column) -> Column:
 def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     """Stable bucket 0..n_buckets-1 from a string column's md5."""
     return _hash60(col) % n_buckets
+
+
+def tiny_global_window(anchor: Column) -> WindowSpec:
+    """Single-partition window for METADATA-SIZED frames only.
+
+    Partitioning by a constant is semantically identical to an empty
+    partition spec, but gives WindowExec a defined partition key so the
+    "No Partition Defined for Window operation" warning never fires —
+    that warning must stay reserved for REAL scale bugs (a global sort
+    of data rows through one task), not for these by-design windows
+    over |partitions|- or |sources|-row aggregates.
+
+    A plain ``F.lit(0)`` does NOT work: Spark 4's
+    ``EliminateWindowPartitions`` optimizer rule strips foldable
+    partition expressions, restoring the empty spec (and the warning).
+    ``coalesce(pmod(anchor, 1), 0)`` is constant-VALUED (0 for every
+    row, nulls included, so all rows still land in one partition and
+    prefix sums stay global) but not constant-FOLDABLE — its child is
+    a real column — so the rule keeps it. ``anchor`` can be any column
+    of the frame. Every call site of this helper must window over a
+    bounded aggregate, never data rows; tests/test_plans.py pins that
+    shape.
+    """
+    return Window.partitionBy(F.coalesce(F.pmod(anchor, F.lit(1)), F.lit(0)))
 
 
 def hash_split(
@@ -82,7 +107,11 @@ def running_token_start(
     keys = [*part_cols, "_pack_bucket"]
     totals = df.groupBy(*keys).agg(F.sum(tokens_col).alias("_bucket_total"))
     w_off = (
-        Window.partitionBy(*part_cols)
+        (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else tiny_global_window(F.col("_pack_bucket"))
+        )
         .orderBy("_pack_bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -162,7 +191,8 @@ def distributed_row_number(
     local = ranged.withColumn("_local_rnk", F.row_number().over(w_local))
     counts = local.groupBy("_rank_pid").agg(F.count(F.lit(1)).alias("_n"))
     w_off = (
-        Window.orderBy("_rank_pid")
+        tiny_global_window(F.col("_rank_pid"))
+        .orderBy("_rank_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
@@ -281,7 +311,7 @@ def temperature_mixture_sample(
     assert alpha_sqrt, "only alpha=0.5 (sqrt temperature) is implemented"
     bucket = (_hash60(F.col(id_col).cast("string")) % 10000).alias("bucket")
     counts = documents.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n"))
-    w_all = Window.partitionBy()
+    w_all = tiny_global_window(F.col("n"))
     rates = (
         counts.withColumn("total", F.sum("n").over(w_all))
         .withColumn(

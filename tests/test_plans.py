@@ -339,17 +339,28 @@ def test_temperature_sample_has_no_data_shuffle(q):
     """The mixing filter is count-aggregate (tiny, per-source) +
     broadcast join + stateless predicate: the documents scan itself
     must reach the output without a hash exchange on the data path.
-    The ONLY hash exchange allowed in the whole plan is the one under
-    the per-source counts aggregate (rows = |sources|, not |docs|);
-    the final rangepartitioning is the presentation sort, not a data
-    shuffle a regression could hide behind."""
+    The ONLY hash exchanges allowed in the whole plan are under the
+    per-source counts aggregate (rows = |sources|, not |docs|): one
+    for the groupBy and the constant-key ``tiny_global_window``
+    exchanges for the weight-normalizing sums over that same counts
+    frame (key is literally ``coalesce(pmod(n, 1), 0)`` — recognizably
+    constant in the plan text, so they cannot be confused with a data
+    shuffle). The final rangepartitioning is the presentation sort,
+    not a data shuffle a regression could hide behind."""
     df = q("temperature_mixture_sample")
     s = PI.explain_string(df)
     assert "BroadcastHashJoin" in s
     assert PI.broadcast_join_count(df) >= 1
-    assert s.count("hashpartitioning(") == 1, s
+    # constant keys exchange under a projected alias (_w0 = the
+    # coalesce(pmod(..)) projection feeding windowspecdefinition)
+    tiny_const = s.count("hashpartitioning(_w0")
+    assert s.count("hashpartitioning(") == 1 + tiny_const, s
     assert "hashpartitioning(source" in s, s
     assert "hashpartitioning(doc_id" not in s, s
+    # the silenced-warning contract: the constant partition key
+    # survived EliminateWindowPartitions (else WindowExec logs the
+    # global-window warning a log audit must keep reserved for bugs)
+    assert tiny_const >= 1 and "coalesce(pmod(" in s, s
 
 
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
