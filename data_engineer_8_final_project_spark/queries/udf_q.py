@@ -125,9 +125,15 @@ def q_doc_norm_length_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@udtf(returnType=_TOKEN_SCHEMA)
+@udtf(returnType=_TOKEN_SCHEMA, useArrow=True)
 class _Tokenize:
     """Python UDTF (Spark 4 table function): positional tokenizer.
+
+    ``useArrow=True`` plans as ArrowEvalPythonUDTF — Arrow batch
+    transfer across the Python boundary instead of pickled rows, the
+    same vectorized transport the pandas UDF/UDAF surfaces use (and
+    the registry-wide plan lint bans the pickled BatchEvalPython form
+    outright).
 
     Splits on the literal single space — the same contract as the
     oracle's string_split — and emits 1-based positions.

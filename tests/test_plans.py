@@ -397,3 +397,61 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide anti-pattern lint: every batch query, one gate.
+# ---------------------------------------------------------------------------
+# The targeted tests above pin the plans of the queries most likely to
+# regress; this lint closes the gap for the other ~100 — any registered
+# query whose plan grows a cartesian product, an unjustified
+# nested-loop join, or a row-at-a-time Python UDF fails here by NAME.
+# These are the three shapes that are quadratic-or-serial at 100 TB no
+# matter how small they look at test scale.
+
+import re as _re
+
+#: fn launches an availableNow replay and returns the materialized
+#: sink — its batch plan says nothing about the streaming job. Their
+#: plan/state discipline is pinned in tests/test_streaming.py.
+_STREAMING_EXECUTES = {
+    "dedup_stream",
+    "events_by_segment_stream",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "events_session_stream",
+    "user_totals_stateful",
+    "view_click_stream_join",
+    "standings_stream",
+}
+
+#: name -> why a BroadcastNestedLoopJoin is legitimate THERE (the
+#: broadcast side must be provably bounded — a grand-total aggregate
+#: or a single query row, never fixture data). Every entry below
+#: broadcasts EXACTLY ONE row, so the "nested loop" degenerates to a
+#: scalar bind against the stream side — constant work per row at any
+#: scale.
+_NESTED_LOOP_OK: dict[str, str] = {
+    "doc_unigram_logprob": "cross x 1-row corpus token total (logprob denominator)",
+    "tfidf_topk_terms": "cross x 1-row corpus doc count (IDF denominator)",
+    "lang_mixture_weights": "cross x 1-row corpus total (mixture normalizer)",
+    "dq_audit": "inner x 1-row DQ counter aggregates (no join key by design)",
+    "idle_rich_customers": "theta vs 1-row avg(c_acctbal) scalar (Q22 shape)",
+    "embedding_topk": "cross x 1-row query-vector frame",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in all_queries() if n not in _STREAMING_EXECUTES]
+)
+def test_registry_wide_plan_lint(q, name):
+    plan = PI.explain_string(q(name))
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join (allowlist it here only with a "
+            "proof the broadcast side is bounded)"
+        )
+    assert not _re.search(r"^\(\d+\) BatchEvalPython", plan, _re.M), (
+        f"{name}: row-at-a-time Python UDF on a data path"
+    )
