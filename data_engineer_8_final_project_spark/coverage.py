@@ -119,6 +119,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "similarity-brute-topk": ["query:embedding_topk"],
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
+    "similarity-ann-pq": ["query:pq_adc_topk"],
     "similarity-near-dup": [
         "query:embedding_near_dup_pairs",
         "query:lsh_near_dup_pairs",

@@ -539,6 +539,85 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(t["embeddings"], query_vec_id=0, n_cells=16, n_probe=4, k=10)
 
 
+def _pq_oracle(
+    query_vec_id: int, dim: int, n_sub: int, n_codes: int, shortlist: int, k: int
+) -> str:
+    """Oracle replays the seeded-codebook PQ exactly: codeword j of
+    subspace m = the (j+1)-th lowest-vec_id vector's m-th subvector;
+    per-subspace code = argmin of the same reduced ``-2·dot + c2``
+    (tie → lower j); ADC score = sum over subspaces of
+    dot(q_sub, codeword[code]); top-``shortlist`` by (raw DESC,
+    vec_id) then exact-cosine re-rank. Same left-to-right float ops as
+    the Spark side → bit-identical codes and rank boundaries."""
+    sub = dim // n_sub
+    spans = [(m * sub + 1, (m + 1) * sub) for m in range(n_sub)]
+    asg = ",\n    ".join(
+        f"""asg{m} AS (
+      SELECT vec_id, j AS code{m} FROM (
+        SELECT e.vec_id, s.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -2*list_dot_product(e.v[{lo}:{hi}], s.v[{lo}:{hi}])
+                          + list_dot_product(s.v[{lo}:{hi}], s.v[{lo}:{hi}]) ASC,
+                          s.j ASC) AS rn
+        FROM emb e CROSS JOIN seeds s
+        WHERE e.vec_id <> {query_vec_id}) t
+      WHERE rn = 1
+    )"""
+        for m, (lo, hi) in enumerate(spans)
+    )
+    adc = "\n           + ".join(
+        f"list_dot_product(q.qv[{lo}:{hi}], s{m}.v[{lo}:{hi}])"
+        for m, (lo, hi) in enumerate(spans)
+    )
+    joins = "\n      ".join(
+        f"JOIN asg{m} a{m} USING (vec_id) JOIN seeds s{m} ON s{m}.j = a{m}.code{m}"
+        for m in range(n_sub)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      FROM emb ORDER BY vec_id LIMIT {n_codes}
+    ),
+    {asg},
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id}),
+    cand AS (
+      SELECT e.vec_id, e.label, e.v, q.qv,
+             {adc} AS raw
+      FROM emb e
+      {joins}, q
+      ORDER BY raw DESC, e.vec_id ASC
+      LIMIT {shortlist}
+    )
+    SELECT vec_id, label,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_pq_oracle(query_vec_id=0, dim=64, n_sub=8, n_codes=32, shortlist=100, k=10),
+    survey_ref="extended: PQ-ADC ANN top-k (memory-compressed scale path)",
+    tags=("bench",),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ADC top-k — the compressed ANN tier
+    (operators/similarity.pq_topk): 64-double vectors quantized to 8
+    seeded-codebook codes; ADC shortlist of 100, exact-cosine re-rank."""
+    t = tables_for(spark, sf_dir)
+    return similarity.pq_topk(
+        t["embeddings"], query_vec_id=0, dim=64, n_sub=8, n_codes=32, shortlist=100, k=10
+    )
+
+
 @register(
     "lsh_near_dup_pairs",
     oracle="""

@@ -95,6 +95,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs",
     # ---- new in round 6: zipfian skew join, no driver row yet (1) ----
     "skewed_user_join",
+    # ---- new in round 6: PQ-ADC compressed ANN tier, no driver row yet (1) ----
+    "pq_adc_topk",
     # ---- newest green row is r4 → refresh evidence (29) ----
     "hash_split_assignments",
     "sequence_packing",

@@ -178,3 +178,35 @@ def test_order_chains_recursive_builds_plan_without_running_a_job(spark, sf_dir)
         sc.setLocalProperty("spark.jobGroup.id", None)
     # the frame itself still executes (governor is read at execution time)
     assert frame.limit(1).count() >= 0
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """PQ-ADC two-stage recall pin vs the exact scan.
+
+    Seeded codebooks (8 subspaces x 32 codewords) + ADC shortlist of
+    100 + exact re-rank; both stages are deterministic, so recall is a
+    fixed property of the fixture — measured 9/10 at sf0.001 and 10/10
+    at sf0.01. Asserting >= 0.8 catches encoding/shortlist regressions
+    while staying honest about PQ's quantization loss.
+    """
+    reg = all_queries()
+    exact = set(reg["embedding_topk"].fn(spark, sf_dir).toPandas()["vec_id"])
+    approx = set(reg["pq_adc_topk"].fn(spark, sf_dir).toPandas()["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ-ADC recall {recall:.2f} < 0.8"
+
+
+def test_pq_adc_is_shuffle_free(spark, sf_dir):
+    """The PQ plan must stay scan -> per-row codes -> broadcast(1-row
+    query) -> TakeOrdered(shortlist) -> TakeOrdered(k): encoding and
+    ADC are inlined-literal expressions, so there is never a
+    hashpartitioning of the embeddings side nor any Python boundary."""
+    from data_engineer_8_final_project_spark.plans import inspect as PI
+
+    df = all_queries()["pq_adc_topk"].fn(spark, sf_dir)
+    plan = PI.explain_string(df)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert PI.exchange_count(df) == 0, plan
+    assert PI.python_eval_count(df) == 0
+    assert "TakeOrderedAndProject" in plan

@@ -44,6 +44,8 @@ MUST_BE_IN_WINDOW = {
     "minhash_lsh_pairs",
     # new in round 6 — the zipfian skew-join proof needs a driver row
     "skewed_user_join",
+    # new in round 6 — PQ-ADC compressed ANN tier needs a driver row
+    "pq_adc_topk",
 }
 
 
