@@ -408,9 +408,11 @@ def pq_topk(
     sum, and both rank boundaries (raw ADC DESC then vec_id; cosine
     DESC then vec_id) are pure per-row expressions over strict
     left-to-right IEEE ops — replayable bit-identically by a DuckDB
-    oracle. The plan is one scan → per-row codes → broadcast of the
-    single query row → TakeOrdered(shortlist) → exact cosine →
-    TakeOrdered(k). **Zero shuffles, zero data joins.**
+    oracle. The query vector (one row — the other model parameter) is
+    collected too, folding the ADC lookup tables to plain literals.
+    The plan is one scan → per-row codes → TakeOrdered(shortlist) →
+    exact cosine → TakeOrdered(k). **Zero shuffles, zero joins of any
+    kind.**
 
     Recall < 1 by construction (a true neighbor can fall outside the
     ADC shortlist); measured 10/10 vs the exact top-10 at sf0.01 and
@@ -428,42 +430,69 @@ def pq_topk(
         for m in range(n_sub)
     ]
 
-    def _subv(col: Column, m: int) -> Column:
-        return F.slice(col, m * sub + 1, sub)
+    # the query vector is one row — a model parameter like the
+    # codebooks — so collect it and fold the whole ADC lookup table to
+    # Python-float literals driver-side (same left-to-right IEEE sums
+    # the oracle's list_dot_product performs)
+    qv = list(
+        emb.filter(F.col("vec_id") == query_vec_id).select("v").collect()[0]["v"]
+    )
 
-    def _code(vcol: Column, m: int) -> Column:
-        structs = []
-        for j, cw in enumerate(books[m]):
-            cwl = F.array(*[F.lit(x) for x in cw])
+    # The naive Column-by-Column construction (one F.* call per
+    # arithmetic node) costs ~10 s per invocation BEFORE any action:
+    # 8 subspaces × 32 codewords × 8-dim dots ≈ 10k py4j round-trips
+    # to build, then a 10k-node Catalyst tree to analyze. Keeping the
+    # codeword loop SYMBOLIC — higher-order functions over literal
+    # codebook matrices, one F.expr per subspace — builds in
+    # milliseconds and analyzes a tree whose size is O(n_sub), not
+    # O(n_sub × n_codes × sub). The evaluated float ops are identical:
+    # aggregate(zip_with(..), 0.0, +) is the same left-to-right IEEE
+    # sum (0.0 + x == x bit-exactly), struct array_min is the same
+    # (d2 ASC, j ASC) argmin as the least-of-structs form.
+    def _sql_d(x: float) -> str:
+        return repr(float(x)) + "D"  # repr round-trips; parser is correctly-rounded
+
+    enc = emb.filter(F.col("vec_id") != query_vec_id)
+    for m in range(n_sub):
+        cws = "array(" + ",".join(
+            "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in books[m]
+        ) + ")"
+        c2s = []
+        for cw in books[m]:
             c2 = 0.0  # fold dot(cw, cw) left-to-right, same as the oracle
             for x in cw:
                 c2 += x * x
-            d2 = F.lit(-2.0) * _dot(_subv(vcol, m), cwl) + F.lit(c2)
-            structs.append(F.struct(d2.alias("d2"), F.lit(j).alias("j")))
-        return F.least(*structs).getField("j")
-
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
-    enc = emb.filter(F.col("vec_id") != query_vec_id)
-    for m in range(n_sub):
-        enc = enc.withColumn(f"_c{m}", _code(F.col("v"), m))
-    enc = enc.crossJoin(F.broadcast(q))
-    raw = None
-    for m in range(n_sub):
-        # ADC lookup table: dot(q_sub, codeword_j) for every j, indexed
-        # by this row's code — n_codes expressions, one element_at
-        lut = F.array(
-            *[
-                _dot(_subv(F.col("qv"), m), F.array(*[F.lit(x) for x in books[m][j]]))
-                for j in range(n_codes)
-            ]
+            c2s.append(c2)
+        c2arr = "array(" + ",".join(_sql_d(c) for c in c2s) + ")"
+        enc = enc.withColumn(
+            f"_c{m}",
+            F.expr(
+                f"array_min(transform(sequence(0, {n_codes - 1}), j -> named_struct("
+                f"'d2', -2.0D * aggregate(zip_with(slice(v, {m * sub + 1}, {sub}), "
+                f"element_at({cws}, j + 1), (x, y) -> x * y), 0.0D, (a, b) -> a + b) "
+                f"+ element_at({c2arr}, j + 1), 'j', j))).j"
+            ),
         )
-        ip = F.element_at(lut, F.col(f"_c{m}") + F.lit(1))
-        raw = ip if raw is None else raw + ip
+    # ADC lookup tables folded to literals: dot(q_sub, codeword_j) for
+    # every j, indexed by this row's code via one element_at each
+    terms = []
+    for m in range(n_sub):
+        lut = []
+        for j in range(n_codes):
+            t = 0.0
+            for a, b in zip(qv[m * sub : (m + 1) * sub], books[m][j]):
+                t += a * b
+            lut.append(t)
+        terms.append(
+            f"element_at(array({','.join(_sql_d(t) for t in lut)}), _c{m} + 1)"
+        )
+    raw = F.expr(" + ".join(terms))
+    qlit = F.array(*[F.lit(x) for x in qv])
     return (
         enc.withColumn("_raw", raw)
         .orderBy(F.desc("_raw"), F.asc("vec_id"))
         .limit(shortlist)
-        .withColumn("cosine", F.round(cosine(F.col("v"), F.col("qv")), decimals))
+        .withColumn("cosine", F.round(cosine(F.col("v"), qlit), decimals))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", "label", "cosine")

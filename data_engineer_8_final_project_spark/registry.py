@@ -126,8 +126,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_ann_topk",
     "reference_standings",
     "matches_clean",
-    "html_matches_extract",
     # ---- driver window boundary (50) ----
+    # html_matches_extract slid out when the round-6 additions
+    # (skewed_user_join, pq_adc_topk) entered the head — r4-green,
+    # html parse also exercised every round by matches_clean upstream
+    "html_matches_extract",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)

@@ -438,7 +438,6 @@ _NESTED_LOOP_OK: dict[str, str] = {
     "dq_audit": "inner x 1-row DQ counter aggregates (no join key by design)",
     "idle_rich_customers": "theta vs 1-row avg(c_acctbal) scalar (Q22 shape)",
     "embedding_topk": "cross x 1-row query-vector frame",
-    "pq_adc_topk": "cross x 1-row query-vector frame (ADC stage)",
 }
 
 
