@@ -118,6 +118,34 @@ def cosine_near_dup_pairs(
     )
 
 
+def _sql_d(x: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal. ``repr`` emits the
+    shortest round-tripping decimal and both parsers (Python's and the
+    JVM's Double.parseDouble behind Spark's literal rule) are
+    correctly-rounded, so the bits survive the text round-trip."""
+    return repr(float(x)) + "D"
+
+
+def _reduced_d2_sql(vec_sql: str, mat_sql: str, c2_sql: str) -> str:
+    """The reduced ``-2·dot(v, c_i) + dot(c_i, c_i)`` argmin score as
+    SQL text over a literal centroid/codeword matrix, for use inside a
+    ``transform(sequence(..), i -> ..)`` lambda. aggregate(zip_with)
+    is the same left-to-right IEEE sum as every other dot in this
+    module (0.0 + x == x bit-exactly), so scores — and therefore
+    argmins — match the Column-built and DuckDB formulations."""
+    return (
+        f"-2.0D * aggregate(zip_with({vec_sql}, element_at({mat_sql}, i + 1), "
+        f"(x, y) -> x * y), 0.0D, (a, b) -> a + b) + element_at({c2_sql}, i + 1)"
+    )
+
+
+def _fold_c2(cv: list[float]) -> float:
+    c2 = 0.0  # left-to-right, same order as list_dot_product(c, c)
+    for x in cv:
+        c2 += x * x
+    return c2
+
+
 def _cell_structs(v: Column, cents: list[tuple[int, list[float]]]) -> list[Column]:
     """(reduced-distance, cell-id) structs for every centroid — the
     argmin building block shared by assignment, probing and Lloyd
@@ -214,15 +242,32 @@ def ivf_topk(
         # path is what the SQL oracle replays)
         cents = refine_centroids_lloyd(emb, cents, iters=lloyd_iters, decimals=decimals)
 
-    assigned_cell = F.least(*_cell_structs(F.col("v"), cents)).getField("cell")
+    # Same (d2, cell) structs as _cell_structs, but the centroid loop
+    # stays SYMBOLIC (transform over a literal matrix, one F.expr):
+    # the Column-per-node form paid ~1-2 s of py4j round-trips and
+    # Catalyst analysis per call for a 16×64 literal dot tree. Struct
+    # ordering (d2 ASC, cell ASC) and the left-to-right IEEE sums are
+    # identical, so argmins — and the DuckDB oracle match — are
+    # unchanged bit for bit.
+    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
+    mat_sql = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
+        + ")"
+    )
+    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
+    structs_sql = (
+        f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+        f"'d2', {_reduced_d2_sql('v', mat_sql, c2_sql)}, "
+        f"'cell', element_at({ids_sql}, i + 1)))"
+    )
+    assigned_cell = F.expr(f"array_min({structs_sql}).cell")
     probe = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(
             F.col("v").alias("qv"),
             F.explode(
-                F.slice(
-                    F.sort_array(F.array(*_cell_structs(F.col("v"), cents))), 1, n_probe
-                )
+                F.expr(f"slice(array_sort({structs_sql}), 1, {n_probe})")
             ).alias("pc"),
         )
         .select("qv", F.col("pc.cell").alias("cell"))
@@ -449,28 +494,18 @@ def pq_topk(
     # aggregate(zip_with(..), 0.0, +) is the same left-to-right IEEE
     # sum (0.0 + x == x bit-exactly), struct array_min is the same
     # (d2 ASC, j ASC) argmin as the least-of-structs form.
-    def _sql_d(x: float) -> str:
-        return repr(float(x)) + "D"  # repr round-trips; parser is correctly-rounded
-
     enc = emb.filter(F.col("vec_id") != query_vec_id)
     for m in range(n_sub):
         cws = "array(" + ",".join(
             "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in books[m]
         ) + ")"
-        c2s = []
-        for cw in books[m]:
-            c2 = 0.0  # fold dot(cw, cw) left-to-right, same as the oracle
-            for x in cw:
-                c2 += x * x
-            c2s.append(c2)
-        c2arr = "array(" + ",".join(_sql_d(c) for c in c2s) + ")"
+        c2arr = "array(" + ",".join(_sql_d(_fold_c2(cw)) for cw in books[m]) + ")"
+        d2 = _reduced_d2_sql(f"slice(v, {m * sub + 1}, {sub})", cws, c2arr)
         enc = enc.withColumn(
             f"_c{m}",
             F.expr(
-                f"array_min(transform(sequence(0, {n_codes - 1}), j -> named_struct("
-                f"'d2', -2.0D * aggregate(zip_with(slice(v, {m * sub + 1}, {sub}), "
-                f"element_at({cws}, j + 1), (x, y) -> x * y), 0.0D, (a, b) -> a + b) "
-                f"+ element_at({c2arr}, j + 1), 'j', j))).j"
+                f"array_min(transform(sequence(0, {n_codes - 1}), i -> "
+                f"named_struct('d2', {d2}, 'j', i))).j"
             ),
         )
     # ADC lookup tables folded to literals: dot(q_sub, codeword_j) for
