@@ -38,6 +38,30 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_sql(a: str, b: str, dim: int) -> Column:
+    """:func:`cosine` over NAMED array columns, unrolled to flat
+    arithmetic for a known ``dim``.
+
+    Bit-identical to the HOF form — aggregate's ``(((0+t0)+t1)+..)``
+    equals the flat left-associated sum because ``0.0 + x == x`` in
+    IEEE — but the flat expression participates in whole-stage codegen
+    while higher-order lambdas are interpreted per element. On
+    per-PAIR verify paths (millions of candidate pairs × 64 dims) the
+    interpreted form dominated the query: measured ~10× end-to-end on
+    the banded-LSH near-dup verify at sf0.1.
+    """
+    dot = " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+    na = " + ".join(
+        f"element_at({a}, {i}) * element_at({a}, {i})" for i in range(1, dim + 1)
+    )
+    nb = " + ".join(
+        f"element_at({b}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+    return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_vec_id: int, k: int = 10, decimals: int = 6
 ) -> DataFrame:
@@ -64,7 +88,11 @@ def brute_force_topk(
 
 
 def cosine_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, decimals: int = 6, n_blocks: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    decimals: int = 6,
+    n_blocks: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ threshold).
 
@@ -112,7 +140,7 @@ def cosine_near_dup_pairs(
         .select(
             F.least("id_a", "id_b").alias("vec_a"),
             F.greatest("id_a", "id_b").alias("vec_b"),
-            F.round(cosine(F.col("va"), F.col("vb")), decimals).alias("cosine"),
+            F.round(cosine_sql("va", "vb", dim), decimals).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -300,18 +328,37 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def simhash_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-random-projection bucket id (0..2^n_planes-1) for a vector.
+def _plane_bits_sql(vec_sql: str, dim: int, plane_indices: list[int]) -> str:
+    """Big-endian integer of the sign bits of ``vec · hyperplane_p``
+    for each plane index, as one symbolic SQL expression (literal
+    plane matrix + HOF loop — the Column-per-node form paid a py4j
+    round-trip per arithmetic node and re-analysis per call). The
+    fold ``acc*2 + bit`` and the left-to-right dot sums are exactly
+    the Column formulation's ops, so bucket ids are unchanged."""
+    mat = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_d(c) for c in _hyperplane(dim, p)) + ")"
+            for p in plane_indices
+        )
+        + ")"
+    )
+    return (
+        f"aggregate(transform(sequence(0, {len(plane_indices) - 1}), p -> "
+        f"CASE WHEN aggregate(zip_with({vec_sql}, element_at({mat}, p + 1), "
+        f"(x, y) -> x * y), 0.0D, (a, b) -> a + b) >= 0.0D THEN 1 ELSE 0 END), "
+        f"0, (acc, b) -> acc * 2 + b)"
+    )
+
+
+def simhash_bucket(vec: str, dim: int, n_planes: int = 8) -> Column:
+    """Sign-random-projection bucket id (0..2^n_planes-1) for a NAMED
+    array column.
 
     Vectors with high cosine similarity agree on most hyperplane signs,
     so they land in the same bucket with high probability.
     """
-    bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
-        bit = (_dot(vec, plane) >= 0).cast("int")
-        bucket = bucket * 2 + bit
-    return bucket
+    return F.expr(_plane_bits_sql(vec, dim, list(range(n_planes))))
 
 
 def lsh_near_dup_pairs(
@@ -342,47 +389,52 @@ def lsh_near_dup_pairs(
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # the band shuffle carries IDS ONLY — at scale, shipping n_bands
+    # copies of every dim-wide vector through the exchange is the
+    # dominant cost; candidate pairs are dedup'd BEFORE the verify so
+    # a pair colliding in several bands pays one cosine, and the
+    # vectors are fetched back by two equi-joins
     bands = emb.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("band_no"),
-                        _band_value(F.col("v"), dim, k, band_bits).alias("band_val"),
+                        _band_value("v", dim, k, band_bits).alias("band_val"),
                     )
                     for k in range(n_bands)
                 ]
             )
         ).alias("b"),
-    ).select("vec_id", "v", F.col("b.band_no"), F.col("b.band_val"))
-    a = bands.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band_no", "band_val"
-    )
-    b = bands.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band_no", "band_val"
-    )
-    return (
+    ).select("vec_id", F.col("b.band_no"), F.col("b.band_val"))
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band_no", "band_val")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band_no", "band_val")
+    cand = (
         a.join(b, ["band_no", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), decimals).alias("cosine"),
+            F.round(cosine_sql("va", "vb", dim), decimals).alias("cosine"),
         )
-        .distinct()  # a pair can collide in several bands; cosine is deterministic
         .filter(F.col("cosine") >= threshold)
     )
 
 
-def _band_value(vec: Column, dim: int, band_no: int, band_bits: int) -> Column:
-    """Integer value of one LSH band: ``band_bits`` hyperplane sign bits."""
-    val = F.lit(0)
-    for i in range(band_bits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, band_no * band_bits + i)])
-        val = val * 2 + (_dot(vec, plane) >= 0).cast("int")
-    return val
+def _band_value(vec: str, dim: int, band_no: int, band_bits: int) -> Column:
+    """Integer value of one LSH band: ``band_bits`` hyperplane sign
+    bits of a NAMED array column (symbolic — see _plane_bits_sql)."""
+    planes = [band_no * band_bits + i for i in range(band_bits)]
+    return F.expr(_plane_bits_sql(vec, dim, planes))
 
 
 def ann_lsh_topk(
@@ -401,7 +453,7 @@ def ann_lsh_topk(
     """
     emb = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", simhash_bucket(F.col("v"), dim, n_planes))
+    ).withColumn("bucket", simhash_bucket("v", dim, n_planes))
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
