@@ -120,6 +120,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
     "similarity-ann-pq": ["query:pq_adc_topk"],
+    "dedup-canonical-selection": ["query:dup_cluster_representatives"],
     "similarity-near-dup": [
         "query:embedding_near_dup_pairs",
         "query:lsh_near_dup_pairs",

@@ -155,11 +155,13 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_logprob_scores(t["documents"]).orderBy("doc_id")
 
 
-def _dup_clusters_oracle(min_jaccard: float) -> str:
-    """Recursive-CTE replay of min-label connected components over the
-    jaccard near-dup edges — transitive closure then MIN per vertex
-    (small closed-form equivalent of the engine's iterative
-    propagation; both converge to the same unique fixpoint)."""
+def _dup_clusters_cte(min_jaccard: float) -> str:
+    """The shared WITH RECURSIVE prefix ending in a ``cc(doc_id,
+    cluster_id)`` CTE — min-label connected components over the
+    jaccard near-dup edges via transitive closure (small closed-form
+    equivalent of the engine's iterative propagation; both converge to
+    the same unique fixpoint). Composed by the cluster-assignment and
+    representative-selection oracles."""
     _DUCK_SHINGLES = (
         "list_transform(range(1, greatest(len(t)-2, 0)+1), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
@@ -198,10 +200,21 @@ def _dup_clusters_oracle(min_jaccard: float) -> str:
       SELECT doc_id AS doc, doc_id AS label FROM documents
       UNION
       SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
-    )
-    SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY doc ORDER BY doc_id
+    ),
+    cc AS (
+      SELECT doc AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY doc
+    )"""
+
+
+def _dup_clusters_oracle(min_jaccard: float) -> str:
+    """Cluster assignment: the shared components CTE, selected."""
+    return (
+        _dup_clusters_cte(min_jaccard)
+        + """
+    SELECT doc_id, cluster_id FROM cc ORDER BY doc_id
     """
+    )
 
 
 @register(
@@ -241,6 +254,70 @@ def q_dup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.5)
     verts = t["documents"].select("doc_id")
     return clusters.connected_components_twostar(verts, edges).orderBy("doc_id")
+
+
+@register(
+    "dup_cluster_representatives",
+    oracle=_dup_clusters_cte(min_jaccard=0.5)
+    + f""",
+    q AS (
+      SELECT doc_id, len(list_distinct({_DUCK_TOKENS})) AS nd FROM documents
+    ),
+    rep AS (
+      SELECT cluster_id, doc_id AS rep_doc FROM (
+        SELECT cc.cluster_id, cc.doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY cc.cluster_id
+                 ORDER BY q.nd DESC, cc.doc_id ASC) AS rn
+        FROM cc JOIN q USING (doc_id)) t
+      WHERE rn = 1
+    )
+    SELECT cc.doc_id, cc.cluster_id,
+           CAST(cc.doc_id = rep.rep_doc AS INT) AS is_representative
+    FROM cc JOIN rep USING (cluster_id)
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: canonical-document selection per near-dup cluster",
+)
+def q_dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a training pipeline runs AFTER clustering: per cluster,
+    keep ONE canonical document — the highest-quality member (most
+    distinct tokens; tie → lowest doc_id) — and mark the rest as drops.
+    Emits a per-document verdict (doc_id, cluster_id,
+    is_representative) usable directly as a dedup gate.
+
+    Scale shape: the representative is a per-cluster ``max_by`` over a
+    unique (quality, -doc_id) key — map-side partial aggregation, so a
+    pathological giant cluster cannot widen the shuffle — then one
+    equi-join back on cluster_id (AQE skew-split applies). No window
+    over cluster_id: a rank window would funnel an all-dup corpus
+    through one task.
+    """
+    t = tables_for(spark, sf_dir)
+    edges = dedup.jaccard_candidate_pairs(
+        t["documents"], shingle_n=3, min_shared=2, max_df=100
+    ).filter(F.col("jaccard") >= 0.5)
+    verts = t["documents"].select("doc_id")
+    cc = clusters.connected_components(verts, edges)
+    qual = text.quality_metrics(t["documents"]).select(
+        "doc_id", F.col("n_distinct_tokens").alias("nd")
+    )
+    rep = (
+        cc.join(qual, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(doc_id, struct(nd, -doc_id))").alias("rep_doc")
+        )
+    )
+    return (
+        cc.join(rep, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("rep_doc")).cast("int").alias("is_representative"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

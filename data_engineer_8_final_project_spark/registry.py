@@ -131,6 +131,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (skewed_user_join, pq_adc_topk) entered the head — r4-green,
     # html parse also exercised every round by matches_clean upstream
     "html_matches_extract",
+    # new in round 6 (late): canonical-doc selection — r7 window head
+    "dup_cluster_representatives",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
