@@ -121,6 +121,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
     "similarity-ann-pq": ["query:pq_adc_topk"],
     "dedup-canonical-selection": ["query:dup_cluster_representatives"],
+    "dedup-semantic": [
+        # SemDeDup (Abbas et al. 2303.09540): cluster-blocked embedding
+        # dedup — zero-shuffle literal-centroid cell assignment, pair
+        # compare within cells only, min-id greedy keep rule
+        "query:semantic_dedup",
+        "test:tests/test_dedup.py::test_semantic_dedup_drops_within_cell_near_dups",
+    ],
     "similarity-near-dup": [
         "query:embedding_near_dup_pairs",
         "query:lsh_near_dup_pairs",
@@ -132,6 +139,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-winnowing": ["query:doc_winnow_fingerprints"],
     "text-bpe-tokens": ["query:bpe_token_topk"],
     "text-normalize": ["query:text_normalize"],
+    "text-chunking": [
+        # RAG / context-length prep: overlapping token-window chunks,
+        # one narrow explode pass, no shuffle but the output sort
+        "query:doc_chunks",
+    ],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
     "corpus-clean-pipeline": ["query:corpus_clean_pipeline"],

@@ -601,3 +601,77 @@ def pq_topk(
         .limit(k)
         .select("vec_id", "label", "cosine")
     )
+
+
+def semantic_dedup_verdicts(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.45,
+    decimals: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked embedding dedup (Abbas et al.,
+    arXiv:2303.09540): per-document keep/drop verdicts from
+    within-cluster cosine similarity.
+
+    The production semantic-dedup recipe: k-means the corpus embeddings
+    into ``n_cells`` clusters, then compare pairs ONLY within a cluster
+    (near-dups land in the same Voronoi cell; cross-cluster pairs are
+    below threshold by construction of the clustering) and drop every
+    document that has a same-cell earlier neighbor at ``cos ≥
+    threshold``. Deterministic keep rule: vec ``v`` is dropped iff some
+    ``u < v`` in its cell has ``round(cos(u, v), decimals) ≥
+    threshold`` — the min-id greedy that any engine can replay.
+
+    Scale design (100 TB): cell assignment reuses the IVF seeded-medoid
+    argmin — centroids are bounded model parameters inlined as literals
+    (one ``transform`` over a literal matrix), so assignment is a pure
+    per-row expression with **zero shuffle, zero join**. The pair stage
+    shuffles on the cell key only (each vector rides the exchange
+    exactly once per side), and per-task work is ``(n/n_cells)²``
+    comparisons — ``n_cells`` is the scale knob (SemDeDup runs ~100 k
+    clusters at corpus scale, keeping cells ~constant-sized). The
+    per-pair cosine is :func:`cosine_sql` flat codegen arithmetic, not
+    an interpreted lambda. No all-pairs join exists: the join key is
+    the cell id.
+
+    Returns (vec_id, cell, is_kept) — a verdict frame usable directly
+    as a dedup gate join, same contract as
+    ``dup_cluster_representatives``.
+    """
+    emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # bounded collect: n_cells centroid rows are model parameters, not data
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
+    mat_sql = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
+        + ")"
+    )
+    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
+    structs_sql = (
+        f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+        f"'d2', {_reduced_d2_sql('v', mat_sql, c2_sql)}, "
+        f"'cell', element_at({ids_sql}, i + 1)))"
+    )
+    assigned = emb.withColumn(
+        "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
+    )
+    a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_sql("va", "vb", dim), decimals) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    # verdict join stays an unhinted equi-join on vec_id: `dropped` is
+    # data-sized in the worst case (an all-dup corpus), so broadcast is
+    # AQE's call, never forced
+    return assigned.join(dropped.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cell", F.col("_dup").isNull().alias("is_kept")
+    )

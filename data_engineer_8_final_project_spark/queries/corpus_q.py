@@ -239,3 +239,82 @@ def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: RAG/context chunking parameters: 16-token windows, stride 12
+#: (4-token overlap). Production chunkers run 512/384 over BPE tokens —
+#: same plan, different constants (the fixture docs are 10-99 tokens).
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+@register(
+    "doc_chunks",
+    oracle=f"""
+    -- Overlapping token-window chunking (the RAG / context-length
+    -- pre-processing step): starts at 1, 1+stride, ...; a start is
+    -- emitted only if the PREVIOUS window did not already reach the
+    -- document's end (no fully-contained tail chunks). chunk_id is
+    -- derived from the start offset so both engines agree without
+    -- relying on explode position semantics.
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             unnest(list_filter(range(1, len(t) + 1, {CHUNK_STRIDE}),
+                    s -> s = 1 OR s - {CHUNK_STRIDE} + {CHUNK_TOKENS} - 1 < len(t)))
+               AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, start, start + {CHUNK_TOKENS} - 1)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(t, start, start + {CHUNK_TOKENS} - 1), ' ')
+             AS chunk_text
+    FROM st
+    ORDER BY doc_id, chunk_id
+    """,
+    survey_ref="extended: overlapping token-window chunking (RAG / context prep)",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → overlapping token-window chunks, one narrow pass.
+
+    tokenize → emit window starts (1, 1+stride, ... while the previous
+    window hasn't covered the tail) → explode → slice. All built-ins
+    (split/sequence/filter/explode/slice/array_join): the explode
+    pre-spreads rows by doc, no shuffle except the output sort, and at
+    100 TB the op stays embarrassingly parallel — chunk count per task
+    is proportional to input tokens, the only data growth is the
+    stride/size overlap factor (16/12 ≈ 1.33× here).
+    """
+    from ..operators import text
+
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("doc_id", text.tokens("text").alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(1, size(t), {CHUNK_STRIDE}), "
+                    f"s -> s = 1 OR s - {CHUNK_STRIDE} + {CHUNK_TOKENS} - 1 < size(t))"
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.expr(f"slice(t, start, {CHUNK_TOKENS})").alias("ct"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ct").cast("long").alias("n_tokens"),
+            F.array_join("ct", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

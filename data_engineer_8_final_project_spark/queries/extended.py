@@ -618,6 +618,57 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
+    """Replays semantic_dedup_verdicts exactly: centroids = the
+    ``n_cells`` lowest vec_ids (seeded medoids); cell = argmin of the
+    same reduced ``-2·dot(v,c) + dot(c,c)`` score (tie → lower cell
+    id); drop rule = exists an earlier same-cell vector at
+    ``round(cos, 6) ≥ threshold``. Same left-to-right IEEE float ops as
+    the Spark side → bit-identical cells and boundary decisions."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                  6) >= {threshold}
+    )
+    SELECT g.vec_id, CAST(g.cell AS BIGINT) AS cell, d.vec_id IS NULL AS is_kept
+    FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+    ORDER BY g.vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(n_cells=16, threshold=0.45),
+    survey_ref="extended: SemDeDup cluster-blocked embedding dedup verdicts",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) keep/drop verdicts:
+    cluster-blocked embedding dedup — k-means cells bound the pair
+    stage, cell assignment is a zero-shuffle literal-centroid argmin
+    (operators/similarity.semantic_dedup_verdicts)."""
+    t = tables_for(spark, sf_dir)
+    return similarity.semantic_dedup_verdicts(
+        t["embeddings"], n_cells=16, threshold=0.45
+    ).orderBy("vec_id")
+
+
 @register(
     "lsh_near_dup_pairs",
     oracle="""

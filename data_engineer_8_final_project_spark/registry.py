@@ -133,6 +133,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "html_matches_extract",
     # new in round 6 (late): canonical-doc selection — r7 window head
     "dup_cluster_representatives",
+    # new in round 6 (late): SemDeDup cluster-blocked embedding dedup
+    "semantic_dedup",
+    # new in round 6 (late): RAG token-window chunking
+    "doc_chunks",
+    # new in round 6 (late): TPC-H Q6 shape (pure multi-predicate scan)
+    "forecast_revenue_change",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)

@@ -96,5 +96,6 @@ def test_every_oracle_gated_query_is_reachable_from_coverage():
         "day_name_dimension",
         "season_year_inference",
         "completed_before_cutoff",
+        "forecast_revenue_change",
     }
     assert unclaimed <= widenings, f"orphan queries: {unclaimed - widenings}"

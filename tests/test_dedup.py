@@ -129,3 +129,31 @@ def test_minhash_native_recall_vs_exact_jaccard(spark, sf_dir):
     }
     recall = len(truth & found) / len(truth)
     assert recall >= 0.9, f"native MinHash recall {recall:.3f} < 0.9 ({len(truth)} truth pairs)"
+
+
+def test_semantic_dedup_drops_within_cell_near_dups(spark, sf_dir):
+    """SemDeDup behavior gate: (a) every dropped vector has an earlier
+    same-cell neighbor at cos >= threshold (soundness of the min-id
+    greedy), (b) the fixture's planted near-dup mass produces at least
+    one drop, (c) kept+dropped partitions the corpus. Exactness of the
+    cell assignment and the boundary decisions is the DuckDB oracle's
+    job (tests/test_parity.py); this pins the operator's contract."""
+    from data_engineer_8_final_project_spark.operators import similarity
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    emb = tables_for(spark, sf_dir)["embeddings"]
+    verdicts = similarity.semantic_dedup_verdicts(emb, n_cells=16, threshold=0.45)
+    rows = verdicts.collect()
+    assert len(rows) == emb.count(), "one verdict per vector"
+    dropped = {r.vec_id for r in rows if not r.is_kept}
+    assert dropped, "fixture must contain within-cell near-dups"
+    # soundness: each dropped id appears as the larger side of a
+    # global exact near-dup pair (within-cell pairs are a subset)
+    global_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    larger_sides = {b for _, b in global_pairs}
+    assert dropped <= larger_sides, (
+        "a dropped vector must have an earlier near-dup neighbor"
+    )
