@@ -132,6 +132,19 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:embedding_near_dup_pairs",
         "query:lsh_near_dup_pairs",
     ],
+    "similarity-knn-graph": [
+        # batch all-vector top-k neighbors (cell-blocked) — the graph
+        # build step clustering/SemDeDup/label-prop pipelines consume
+        "query:knn_graph",
+        "test:tests/test_approx.py::test_knn_graph_matches_brute_force_within_cells",
+    ],
+    "sampling-importance-dsir": [
+        # DSIR (Xie et al. 2302.03169) hashed-unigram log-ratio
+        # importance weights: bounded 64-bucket feature models,
+        # literal-lookup scoring, zero joins
+        "query:importance_weights",
+        "test:tests/test_approx.py::test_importance_weights_orders_target_slice_first",
+    ],
     "text-tokens": ["query:token_topk", "query:text_stats_by_lang"],
     "text-quality": ["query:doc_quality_scores"],
     "text-lang-id": ["query:lang_id_heuristic"],

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.window import WindowSpec
 
-from .text import token_count
+from .text import token_count, tokens
 
 #: Portable 60-bit integer from an md5 prefix (same derivation as the
 #: dedup/simhash tiers: 15 hex chars fit a signed int64 in both Spark
@@ -337,4 +337,64 @@ def temperature_mixture_sample(
         .select(
             id_col, F.col(stratum_col).alias("stratum"), "bucket", "wt_bp", "rate_bp"
         )
+    )
+
+
+def importance_weights(
+    documents: DataFrame,
+    is_target: Column,
+    n_buckets: int = 64,
+    decimals: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., arXiv:2302.03169):
+    per-document log-likelihood ratio of hashed unigram features
+    between a target slice and the raw corpus.
+
+    The data-selection recipe behind quality-targeted pre-training
+    mixes: fit two bag-of-hashed-unigram models — one on the documents
+    matching ``is_target``, one on everything — and score each document
+    by its mean per-token ``ln p_target(bucket) − ln p_raw(bucket)``
+    (add-1 smoothing; the length-normalized form so short docs aren't
+    penalized). Positive ⇒ the document looks more like the target
+    distribution than the corpus average.
+
+    Scale design (100 TB): both feature models are ``n_buckets``-row
+    aggregates — map-side partial combine collapses the token stream to
+    ≤ ``n_buckets`` rows per task, so the two collects are bounded
+    model parameters exactly like the IVF centroids, never data. The
+    scoring pass is then one narrow explode with a literal-array
+    lookup (zero joins) plus a single ``doc_id``-keyed aggregation —
+    the same shuffle any per-doc token stat pays. Buckets use the
+    repo's portable md5 idiom so any engine replays membership.
+    """
+    import math
+
+    tok = documents.select(
+        F.col(id_col), is_target.alias("_tgt"), F.explode(tokens("text")).alias("tok")
+    )
+    tok = tok.withColumn("bucket", hash_bucket(F.col("tok"), n_buckets))
+    # bounded collects: n_buckets-row feature models (model parameters)
+    raw_rows = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    tgt_rows = (
+        tok.filter(F.col("_tgt")).groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    raw = {r["bucket"]: r["n"] for r in raw_rows}
+    tgt = {r["bucket"]: r["n"] for r in tgt_rows}
+    total_raw = sum(raw.values())
+    total_tgt = sum(tgt.values())
+    lr = [
+        math.log((tgt.get(b, 0) + 1) / (total_tgt + n_buckets))
+        - math.log((raw.get(b, 0) + 1) / (total_raw + n_buckets))
+        for b in range(n_buckets)
+    ]
+    lr_sql = "array(" + ",".join(repr(x) + "D" for x in lr) + ")"
+    return (
+        tok.withColumn("lr", F.expr(f"element_at({lr_sql}, CAST(bucket + 1 AS INT))"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), decimals).alias("importance"),
+        )
+        .withColumn("is_target_like", F.col("importance") > 0.0)
     )

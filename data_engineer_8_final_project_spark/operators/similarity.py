@@ -19,7 +19,7 @@ reproducible and match a double-precision oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -603,6 +603,78 @@ def pq_topk(
     )
 
 
+def seeded_medoid_cells(emb: DataFrame, n_cells: int) -> tuple[list, str]:
+    """Shared IVF-style coarse quantizer: ``(cents, structs_sql)``.
+
+    ``cents`` = the ``n_cells`` lowest-``vec_id`` vectors (seeded
+    medoids, a bounded model-parameter collect); ``structs_sql`` = the
+    symbolic per-row (reduced-distance, cell) struct array over the
+    literal centroid matrix — ``array_min(structs).cell`` is the cell
+    assignment, zero shuffle, zero join. Same construction (and the
+    same bit-reproducible left-to-right IEEE sums) as
+    :func:`ivf_topk`; callers compose assignment, probing, or
+    cell-blocked joins from it.
+    """
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
+    mat_sql = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
+        + ")"
+    )
+    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
+    structs_sql = (
+        f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+        f"'d2', {_reduced_d2_sql('v', mat_sql, c2_sql)}, "
+        f"'cell', element_at({ids_sql}, i + 1)))"
+    )
+    return cents, structs_sql
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    k: int = 3,
+    decimals: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Batch k-NN graph: every vector's top-``k`` neighbors, cell-blocked.
+
+    The build step SemDeDup / graph-clustering / label-propagation
+    pipelines run over the whole corpus (vs the single-query ANN tiers
+    :func:`ivf_topk` / :func:`pq_topk`): neighbors are searched within
+    the vector's own Voronoi cell (seeded-medoid coarse quantizer),
+    ranked by cosine DESC with vec_id tiebreak. Recall < 1 by
+    construction for vectors whose true neighbors sit across a cell
+    boundary — the standard IVF trade; raise ``n_cells`` slower than
+    corpus growth to trade per-task O((n/cells)²) work against recall.
+
+    Plan: zero-shuffle literal-centroid assignment → one cell-keyed
+    equi-join (each vector rides the exchange once per side) → one
+    src-keyed window for the per-vector top-k (row_number over
+    |cell-pairs| rows, partition count = corpus size — no global
+    window). Ranking happens on the ROUNDED cosine so rank boundaries
+    are bit-replayable by the DuckDB oracle.
+    """
+    emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    _, structs_sql = seeded_medoid_cells(emb, n_cells)
+    assigned = emb.withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+    a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("cosine", F.round(cosine_sql("va", "vb", dim), decimals))
+        .withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nn_rank") <= k)
+        .select("src", "nn_rank", "dst", "cosine")
+    )
+
+
 def semantic_dedup_verdicts(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -641,22 +713,7 @@ def semantic_dedup_verdicts(
     """
     emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # bounded collect: n_cells centroid rows are model parameters, not data
-    cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
-    ]
-    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
-    mat_sql = (
-        "array("
-        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
-        + ")"
-    )
-    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
-    structs_sql = (
-        f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
-        f"'d2', {_reduced_d2_sql('v', mat_sql, c2_sql)}, "
-        f"'cell', element_at({ids_sql}, i + 1)))"
-    )
+    _, structs_sql = seeded_medoid_cells(emb, n_cells)
     assigned = emb.withColumn(
         "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
     )

@@ -653,6 +653,57 @@ def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
     """
 
 
+def _knn_graph_oracle(n_cells: int, k: int) -> str:
+    """Replays knn_graph exactly: same seeded-medoid cells as the
+    semantic-dedup oracle, directed within-cell pairs, ROW_NUMBER on
+    the ROUNDED cosine (DESC, dst ASC) — ranking on the rounded value
+    makes every rank boundary bit-replayable."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT src, CAST(rnk AS BIGINT) AS nn_rank, dst, cosine FROM (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM pairs) t
+    WHERE rnk <= {k}
+    ORDER BY src, nn_rank
+    """
+
+
+@register(
+    "knn_graph",
+    oracle=_knn_graph_oracle(n_cells=16, k=3),
+    survey_ref="extended: batch k-NN graph (cell-blocked all-vector neighbors)",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN graph (every vector's top-3 cell-local
+    neighbors) — the batch build step clustering / SemDeDup / label
+    propagation consume, vs the single-query ANN tiers."""
+    t = tables_for(spark, sf_dir)
+    return similarity.knn_graph(t["embeddings"], n_cells=16, k=3).orderBy(
+        "src", "nn_rank"
+    )
+
+
 @register(
     "semantic_dedup",
     oracle=_semantic_dedup_oracle(n_cells=16, threshold=0.45),

