@@ -151,6 +151,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-fingerprint": ["query:doc_fingerprints"],
     "text-winnowing": ["query:doc_winnow_fingerprints"],
     "text-bpe-tokens": ["query:bpe_token_topk"],
+    "text-bpe-merge-stats": [
+        # tokenizer-training step: adjacent pre-token pair counts (the
+        # statistic each BPE merge iteration maximizes), one corpus pass
+        "query:bpe_merge_candidates",
+    ],
     "text-normalize": ["query:text_normalize"],
     "text-chunking": [
         # RAG / context-length prep: overlapping token-window chunks,

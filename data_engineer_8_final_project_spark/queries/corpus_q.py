@@ -277,6 +277,7 @@ CHUNK_STRIDE = 12
     ORDER BY doc_id, chunk_id
     """,
     survey_ref="extended: overlapping token-window chunking (RAG / context prep)",
+    tags=("bench",),
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document → overlapping token-window chunks, one narrow pass.

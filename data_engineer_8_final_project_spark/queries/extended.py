@@ -693,6 +693,7 @@ def _knn_graph_oracle(n_cells: int, k: int) -> str:
     "knn_graph",
     oracle=_knn_graph_oracle(n_cells=16, k=3),
     survey_ref="extended: batch k-NN graph (cell-blocked all-vector neighbors)",
+    tags=("bench",),
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide k-NN graph (every vector's top-3 cell-local
@@ -708,6 +709,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_dedup",
     oracle=_semantic_dedup_oracle(n_cells=16, threshold=0.45),
     survey_ref="extended: SemDeDup cluster-blocked embedding dedup verdicts",
+    tags=("bench",),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540) keep/drop verdicts:
@@ -1071,3 +1073,54 @@ def q_order_chains_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     current = int(spark.conf.get(key))
     spark.conf.set(key, str(max(current, 2 * n_orders)))
     return spark.sql(ORDER_CHAINS_RECURSIVE_SQL)
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    -- The BPE-training hot loop as one corpus pass: count adjacent
+    -- pre-token pairs (the merge-candidate statistics a BPE trainer
+    -- recomputes each merge iteration) and rank the top candidates.
+    -- Pair key = the two pre-tokens space-joined (pre-tokens cannot
+    -- contain spaces by construction of the split regex).
+    WITH tok AS (
+      SELECT regexp_extract_all(text, '{BPE_PATTERN}') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+        AS pair
+      FROM tok WHERE len(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+    survey_ref="extended: BPE merge-candidate pair counts (tokenizer-training step)",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency over the BPE pre-token stream — the
+    statistic the merge-selection step of BPE training maximizes. One
+    narrow transform+explode (pairs stay inside their document, no
+    cross-row state) and one uniform-key count aggregation with
+    map-side partial combine; top-k via TakeOrdered. Scales like any
+    token count: linear scan, shuffle bounded by |distinct pairs|."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

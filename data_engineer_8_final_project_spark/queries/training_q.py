@@ -688,6 +688,7 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY t.doc_id
     """,
     survey_ref="extended: DSIR hashed-unigram importance weights (data selection)",
+    tags=("bench",),
 )
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-resampling scores for quality-targeted data selection

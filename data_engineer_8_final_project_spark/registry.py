@@ -143,6 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_graph",
     # new in round 6 (late): DSIR hashed-unigram importance weights
     "importance_weights",
+    # new in round 6 (late): BPE merge-candidate pair counts
+    "bpe_merge_candidates",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
