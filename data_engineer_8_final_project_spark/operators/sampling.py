@@ -394,7 +394,10 @@ def importance_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("lr"), decimals).alias("importance"),
+            # + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
+            # a doc whose mean log-ratio rounds to zero from below would
+            # otherwise hash as "-0.0" in one engine and "0.0" in the other
+            (F.round(F.avg("lr"), decimals) + F.lit(0.0)).alias("importance"),
         )
         .withColumn("is_target_like", F.col("importance") > 0.0)
     )

@@ -603,6 +603,25 @@ def pq_topk(
     )
 
 
+def _spread_if_undersplit(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow frame up to cluster parallelism when the
+    source under-splits (e.g. one small parquet file → one scan task).
+
+    The per-row quantizer assignment (n_cells × dim interpreted lambda
+    evals) runs on the SCAN side, before any exchange — a single-file
+    fixture serializes it through one task and dominates wall time
+    (measured 4× on knn_graph at sf0.1). At 100 TB, input splits ≫
+    cores and this branch never fires; the exchange it adds on small
+    inputs carries the raw vectors once and is dwarfed by the
+    parallelism recovered. Same lesson as the dup_span_stats 64× curve:
+    file layout, not operator design, gates under-split inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def seeded_medoid_cells(emb: DataFrame, n_cells: int) -> tuple[list, str]:
     """Shared IVF-style coarse quantizer: ``(cents, structs_sql)``.
 
@@ -661,7 +680,9 @@ def knn_graph(
     """
     emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     _, structs_sql = seeded_medoid_cells(emb, n_cells)
-    assigned = emb.withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+    assigned = _spread_if_undersplit(emb).withColumn(
+        "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
+    )
     a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
     b = assigned.select("cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
@@ -714,7 +735,7 @@ def semantic_dedup_verdicts(
     emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # bounded collect: n_cells centroid rows are model parameters, not data
     _, structs_sql = seeded_medoid_cells(emb, n_cells)
-    assigned = emb.withColumn(
+    assigned = _spread_if_undersplit(emb).withColumn(
         "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
     )
     a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))

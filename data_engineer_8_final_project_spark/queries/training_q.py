@@ -681,8 +681,9 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(AVG(l.lr), 4) AS importance,
-           ROUND(AVG(l.lr), 4) > 0 AS is_target_like
+           -- + 0.0 canonicalizes IEEE -0.0 (matches the Spark side)
+           ROUND(AVG(l.lr), 4) + 0.0 AS importance,
+           ROUND(AVG(l.lr), 4) + 0.0 > 0 AS is_target_like
     FROM tok t JOIN lr l USING (bucket)
     GROUP BY t.doc_id
     ORDER BY t.doc_id
