@@ -164,6 +164,16 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     ],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
+    "funnel-analysis": [
+        # ordered conversion funnel (view→click→purchase), min-chained
+        # stages — every shuffle on user_id, frames shrink per stage
+        "query:event_funnel",
+    ],
+    "retention-cohorts": [
+        # weekly cohort retention matrix: first-event week × active
+        # weeks, distinct collapse before the join
+        "query:retention_cohorts",
+    ],
     "corpus-clean-pipeline": ["query:corpus_clean_pipeline"],
     "training-manifest-capstone": ["query:training_manifest"],
     "dedup-clustering": ["query:dup_clusters"],

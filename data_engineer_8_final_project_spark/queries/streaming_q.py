@@ -650,3 +650,140 @@ def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.unset(key)
     return stateful.finalize_totals(sink).orderBy("user_id")
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    -- Ordered conversion funnel view -> click -> purchase: each stage's
+    -- timestamp is the FIRST qualifying event STRICTLY AFTER the prior
+    -- stage (min-chaining — the order constraint is what separates a
+    -- funnel from three independent mins). funnel_stage = deepest
+    -- stage reached. Event timestamps are unique microseconds, so
+    -- every min and every strict comparison is deterministic.
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS first_click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.first_view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view_ts, c.first_click_ts, p.first_purchase_ts,
+           CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT
+                AS BIGINT) AS funnel_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+    survey_ref="extended: ordered conversion funnel (min-chained stages)",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel with the order constraint: each
+    stage is the first qualifying event strictly after the previous
+    stage. Three user-keyed min-aggregations chained by two equi-joins —
+    every shuffle is on user_id (one co-partitioned key end to end, so
+    AQE can reuse the exchange), aggregates collapse before each join,
+    and nothing is windowed. At 100 TB this is the textbook shape:
+    per-stage frames shrink monotonically (stage n+1 scans only stage-n
+    completers)."""
+    t = tables_for(spark, sf_dir)
+    e = t["events"].select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_ts",
+            "first_click_ts",
+            "first_purchase_ts",
+            (
+                F.lit(1)
+                + F.col("first_click_ts").isNotNull().cast("int")
+                + F.col("first_purchase_ts").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    -- Weekly cohort retention: cohort = Monday-truncated week of the
+    -- user's first event; one row per (cohort_week, week_offset) with
+    -- the distinct users active that week. Both engines truncate weeks
+    -- to Monday, so the day difference is an exact multiple of 7.
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM first_week f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    survey_ref="extended: weekly cohort retention matrix",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: user's first-event week × active weeks.
+    Two user-keyed aggregations (min, distinct-week) joined on user_id,
+    then one tiny (cohort, offset) rollup — the distinct collapses the
+    event stream to |users|·|weeks| rows before the join, and every
+    shuffle key is uniform. count(*) after the distinct equals
+    COUNT(DISTINCT user) per cell with no second distinct pass."""
+    t = tables_for(spark, sf_dir)
+    e = t["events"].select("user_id", "ts")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        first_week.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -145,6 +145,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "importance_weights",
     # new in round 6 (late): BPE merge-candidate pair counts
     "bpe_merge_candidates",
+    # new in round 6 (late): ordered conversion funnel
+    "event_funnel",
+    # new in round 6 (late): weekly cohort retention matrix
+    "retention_cohorts",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
