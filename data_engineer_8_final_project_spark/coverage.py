@@ -132,6 +132,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:embedding_near_dup_pairs",
         "query:lsh_near_dup_pairs",
     ],
+    "similarity-knn-label-vote": [
+        # graph consumption: majority-vote label prediction over the
+        # k-NN graph (count DESC, label ASC total order as max-struct)
+        "query:knn_label_vote",
+    ],
     "similarity-knn-graph": [
         # batch all-vector top-k neighbors (cell-blocked) — the graph
         # build step clustering/SemDeDup/label-prop pipelines consume

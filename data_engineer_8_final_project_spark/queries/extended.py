@@ -663,7 +663,17 @@ def _knn_graph_oracle(n_cells: int, k: int) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)}
+    SELECT src, CAST(rnk AS BIGINT) AS nn_rank, dst, cosine FROM ranked
+    WHERE rnk <= {k}
+    ORDER BY src, nn_rank
+    """
+
+
+#: shared CTE block: seeded-medoid assignment → within-cell pairs →
+#: per-src rank on rounded cosine (composed by the knn-graph and
+#: label-vote oracles)
+_KNN_CTES = """    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
     asg AS (
       SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
@@ -679,14 +689,84 @@ def _knn_graph_oracle(n_cells: int, k: int) -> str:
                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
                    6) AS cosine
       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-    )
-    SELECT src, CAST(rnk AS BIGINT) AS nn_rank, dst, cosine FROM (
+    ),
+    ranked AS (
       SELECT src, dst, cosine,
              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
-      FROM pairs) t
-    WHERE rnk <= {k}
-    ORDER BY src, nn_rank
+      FROM pairs
+    )"""
+
+
+def _knn_label_vote_oracle(n_cells: int, k: int) -> str:
+    """Composes the knn-graph CTEs with a majority vote: predicted
+    label = the neighbor label with the highest count, tie → lowest
+    label (the same total order the Spark max-struct encodes)."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+    knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
+    votes AS (
+      SELECT knn.src, e.label AS n_label, COUNT(*) AS n
+      FROM knn JOIN embeddings e ON knn.dst = e.vec_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, n_label AS predicted_label FROM (
+        SELECT src, n_label,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY n DESC, n_label ASC) AS rn
+        FROM votes) t
+      WHERE rn = 1
+    )
+    SELECT e.vec_id, e.label, p.predicted_label,
+           e.label = p.predicted_label AS correct
+    FROM pred p JOIN embeddings e ON p.src = e.vec_id
+    ORDER BY e.vec_id
     """
+
+
+@register(
+    "knn_label_vote",
+    oracle=_knn_label_vote_oracle(n_cells=16, k=3),
+    survey_ref="extended: k-NN majority-vote label prediction (graph consumption)",
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label prediction from the k-NN graph: each
+    vector's label is predicted by majority vote over its 3 cell-local
+    neighbors (tie → lowest label). One equi-join to fetch neighbor
+    labels, one (src, label)-keyed count, and a max-struct per src —
+    the tiebreak-complete total order (count DESC, label ASC) encoded
+    as ``max(struct(n, -label))``, so no second window pass."""
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"]
+    g = similarity.knn_graph(emb, n_cells=16, k=3)
+    votes = (
+        g.join(
+            emb.select(F.col("vec_id").alias("dst"), F.col("label").alias("n_label")),
+            "dst",
+        )
+        .groupBy("src", "n_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = (
+        votes.groupBy("src")
+        .agg(F.max(F.struct(F.col("n"), (-F.col("n_label")).alias("neg"))).alias("m"))
+        .select("src", (-F.col("m.neg")).cast("int").alias("predicted_label"))
+    )
+    return (
+        pred.join(emb.select(F.col("vec_id").alias("src"), "label"), "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            "label",
+            "predicted_label",
+            (F.col("label") == F.col("predicted_label")).alias("correct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 
 
 @register(

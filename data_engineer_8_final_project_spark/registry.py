@@ -149,6 +149,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_funnel",
     # new in round 6 (late): weekly cohort retention matrix
     "retention_cohorts",
+    # new in round 6 (late): k-NN majority-vote label prediction
+    "knn_label_vote",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)

@@ -58,7 +58,7 @@ ANN_QUERIES = (
     "pq_adc_topk",
 )
 #: table each query actually scales with (the others stay 1x links)
-REPLICATED = {"documents", "orders", "embeddings"}
+REPLICATED = {"documents", "orders", "embeddings", "events"}
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -88,15 +88,23 @@ def build_scaled_dir(spark, base: str, factor: int, root: str) -> str:
         reps = spark.range(factor).withColumnRenamed("id", "_rep")
         id_cols = {"documents": ("doc_id",),
                    "orders": ("o_orderkey", "o_custkey"),
-                   "embeddings": ("vec_id",)}[name]
+                   "embeddings": ("vec_id",),
+                   "events": ("event_id", "user_id")}[name]
         scaled = df.crossJoin(F.broadcast(reps))
         for c in id_cols:
             scaled = scaled.withColumn(
                 c, (F.col(c) + F.col("_rep") * F.lit(ID_STRIDE)).cast("long")
             )
-        (scaled.drop("_rep")
-         .repartition(32)
-         .write.mode("overwrite").parquet(dst))
+        # events carries the catalog's TIMESTAMP(us) tripwire: Spark's
+        # default INT96 output reads back as ns — pin micros for the copy
+        prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (scaled.drop("_rep")
+             .repartition(32)
+             .write.mode("overwrite").parquet(dst))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
     open(os.path.join(out, "_DONE"), "w").close()
     return out
 
