@@ -169,6 +169,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     ],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
+    "session-path-mining": [
+        # ordered event-type sequences per gap session; in-row
+        # array_sort kills collect_list order dependence
+        "query:session_path_topk",
+    ],
     "funnel-analysis": [
         # ordered conversion funnel (view→click→purchase), min-chained
         # stages — every shuffle on user_id, frames shrink per stage

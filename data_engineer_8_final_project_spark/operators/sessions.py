@@ -17,6 +17,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-EVENT session numbering: input rows + a ``session_no``
+    column (1-based per user, new session after ``gap_minutes`` of
+    inactivity). One shuffle on user_id; (ts, event_id) is the
+    tiebreak-complete ordering. Shared by the session rollup and the
+    path miner."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    return events.withColumn(
+        "session_no", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Events → (user_id, session_no, session_start, session_end,
     n_events, sum_value) with integer-cents value totals.
@@ -25,13 +40,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     numbering, and the session rollup; (ts, event_id) is the
     tiebreak-complete ordering.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap_us = us - F.lag(us).over(w)
-    new_s = F.when(gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
-    sessioned = events.withColumn(
-        "session_no", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sessioned = assign_sessions(events, gap_minutes)
     return (
         sessioned.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
         .agg(

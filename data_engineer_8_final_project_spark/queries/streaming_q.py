@@ -787,3 +787,67 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "session_path_topk",
+    oracle="""
+    -- Top session paths: the ordered event-type sequence of each
+    -- 30-minute-gap session, counted across sessions. The same
+    -- lag/running-sum sessionization as event_sessions; the path is an
+    -- ORDER BY-qualified string_agg, so every aggregation order is
+    -- pinned by the unique (ts, event_id) key.
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30*60*1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_us
+        FROM events) t
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered
+      GROUP BY user_id, session_no
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+    survey_ref="extended: session path mining (ordered event-type sequences)",
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common session event-type paths. Sessionization shares
+    operators/sessions.assign_sessions (one user_id shuffle); the path
+    string is built by sorting the collected (ts, event_id, type)
+    structs INSIDE the row (array_sort on the unique ts key — no
+    collect_list order dependence) and projecting the types. Path
+    cardinality is bounded by session count; the final count is a
+    uniform-key aggregate with a top-k TakeOrdered."""
+    from ..operators import sessions
+
+    t = tables_for(spark, sf_dir)
+    numbered = sessions.assign_sessions(
+        t["events"].select("user_id", "event_id", "ts", "event_type")
+    )
+    paths = numbered.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
