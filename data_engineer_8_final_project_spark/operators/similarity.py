@@ -133,7 +133,12 @@ def cosine_near_dup_pairs(
         .select("block_a", "block_b", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     )
     return (
-        a.join(b, ["block_a", "block_b"])
+        # SHUFFLE_HASH pin: the sides sit at the broadcast-threshold
+        # boundary at test scale, and the planner's BHJ/SMJ flapping
+        # measured 3-12 s run-to-run; the shuffled hash join this
+        # docstring promises measured 3.5 s flat (SMJ pays a sort and
+        # evaluates the giant cosine residual outside codegen)
+        a.hint("SHUFFLE_HASH").join(b, ["block_a", "block_b"])
         # same-block pairs meet twice ordered (x,y)/(y,x) — keep one;
         # cross-block pairs meet exactly once (block_pairs has i ≤ j only)
         .filter((F.col("block_a") < F.col("block_b")) | (F.col("id_a") < F.col("id_b")))
@@ -393,8 +398,10 @@ def lsh_near_dup_pairs(
     # copies of every dim-wide vector through the exchange is the
     # dominant cost; candidate pairs are dedup'd BEFORE the verify so
     # a pair colliding in several bands pays one cosine, and the
-    # vectors are fetched back by two equi-joins
-    bands = emb.select(
+    # vectors are fetched back by two equi-joins. The band projection
+    # is n_bands*band_bits*dim multiplies per row — spread an
+    # under-split source first (no-op on well-split inputs)
+    bands = _spread_if_undersplit(emb).select(
         "vec_id",
         F.explode(
             F.array(

@@ -340,9 +340,12 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import FIXTURE_SCHEMAS
 
     t = tables_for(spark, sf_dir)
+    # pid-scoped: two processes running this query concurrently (e.g.
+    # the parity suite alongside a driver emulation) must not overwrite
+    # each other's replay source mid-stream
     chunked = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_docs_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"spark_graft_docs_stream_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     t["documents"].repartition(4).write.mode("overwrite").parquet(chunked)
     doc_stream = (
