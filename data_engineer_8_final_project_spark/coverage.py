@@ -121,6 +121,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
     "similarity-ann-pq": ["query:pq_adc_topk"],
     "dedup-canonical-selection": ["query:dup_cluster_representatives"],
+    "decontamination-semantic": [
+        # embedding-similarity train/test decontamination — catches the
+        # paraphrase/translation overlap the n-gram gate misses; same
+        # md5 split rule as hash_split, same cell blocking as SemDeDup
+        "query:semantic_decontamination",
+    ],
     "dedup-semantic": [
         # SemDeDup (Abbas et al. 2303.09540): cluster-blocked embedding
         # dedup — zero-shuffle literal-centroid cell assignment, pair

@@ -1204,3 +1204,108 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+_DUCK_VEC_SPLIT = (
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 100 < 80 THEN 'train' WHEN CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR))"
+    ", 1, 15)) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+def _semantic_decontamination_oracle(n_cells: int, threshold: float) -> str:
+    """Same seeded-medoid assignment as the semantic-dedup oracle; the
+    train/test split is the repo's md5(doc_id) mod 100 rule (embeddings
+    vec_id == documents doc_id in the fixtures); a test vector is
+    contaminated when ANY train vector in its cell sits at
+    ``round(cos, 6) ≥ threshold``."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    sp AS (SELECT vec_id, {_DUCK_VEC_SPLIT} AS split FROM emb),
+    contaminated AS (
+      SELECT DISTINCT t.vec_id
+      FROM asg t JOIN sp ts ON t.vec_id = ts.vec_id AND ts.split = 'test'
+      JOIN asg r ON r.cell = t.cell
+      JOIN sp rs ON r.vec_id = rs.vec_id AND rs.split = 'train'
+      WHERE ROUND(list_dot_product(t.v, r.v)
+                  / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(r.v, r.v))),
+                  6) >= {threshold}
+    )
+    SELECT a.vec_id AS doc_id, CAST(a.cell AS BIGINT) AS cell,
+           c.vec_id IS NOT NULL AS contaminated
+    FROM asg a JOIN sp s ON a.vec_id = s.vec_id AND s.split = 'test'
+    LEFT JOIN contaminated c ON a.vec_id = c.vec_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "semantic_decontamination",
+    oracle=_semantic_decontamination_oracle(n_cells=16, threshold=0.35),
+    survey_ref="extended: embedding-similarity train/test decontamination",
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern twin of ngram_decontamination: a held-out (test)
+    document is contaminated when a TRAIN document sits within
+    embedding-cosine ``threshold`` — paraphrases and translations that
+    n-gram overlap misses. Same md5 split rule as
+    hash_split_assignments (vec_id == doc_id in the fixtures), same
+    cell-blocked pair plan as semantic_dedup: assignment is the
+    zero-shuffle literal-centroid argmin, the train×test compare is an
+    equi-join on the cell key, and the verdict is one left
+    anti-ish join back. At 100 TB the cell count is the scale knob
+    exactly as in SemDeDup."""
+    from ..operators.sampling import hash_bucket
+
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _, structs_sql = similarity.seeded_medoid_cells(emb, 16)
+    assigned = (
+        similarity._spread_if_undersplit(emb)
+        .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+        .withColumn("bucket", hash_bucket(F.col("vec_id").cast("string"), 100))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+    )
+    test = assigned.filter(F.col("split") == "test").select(
+        "cell", F.col("vec_id").alias("t_id"), F.col("v").alias("tv")
+    )
+    train = assigned.filter(F.col("split") == "train").select(
+        "cell", F.col("vec_id").alias("r_id"), F.col("v").alias("rv")
+    )
+    contaminated = (
+        test.join(train, "cell")
+        .filter(F.round(similarity.cosine_sql("tv", "rv", 64), 6) >= 0.35)
+        .select(F.col("t_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        assigned.filter(F.col("split") == "test")
+        .join(contaminated, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "cell",
+            F.col("_hit").isNotNull().alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -153,6 +153,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_label_vote",
     # new in round 6 (late): session path mining (ordered string agg)
     "session_path_topk",
+    # new in round 6 (late): embedding-similarity decontamination
+    "semantic_decontamination",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)

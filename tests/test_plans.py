@@ -455,3 +455,15 @@ def test_registry_wide_plan_lint(q, name):
     assert not _re.search(r"^\(\d+\) BatchEvalPython", plan, _re.M), (
         f"{name}: row-at-a-time Python UDF on a data path"
     )
+
+
+def test_embedding_near_dup_pair_join_is_shuffled_hash(q):
+    """The block-pair self-join sits at the broadcast-threshold
+    boundary at test scale, where the planner flapped between
+    BroadcastHashJoin and SortMergeJoin run-to-run (3-12 s); the
+    SHUFFLE_HASH pin keeps it on the shuffled hash join the operator's
+    scale story promises. This test makes that pin load-bearing: a
+    regression to SMJ re-opens the non-codegen giant-residual path."""
+    plan = PI.explain_string(q("embedding_near_dup_pairs"))
+    assert "ShuffledHashJoin" in plan, "block-pair join lost its SHUFFLE_HASH pin"
+    assert "SortMergeJoin" not in plan
