@@ -170,8 +170,10 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "text-normalize": ["query:text_normalize"],
     "text-chunking": [
         # RAG / context-length prep: overlapping token-window chunks,
-        # one narrow explode pass, no shuffle but the output sort
+        # one narrow explode pass, no shuffle but the output sort;
+        # hypothesis pins coverage/overlap/reconstruction invariants
         "query:doc_chunks",
+        "test:tests/test_properties.py::test_doc_chunks_cover_and_overlap_invariants",
     ],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],

@@ -99,3 +99,20 @@ def test_every_oracle_gated_query_is_reachable_from_coverage():
         "forecast_revenue_change",
     }
     assert unclaimed <= widenings, f"orphan queries: {unclaimed - widenings}"
+
+
+def test_readme_capability_index_in_sync():
+    """The README's generated capability index must match what
+    scripts/gen_capability_index.py would render from coverage.py —
+    adding a capability without regenerating the index fails here."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_capability_index", os.path.join(REPO, "scripts", "gen_capability_index.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    readme = open(os.path.join(REPO, "README.md")).read()
+    assert mod.render() in readme, (
+        "README capability index out of date — run scripts/gen_capability_index.py"
+    )

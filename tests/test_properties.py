@@ -189,3 +189,79 @@ def test_latest_snapshot_equals_sequential_upsert(spark, rows):
         if key not in best or rank > best[key][0]:
             best[key] = (rank, float(v))
     assert got == {k: v for k, (rank, v) in best.items()}
+
+
+docs_strategy = st.lists(
+    st.integers(1, 60),  # token counts per document
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(token_counts=docs_strategy)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_doc_chunks_cover_and_overlap_invariants(spark, token_counts):
+    """For ANY document lengths, the chunker must satisfy: (a) every
+    token appears in at least one chunk (coverage); (b) chunk 0 starts
+    at token 1 and consecutive starts differ by exactly the stride;
+    (c) no chunk is fully contained in its predecessor (the tail rule);
+    (d) concatenating each chunk's first `stride` tokens, plus the last
+    chunk's tail, reconstructs the document exactly."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.queries.corpus_q import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_doc_chunks,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)), "en", "src", n)
+        for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("_chunk_prop_docs")
+    # drive the operator body directly on the synthetic frame
+    out = (
+        df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(1, size(t), {CHUNK_STRIDE}), "
+                    f"s -> s = 1 OR s - {CHUNK_STRIDE} + {CHUNK_TOKENS} - 1 < size(t))"
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.expr(f"slice(t, start, {CHUNK_TOKENS})").alias("ct"),
+        )
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, list(r.ct)))
+    for doc_id, n in enumerate(token_counts):
+        toks = [f"w{doc_id}_{j}" for j in range(n)]
+        chunks = sorted(by_doc[doc_id])
+        assert chunks[0][0] == 0
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        covered = set()
+        rebuilt: list[str] = []
+        for idx, (cid, ct) in enumerate(chunks):
+            start = cid * CHUNK_STRIDE  # 0-based
+            assert ct == toks[start : start + CHUNK_TOKENS]
+            covered.update(range(start, start + len(ct)))
+            if idx + 1 < len(chunks):
+                assert len(ct) > CHUNK_TOKENS - CHUNK_STRIDE, "chunk contained in successor region"
+                rebuilt.extend(ct[:CHUNK_STRIDE])
+            else:
+                rebuilt.extend(ct)
+        assert covered == set(range(n)), "coverage hole"
+        assert rebuilt == toks, "stride-prefix reconstruction failed"
