@@ -187,6 +187,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # stages — every shuffle on user_id, frames shrink per stage
         "query:event_funnel",
     ],
+    "funnel-analysis-streaming": [
+        # the stateful streaming twin: GroupState funnel timestamps over
+        # a time-ordered multi-batch replay, same oracle as the batch
+        "query:event_funnel_stream",
+        "test:tests/test_streaming.py::test_funnel_state_survives_micro_batches",
+    ],
     "retention-cohorts": [
         # weekly cohort retention matrix: first-event week × active
         # weeks, distinct collapse before the join

@@ -652,9 +652,7 @@ def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful.finalize_totals(sink).orderBy("user_id")
 
 
-@register(
-    "event_funnel",
-    oracle="""
+EVENT_FUNNEL_ORACLE = """
     -- Ordered conversion funnel view -> click -> purchase: each stage's
     -- timestamp is the FIRST qualifying event STRICTLY AFTER the prior
     -- stage (min-chaining — the order constraint is what separates a
@@ -683,7 +681,12 @@ def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM v LEFT JOIN c ON v.user_id = c.user_id
             LEFT JOIN p ON v.user_id = p.user_id
     ORDER BY v.user_id
-    """,
+    """
+
+
+@register(
+    "event_funnel",
+    oracle=EVENT_FUNNEL_ORACLE,
     survey_ref="extended: ordered conversion funnel (min-chained stages)",
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,3 +854,65 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "event_funnel_stream",
+    oracle=EVENT_FUNNEL_ORACLE,
+    survey_ref="§2.9 T3 extended: stateful streaming funnel (GroupState min-chaining)",
+)
+def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_funnel: per-user funnel state
+    (streaming/stateful.user_funnel_stream) over a time-ordered
+    multi-batch replay, verified against the SAME batch oracle.
+
+    The greedy state update is exact only under event-time-ordered
+    arrival, so the fixture is staged into 3 ascending time ranges
+    with pinned strictly-increasing mtimes (the session-stream replay
+    pattern — the file source feeds micro-batches in mtime order) and
+    each batch is sorted inside the update function. State = one
+    4-long row per user; update-mode emissions finalize to the batch
+    shape by last-emission-per-user."""
+    import datetime as dt
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import _assert_events_ts_format
+    from ..schemas import EVENTS
+    from ..streaming import stateful
+
+    src = os.path.join(sf_dir, "events.parquet")
+    _assert_events_ts_format(src)
+    st_ = os.stat(src)
+    key = hashlib.md5(
+        f"funnel-v1:{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"spark_graft_funnel_{key}")
+    done = os.path.join(stage, "_staged_ok")
+    if not os.path.exists(done):
+        batch = spark.read.schema(EVENTS).parquet(src)
+        lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: two scalars
+        shutil.rmtree(stage, ignore_errors=True)
+        cuts = [lo + (hi - lo) * i // 3 for i in range(4)]
+        cuts[-1] = hi + dt.timedelta(microseconds=1)
+        staged: set[str] = set()
+        for i in range(3):
+            batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
+                1
+            ).write.mode("append").parquet(stage)
+            t = st_.st_mtime + 1 + i  # strictly-increasing whole-second mtimes
+            for name in sorted(os.listdir(stage)):
+                pth = os.path.join(stage, name)
+                if name.endswith(".parquet") and pth not in staged:
+                    os.utime(pth, (t, t))
+                    staged.add(pth)
+        open(done, "w").close()
+    events = (
+        spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    sink = ev.run_available_now(
+        stateful.user_funnel_stream(events), output_mode="update"
+    )
+    return stateful.finalize_funnel(sink).orderBy("user_id")

@@ -155,6 +155,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "session_path_topk",
     # new in round 6 (late): embedding-similarity decontamination
     "semantic_decontamination",
+    # new in round 6 (late): stateful streaming funnel
+    "event_funnel_stream",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)

@@ -175,3 +175,96 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful conversion funnel (streaming twin of queries/streaming_q
+# event_funnel)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = "n long, view_us long, click_us long, purch_us long"
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, n long, view_us long, click_us long, purch_us long"
+)
+
+
+def _update_funnel(
+    key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Greedy per-user funnel state: first view, first click strictly
+    after it, first purchase strictly after that. EXACT against the
+    batch min-chaining oracle because events are processed in event-time
+    order — the replay stages time-ascending micro-batches and each
+    batch is sorted here; a timestamp can only be set once, so state
+    transitions are monotone and replay-deterministic. ``n`` counts
+    absorbed events (strictly grows per emission → max n marks the
+    final row, same finalize contract as the totals operator)."""
+    import pandas as pd
+
+    n, view_us, click_us, purch_us = (
+        state.get if state.exists else (0, None, None, None)
+    )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        n += len(pdf)
+        pdf = pdf.sort_values("ts")
+        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for t, et in zip(us.tolist(), pdf["event_type"].tolist()):
+            if et == "view" and view_us is None:
+                view_us = t
+            elif et == "click" and click_us is None and view_us is not None and t > view_us:
+                click_us = t
+            elif et == "purchase" and purch_us is None and click_us is not None and t > click_us:
+                purch_us = t
+    state.update((n, view_us, click_us, purch_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "view_us": [view_us],
+            "click_us": [click_us],
+            "purch_us": [purch_us],
+        }
+    )
+
+
+def user_funnel_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming funnel (update mode): per-user funnel
+    timestamps that survive micro-batch boundaries. State is one
+    4-long row per user, hash-partitioned — the standard state-store
+    story; per batch only touched keys update."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def finalize_funnel(sink: DataFrame) -> DataFrame:
+    """Batch-shaped funnel table from the update-mode sink: last
+    emission per user (max n), users with no view dropped (the batch
+    funnel anchors on the view stage)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("view_us").isNotNull())
+        .select(
+            "user_id",
+            F.timestamp_micros("view_us").alias("first_view_ts"),
+            F.timestamp_micros("click_us").alias("first_click_ts"),
+            F.timestamp_micros("purch_us").alias("first_purchase_ts"),
+            (
+                F.lit(1)
+                + F.col("click_us").isNotNull().cast("int")
+                + F.col("purch_us").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
