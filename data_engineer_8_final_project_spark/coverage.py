@@ -177,6 +177,16 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     ],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
+    "histogram-profile": [
+        # fixed-domain width-bucket histogram per type — the DQ/drift
+        # profile shape, one map-side-combining pass
+        "query:value_histogram",
+    ],
+    "scd2-history": [
+        # warehouse-history twin of the SCD1 snapshot: validity
+        # intervals via LEAD, one composite-key window pass
+        "query:scd2_event_history",
+    ],
     "session-path-mining": [
         # ordered event-type sequences per gap session; in-row
         # array_sort kills collect_list order dependence

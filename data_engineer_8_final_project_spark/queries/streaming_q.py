@@ -916,3 +916,92 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateful.user_funnel_stream(events), output_mode="update"
     )
     return stateful.finalize_funnel(sink).orderBy("user_id")
+
+
+@register(
+    "scd2_event_history",
+    oracle="""
+    -- Slowly-changing-dimension type 2 from the event stream: each
+    -- (user, event_type) change becomes a validity interval
+    -- [valid_from, valid_to), open-ended for the current row — the
+    -- warehouse-history twin of latest_event_snapshot (SCD1). The
+    -- unique (ts, event_id) key makes LEAD deterministic.
+    SELECT user_id, event_type, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    ORDER BY user_id, event_type, valid_from
+    """,
+    survey_ref="extended: SCD2 history build (validity intervals via LEAD)",
+)
+def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: one LEAD window per (user, event_type) —
+    a single composite-key shuffle shared by both LEAD calls and the
+    is_current derivation; at 100 TB this is the standard
+    one-pass history build (no self-join, no sort but the window's).
+    The SCD1 compaction (latest_event_snapshot) is this table filtered
+    to is_current."""
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "event_type", "valid_from")
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    -- Fixed-width histogram of event values per type: 10 buckets over
+    -- the [0, 500) domain plus underflow bucket 0 / overflow bucket 11
+    -- (width_bucket semantics spelled as portable arithmetic — DuckDB
+    -- has no width_bucket). Bucket bounds are CONSTANTS (the scale-out
+    -- contract: a data-dependent min/max would serialize a pre-pass).
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 500 THEN 11
+                     ELSE 1 + FLOOR(value / 50.0) END AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, bucket
+    """,
+    survey_ref="extended: fixed-width histogram (width_bucket analytics)",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value histogram over constant bucket bounds — one
+    map-side-combining aggregation (≤ types × 12 groups), no
+    data-dependent pre-pass. The profile shape every DQ/drift monitor
+    computes."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(CASE WHEN value < 0 THEN 0 "
+                "WHEN value >= 500 THEN 11 "
+                "ELSE 1 + FLOOR(value / 50.0D) END AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

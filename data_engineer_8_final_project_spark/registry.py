@@ -157,6 +157,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_decontamination",
     # new in round 6 (late): stateful streaming funnel
     "event_funnel_stream",
+    # new in round 6 (late): SCD2 validity-interval history
+    "scd2_event_history",
+    # new in round 6 (late): fixed-width value histogram
+    "value_histogram",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
