@@ -177,6 +177,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     ],
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
+    "tpch-q12-shape": ["query:late_shipment_priority"],
+    "vocab-oov-eval": [
+        # tokenizer-coverage evaluation: per-doc OOV rate against the
+        # frequency-cut vocabulary (one explode feeds vocab + join)
+        "query:vocab_coverage_oov",
+    ],
     "histogram-profile": [
         # fixed-domain width-bucket histogram per type — the DQ/drift
         # profile shape, one map-side-combining pass

@@ -1728,3 +1728,47 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    -- TPC-H Q12 shape adapted to the fixture's columns (no l_shipmode/
+    -- l_commitdate): lines shipped more than 90 days after order date,
+    -- bucketed by line status, counting urgent (1-2) vs other order
+    -- priorities — the join + two-way conditional count shape.
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    survey_ref="§2.3 widening: join + conditional two-way count (TPC-H Q12 shape)",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-fact equi-join with a post-join interval
+    predicate, then a conditional two-way count on a 2-row group key —
+    map-side partial aggregation collapses everything before the final
+    exchange. The join predicate references both sides so it cannot
+    push to either scan; the shuffle is the orderkey equi-join only."""
+    t = tables_for(spark, sf_dir)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -319,3 +319,61 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@register(
+    "vocab_coverage_oov",
+    oracle=f"""
+    -- Tokenizer-eval step: per-document out-of-vocabulary rate against
+    -- the frequency-ranked vocabulary (corpus count >= 5 — the same
+    -- cut as vocab_build). The aggregate OOV rate is what decides a
+    -- vocabulary size; the per-doc rate is the quality filter.
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token HAVING COUNT(*) >= 5
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / COUNT(*), 4)
+             AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    survey_ref="extended: vocabulary OOV-rate evaluation (tokenizer coverage)",
+)
+def q_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs the corpus vocabulary: one token
+    explode feeds BOTH the vocab aggregate and the per-doc join (the
+    vocab side collapses to |distinct tokens with count>=5| rows before
+    the join — at 100 TB a bounded-vocab broadcast; here left to
+    AQE), then one doc-keyed rollup."""
+    from ..operators import text
+
+    t = tables_for(spark, sf_dir)
+    tok = t["documents"].select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -161,6 +161,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_event_history",
     # new in round 6 (late): fixed-width value histogram
     "value_histogram",
+    # new in round 6 (late): TPC-H Q12 shape (join + 2-way conditional count)
+    "late_shipment_priority",
+    # new in round 6 (late): vocabulary OOV-rate evaluation
+    "vocab_coverage_oov",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
