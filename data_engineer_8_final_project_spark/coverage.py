@@ -178,6 +178,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "unpivot-melt": ["query:unpivot_order_metrics"],
     "hypertable-rollup": ["query:events_time_rollup"],
     "tpch-q12-shape": ["query:late_shipment_priority"],
+    "text-bigram-lm-score": [
+        # add-1 bigram LM per-doc -ln P mean: the word-order quality
+        # proxy above the unigram scorer; in-row pair transform + two
+        # vocabulary-sized count aggregations
+        "query:bigram_logprob",
+    ],
     "vocab-oov-eval": [
         # tokenizer-coverage evaluation: per-doc OOV rate against the
         # frequency-cut vocabulary (one explode feeds vocab + join)

@@ -264,3 +264,49 @@ def dup_span_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def bigram_logprob_scores(
+    documents: DataFrame, text_col: str = "text", decimals: int = 4
+) -> DataFrame:
+    """Per-document mean bigram negative log-probability — the add-1
+    bigram LM upgrade of :func:`unigram_logprob_scores`:
+    ``P(cur|prev) = (count(prev,cur) + 1) / (count(prev·) + |V|)``.
+
+    Shape: one in-row transform produces adjacent pairs (no cross-row
+    state — pairs never leave their document), two corpus count
+    aggregations (bigram-keyed and prev-keyed, both map-side-combining
+    to vocabulary-sized frames), the |V| scalar rides a 1-row
+    broadcast, and one doc-keyed rollup. Same Zipf-skew story as the
+    unigram scorer: hot stopword join keys are AQE skew-split
+    territory, and both count frames broadcast for natural-language
+    vocabularies. Docs with fewer than 2 tokens have no bigrams and
+    are excluded (the fixture minimum is 10).
+    """
+    t = documents.select("doc_id", tokens(text_col).alias("t")).filter(F.size("t") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS prev, element_at(t, i + 1) AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.prev", "b.cur")
+    vocab = documents.select(F.explode(tokens(text_col)).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("_v")
+    )
+    bgf = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    pf = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("pc"))
+    return (
+        bg.join(bgf, ["prev", "cur"])
+        .join(pf, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log((F.col("bc") + 1) / (F.col("pc") + F.col("_v")))), decimals
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -702,3 +702,40 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.importance_weights(
         t["documents"], is_target=F.col("lang") == "en", n_buckets=64
     ).orderBy("doc_id")
+
+
+@register(
+    "bigram_logprob",
+    oracle=f"""
+    -- Add-1 bigram LM scoring: P(cur|prev) = (bc+1)/(pc+|V|), per-doc
+    -- mean of -ln P — the next quality-proxy tier above the unigram
+    -- scorer (catches scrambled word ORDER that unigram stats cannot).
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS cur
+      FROM toks WHERE len(t) >= 2
+    ),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS nv
+      FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    ),
+    bgf AS (SELECT prev, cur, COUNT(*) AS bc FROM bg GROUP BY 1, 2),
+    pf AS (SELECT prev, COUNT(*) AS pc FROM bg GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((f.bc + 1) / (p.pc + (SELECT nv FROM v)))), 4)
+             AS avg_neg_logprob
+    FROM bg b JOIN bgf f ON b.prev = f.prev AND b.cur = f.cur
+    JOIN pf p ON b.prev = p.prev
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    survey_ref="extended: add-1 bigram LM scoring (word-order quality proxy)",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return text.bigram_logprob_scores(t["documents"]).orderBy("doc_id")

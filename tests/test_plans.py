@@ -423,6 +423,7 @@ _STREAMING_EXECUTES = {
     "user_totals_stateful",
     "view_click_stream_join",
     "standings_stream",
+    "event_funnel_stream",
 }
 
 #: name -> why a BroadcastNestedLoopJoin is legitimate THERE (the
@@ -438,6 +439,7 @@ _NESTED_LOOP_OK: dict[str, str] = {
     "dq_audit": "inner x 1-row DQ counter aggregates (no join key by design)",
     "idle_rich_customers": "theta vs 1-row avg(c_acctbal) scalar (Q22 shape)",
     "embedding_topk": "cross x 1-row query-vector frame",
+    "bigram_logprob": "cross x 1-row distinct-token count (add-1 denominator)",
 }
 
 
