@@ -688,6 +688,7 @@ EVENT_FUNNEL_ORACLE = """
     "event_funnel",
     oracle=EVENT_FUNNEL_ORACLE,
     survey_ref="extended: ordered conversion funnel (min-chained stages)",
+    tags=("bench",),
 )
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel with the order constraint: each
@@ -824,6 +825,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     survey_ref="extended: session path mining (ordered event-type sequences)",
+    tags=("bench",),
 )
 def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most common session event-type paths. Sessionization shares
@@ -936,6 +938,7 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, event_type, valid_from
     """,
     survey_ref="extended: SCD2 history build (validity intervals via LEAD)",
+    tags=("bench",),
 )
 def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history: one LEAD window per (user, event_type) —

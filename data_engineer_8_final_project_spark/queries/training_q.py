@@ -735,6 +735,7 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY b.doc_id
     """,
     survey_ref="extended: add-1 bigram LM scoring (word-order quality proxy)",
+    tags=("bench",),
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
