@@ -143,6 +143,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # k-NN graph (count DESC, label ASC total order as max-struct)
         "query:knn_label_vote",
     ],
+    "similarity-knn-triangles": [
+        # neighborhood density on the similarity graph: triangle counts
+        # + local clustering coefficient, degree-bounded joins
+        "query:knn_triangle_stats",
+    ],
     "similarity-knn-graph": [
         # batch all-vector top-k neighbors (cell-blocked) — the graph
         # build step clustering/SemDeDup/label-prop pipelines consume

@@ -760,3 +760,67 @@ def semantic_dedup_verdicts(
     return assigned.join(dropped.withColumn("_dup", F.lit(True)), "vec_id", "left").select(
         "vec_id", "cell", F.col("_dup").isNull().alias("is_kept")
     )
+
+
+def knn_triangle_stats(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    k: int = 3,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-vector triangle participation + local clustering coefficient
+    over the undirected k-NN graph — the neighborhood-density signal
+    community detection and near-dup QA read off a similarity graph.
+
+    Undirected edge = the (least, greatest) pair of any directed k-NN
+    edge, deduplicated; a triangle is three mutually-connected nodes,
+    enumerated once as a < b < c via two equi-joins; lcc(v) =
+    2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 else 0.
+
+    Scale design: every join key is a single node id and the graph is
+    DEGREE-BOUNDED by construction (≤ k out-edges per node, so ≤ 2k
+    undirected partners): the edge-edge joins fan out at most 2k rows
+    per key — linear in corpus size with a k² constant, never the
+    unbounded wedge explosion of a power-law graph (the knn builder
+    caps exactly what a raw co-occurrence graph cannot).
+    """
+    g = knn_graph(embeddings, n_cells=n_cells, k=k)
+    und = (
+        g.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])  # x < y < z by construction
+    tri_nodes = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_nodes, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    decimals,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -1309,3 +1309,60 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _knn_triangles_oracle(n_cells: int, k: int) -> str:
+    """Composes the knn CTEs with undirected-edge dedup, two triangle
+    joins (a < b < c once each), and the clustering coefficient."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ranked WHERE rnk <= {k}
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tn AS (
+      SELECT v, COUNT(*) AS n_triangles FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) t
+      GROUP BY v
+    )
+    SELECT d.v AS vec_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2
+                THEN ROUND(2.0 * COALESCE(tn.n_triangles, 0)
+                           / (d.deg * (d.deg - 1)), 4)
+                ELSE 0.0 END AS lcc
+    FROM deg d LEFT JOIN tn ON d.v = tn.v
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "knn_triangle_stats",
+    oracle=_knn_triangles_oracle(n_cells=16, k=3),
+    survey_ref="extended: k-NN graph triangle counts / local clustering coefficient",
+)
+def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood density over the similarity graph: per-vector
+    triangle counts and local clustering coefficient
+    (operators/similarity.knn_triangle_stats) — degree-bounded by the
+    k-NN construction, so the triangle joins stay linear."""
+    t = tables_for(spark, sf_dir)
+    return similarity.knn_triangle_stats(t["embeddings"], n_cells=16, k=3).orderBy(
+        "vec_id"
+    )

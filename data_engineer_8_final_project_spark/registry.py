@@ -167,6 +167,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_oov",
     # new in round 6 (late): add-1 bigram LM quality scoring
     "bigram_logprob",
+    # new in round 6 (late): k-NN graph triangles / clustering coeff
+    "knn_triangle_stats",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
