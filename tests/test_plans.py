@@ -469,3 +469,32 @@ def test_embedding_near_dup_pair_join_is_shuffled_hash(q):
     plan = PI.explain_string(q("embedding_near_dup_pairs"))
     assert "ShuffledHashJoin" in plan, "block-pair join lost its SHUFFLE_HASH pin"
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_if_undersplit_is_noop_on_wellsplit_input(spark):
+    """The under-split spread must be a NO-OP branch on well-split
+    sources — its 100 TB story is that input splits >= cores so the
+    round-robin exchange never appears. Pin both directions: a
+    single-partition frame gains exactly one RoundRobinPartitioning
+    exchange; a frame already at cluster parallelism gains none."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators.similarity import (
+        _spread_if_undersplit,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    # natively well-split (range with explicit numPartitions plans no
+    # exchange of its own, so any RoundRobin in the plan is the spread's)
+    wide = spark.range(0, 1000, 1, par)
+
+    spread_narrow = _spread_if_undersplit(narrow.select(F.col("id")))
+    spread_wide = _spread_if_undersplit(wide.select(F.col("id")))
+    plan_narrow = PI.explain_string(spread_narrow)
+    plan_wide = PI.explain_string(spread_wide)
+    assert "RoundRobinPartitioning" in plan_narrow, "under-split input not spread"
+    assert "RoundRobinPartitioning" not in plan_wide, (
+        "well-split input paid a spurious exchange — the no-op branch broke"
+    )
+    assert spread_wide.rdd.getNumPartitions() == par
