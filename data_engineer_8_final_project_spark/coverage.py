@@ -154,6 +154,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:knn_graph",
         "test:tests/test_approx.py::test_knn_graph_matches_brute_force_within_cells",
     ],
+    "sampling-weighted-without-replacement": [
+        # Efraimidis-Spirakis u^(1/w) keys from the md5 uniform — exact
+        # k-sized weighted sample, one pass + TakeOrdered
+        "query:weighted_sample_topk",
+    ],
     "sampling-importance-dsir": [
         # DSIR (Xie et al. 2302.03169) hashed-unigram log-ratio
         # importance weights: bounded 64-bucket feature models,

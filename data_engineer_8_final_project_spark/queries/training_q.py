@@ -740,3 +740,57 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
     return text.bigram_logprob_scores(t["documents"]).orderBy("doc_id")
+
+
+@register(
+    "weighted_sample_topk",
+    oracle="""
+    -- Efraimidis-Spirakis weighted sampling WITHOUT replacement:
+    -- key_i = u_i^(1/w_i) with u_i uniform — the k largest keys are an
+    -- exact weighted sample. Deterministic twin: u comes from the md5
+    -- portable-hash idiom (60-bit int -> (0,1]), compared in the
+    -- monotone-equivalent ln(u)/w form; ties cannot occur (60-bit
+    -- keys) and the ordering survives engine ulp differences because
+    -- adjacent key gaps are ~2^-10 scale, not ulp scale.
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 1) / 1152921504606846976.0)
+             / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, weight, ROUND(k, 6) AS sample_key
+    FROM keyed
+    ORDER BY k DESC, doc_id ASC
+    LIMIT 20
+    """,
+    survey_ref="extended: weighted sampling w/o replacement (Efraimidis-Spirakis)",
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): per-row key u^(1/w), global top-k — the one-pass,
+    shuffle-free-until-TakeOrdered algorithm for 'sample k documents
+    proportional to length/quality' that a mixture builder needs when
+    rate-based sampling (temperature_mixture_sample) can't pin an
+    exact k. u is the md5-derived uniform (pure function of doc_id →
+    replayable anywhere); comparing ln(u)/w keeps the same order with
+    better float behavior than the tiny u^(1/w) powers."""
+    t = tables_for(spark, sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    k = F.log(u) / F.col("n_chars")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            k.alias("k"),
+        )
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "weight", F.round("k", 6).alias("sample_key"))
+    )
