@@ -158,6 +158,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # Efraimidis-Spirakis u^(1/w) keys from the md5 uniform — exact
         # k-sized weighted sample, one pass + TakeOrdered
         "query:weighted_sample_topk",
+        # grouped form: per-source quotas through one windowed rank
+        # whose limit pushes map-side (InferWindowGroupLimit)
+        "query:weighted_sample_per_source",
     ],
     "sampling-importance-dsir": [
         # DSIR (Xie et al. 2302.03169) hashed-unigram log-ratio

@@ -794,3 +794,58 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "weight", F.round("k", 6).alias("sample_key"))
     )
+
+
+@register(
+    "weighted_sample_per_source",
+    oracle="""
+    -- Grouped Efraimidis-Spirakis: an exact 5-document weighted sample
+    -- PER SOURCE (same md5-uniform ln(u)/w keys as the global variant,
+    -- ranked within source) — the stratified form a mixture builder
+    -- uses to fill per-source quotas proportional to document weight.
+    WITH keyed AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 1) / 1152921504606846976.0)
+             / n_chars AS k
+      FROM documents
+    )
+    SELECT source, doc_id, weight, ROUND(k, 6) AS sample_key FROM (
+      SELECT source, doc_id, weight, k,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC)
+               AS rn
+      FROM keyed) t
+    WHERE rn <= 5
+    ORDER BY source, sample_key DESC, doc_id
+    """,
+    survey_ref="extended: grouped weighted sampling w/o replacement (per-source quotas)",
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the same
+    Efraimidis-Spirakis keys as weighted_sample_topk, ranked inside
+    each source — ONE source-keyed window whose rank<=k predicate
+    Catalyst pushes map-side (InferWindowGroupLimit, the same
+    skew-safe two-phase top-k proven for per_source_cap)."""
+    t = tables_for(spark, sf_dir)
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    w = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        t["documents"]
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            (F.log(u) / F.col("n_chars")).alias("k"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "weight", F.round("k", 6).alias("sample_key"))
+        .orderBy("source", F.desc("sample_key"), "doc_id")
+    )

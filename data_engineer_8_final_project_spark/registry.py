@@ -171,6 +171,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_triangle_stats",
     # new in round 6 (late): Efraimidis-Spirakis weighted sampling
     "weighted_sample_topk",
+    # new in round 6 (late): grouped (per-source) E-S weighted sampling
+    "weighted_sample_per_source",
     # r4 greens bumped by this round's two additions — r7 window head
     "events_by_segment_stream",  # stream-static join also pinned by view_click_stream_join (r5)
     "events_json_extract",  # JSON extract also pinned by events_props_variant (r5)
