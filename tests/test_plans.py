@@ -498,3 +498,13 @@ def test_spread_if_undersplit_is_noop_on_wellsplit_input(spark):
         "well-split input paid a spurious exchange — the no-op branch broke"
     )
     assert spread_wide.rdd.getNumPartitions() == par
+
+
+def test_weighted_sample_per_source_limit_is_pushed_map_side(q):
+    """Same InferWindowGroupLimit contract as per_source_cap: the
+    grouped Efraimidis-Spirakis rank<=k must compile to a Partial
+    WindowGroupLimit before the source exchange, so each map task
+    ships at most k candidate rows per source."""
+    s = PI.explain_string(q("weighted_sample_per_source"))
+    assert "WindowGroupLimit" in s and "Partial" in s
+    assert s.count("hashpartitioning(source") == 1
