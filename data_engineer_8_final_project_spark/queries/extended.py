@@ -738,7 +738,10 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors (tie → lowest label). One equi-join to fetch neighbor
     labels, one (src, label)-keyed count, and a max-struct per src —
     the tiebreak-complete total order (count DESC, label ASC) encoded
-    as ``max(struct(n, -label))``, so no second window pass."""
+    as ``max(struct(n, -label))``, so no second window pass. The
+    fixture's labels are synthetic (independent of the vectors), so
+    measured accuracy is chance — the gate is the exact vote replay,
+    not model quality."""
     t = tables_for(spark, sf_dir)
     emb = t["embeddings"]
     g = similarity.knn_graph(emb, n_cells=16, k=3)
