@@ -14,38 +14,51 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-6 rotation (VERDICT r5 items 2+3): the 19 queries whose newest
-#: green driver row is still r1/r2 — evidence older than the events
-#: fixture regeneration — plus minhash_lsh_pairs, newly reformulated as
-#: exact-verified LSH with a value-exact DuckDB oracle (its first shot
-#: at a green driver row after four rounds of rows-only checks).
+#: Round-7 rotation (VERDICT r6 items 1+7): the 21 late-r6 queries that
+#: have never had a driver CORRECTNESS row, plus the 17 queries whose
+#: newest green is still r4 (older than every other evidence in the
+#: repo).
 MUST_BE_IN_WINDOW = {
-    # newest green row is r1/r2 — refresh
-    "media_decode_fake",
-    "promo_revenue_share",
-    "order_value_quartiles",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "unpivot_order_metrics",
-    "text_normalize",
-    "doc_fingerprints",
-    "cube_flag_status",
-    "part_price_rank",
-    "order_gaps_lag",
-    "group_count",
-    "group_sum_multi",
-    "top_orders",
-    "custkey_set_ops",
-    "orders_by_month",
-    "day_name_dimension",
-    "season_year_inference",
-    "completed_before_cutoff",
-    # newly oracled in round 6 — never had a decidable driver row
-    "minhash_lsh_pairs",
-    # new in round 6 — the zipfian skew-join proof needs a driver row
-    "skewed_user_join",
-    # new in round 6 — PQ-ADC compressed ANN tier needs a driver row
-    "pq_adc_topk",
+    # never driver-verified (late r6)
+    "dup_cluster_representatives",
+    "semantic_dedup",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "knn_graph",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "knn_label_vote",
+    "session_path_topk",
+    "semantic_decontamination",
+    "event_funnel_stream",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "knn_triangle_stats",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
+    # newest green row is r4 — refresh
+    "html_matches_extract",
+    "events_by_segment_stream",
+    "events_json_extract",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
 }
 
 
