@@ -87,6 +87,16 @@ def main() -> None:
     timings = {n: round(statistics.median(ts), 4) for n, ts in reps.items()}
     spread = {n: [round(min(ts), 4), round(max(ts), 4)] for n, ts in reps.items()}
 
+    # Driver contract: ONE compact JSON line. Round-6 lesson (VERDICT
+    # r6 item 2): the line with the full spread map inlined outgrew the
+    # driver's tail-capture buffer and BENCH_r06.json recorded
+    # ``parsed: null`` — so the printed line carries only totals +
+    # per-query medians, and the spread map (the noise band a
+    # regression verdict needs) goes to a side file the judge can read
+    # from the repo.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_spread.json"), "w") as f:
+        json.dump({"spread": spread, "passes": passes_done, "sf": _sf_label(SF_DIR)}, f, indent=1)
+
     print(
         json.dumps(
             {
@@ -94,7 +104,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
                 "passes": passes_done,
                 "sf": _sf_label(SF_DIR),
             }
