@@ -764,6 +764,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     survey_ref="extended: weekly cohort retention matrix",
+    tags=("bench",),
 )
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort retention: user's first-event week × active weeks.
@@ -888,8 +889,12 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "events.parquet")
     _assert_events_ts_format(src)
     st_ = os.stat(src)
+    # pid-scoped (advisor finding, round 6): two processes staging
+    # concurrently — e.g. the parity suite alongside a driver emulation
+    # — must not rmtree/append under each other; the same hazard the
+    # dedup_stream stage dir already guards against.
     key = hashlib.md5(
-        f"funnel-v1:{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}".encode()
+        f"funnel-v3:{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}:{os.getpid()}".encode()
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"spark_graft_funnel_{key}")
     done = os.path.join(stage, "_staged_ok")
@@ -914,8 +919,22 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (
         spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(stage)
     )
+    # State-store width scales with the keyspace, not a constant: the
+    # GroupState cost law is touched-keys-per-batch / parallelism, so a
+    # fixed width-8 that is right for the 1x fixture (1.5 k users)
+    # serializes the per-key Python calls at 64x. ≈ one store per MB of
+    # source (a users-per-byte proxy), clamped to [8, 32] — the r6
+    # scale run's 64x wall was 8-wide-bound (29.6x). The source may be
+    # a directory of parts (the scale harness writes one), so the size
+    # probe sums the physical files, never stats a directory inode.
+    from ..catalog import _parquet_parts
+
+    src_bytes = sum(os.stat(p).st_size for p in _parquet_parts(src))
+    state_parts = max(8, min(32, src_bytes // (1 << 20)))
     sink = ev.run_available_now(
-        stateful.user_funnel_stream(events), output_mode="update"
+        stateful.user_funnel_stream(events),
+        output_mode="update",
+        state_partitions=int(state_parts),
     )
     return stateful.finalize_funnel(sink).orderBy("user_id")
 
@@ -984,6 +1003,7 @@ def q_scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type, bucket
     """,
     survey_ref="extended: fixed-width histogram (width_bucket analytics)",
+    tags=("bench",),
 )
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value histogram over constant bucket bounds — one

@@ -198,19 +198,27 @@ def _update_funnel(
     batch is sorted here; a timestamp can only be set once, so state
     transitions are monotone and replay-deterministic. ``n`` counts
     absorbed events (strictly grows per emission → max n marks the
-    final row, same finalize contract as the totals operator)."""
+    final row, same finalize contract as the totals operator).
+
+    A key's micro-batch data can arrive as SEVERAL Arrow chunks
+    (default 10k-row batches), so all chunks are concatenated and
+    sorted ONCE before the greedy loop — sorting each chunk
+    independently would process events out of event-time order whenever
+    a key spans chunks, silently diverging from the min-chaining
+    oracle (advisor finding, round 6)."""
     import pandas as pd
 
     n, view_us, click_us, purch_us = (
         state.get if state.exists else (0, None, None, None)
     )
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        n += len(pdf)
-        pdf = pdf.sort_values("ts")
-        us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        for t, et in zip(us.tolist(), pdf["event_type"].tolist()):
+    before = (view_us, click_us, purch_us)
+    frames = [pdf for pdf in pdfs if not pdf.empty]
+    if frames:
+        batch = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        n += len(batch)
+        batch = batch.sort_values("ts", kind="mergesort")
+        us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        for t, et in zip(us.tolist(), batch["event_type"].tolist()):
             if et == "view" and view_us is None:
                 view_us = t
             elif et == "click" and click_us is None and view_us is not None and t > view_us:
@@ -218,22 +226,36 @@ def _update_funnel(
             elif et == "purchase" and purch_us is None and click_us is not None and t > click_us:
                 purch_us = t
     state.update((n, view_us, click_us, purch_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n": [n],
-            "view_us": [view_us],
-            "click_us": [click_us],
-            "purch_us": [purch_us],
-        }
-    )
+    # Emit only when a funnel timestamp CHANGED this batch. Under
+    # ordered replay the timestamps are monotone (set-once), so the
+    # max-n finalize row still carries the final values; skipping
+    # no-change batches cuts the per-key output construction + Arrow
+    # transfer — at 64x events that is the dominant term of the
+    # GroupState scaling law (one Python call per key per batch).
+    if (view_us, click_us, purch_us) != before:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n": [n],
+                "view_us": [view_us],
+                "click_us": [click_us],
+                "purch_us": [purch_us],
+            }
+        )
 
 
 def user_funnel_stream(events: DataFrame) -> DataFrame:
     """Stateful streaming funnel (update mode): per-user funnel
     timestamps that survive micro-batch boundaries. State is one
     4-long row per user, hash-partitioned — the standard state-store
-    story; per batch only touched keys update."""
+    story; per batch only touched keys update.
+
+    Scale design: the funnel reads ONLY view/click/purchase events, so
+    that predicate is applied here, BEFORE the stateful shuffle — rows
+    of other types never shuffle, and users with no funnel activity in
+    a batch never touch their state store (GroupState cost scales with
+    touched-keys-per-batch, not rows)."""
+    events = events.filter(F.col("event_type").isin("view", "click", "purchase"))
     return events.groupBy("user_id").applyInPandasWithState(
         _update_funnel,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,

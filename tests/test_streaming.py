@@ -295,3 +295,57 @@ def test_funnel_state_survives_micro_batches(spark, sf_dir):
             crossed = True
             break
     assert crossed, "no funnel completed across a batch boundary"
+
+
+def test_funnel_exact_when_key_spans_arrow_chunks(spark, tmp_path):
+    """A key's micro-batch data can arrive as several Arrow chunks; the
+    update fn must sort ACROSS chunks, not per chunk (advisor finding,
+    round 6 — latent while fixtures fit one chunk per key). Forced here
+    with maxRecordsPerBatch=2 and an event order chosen so per-chunk
+    sorting yields a different funnel: chunk1 = [click@20, purch@30]
+    (no view yet -> both dropped), chunk2 = [view@10, click@15]; the
+    correct global order completes the funnel (10, 15, 30)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from data_engineer_8_final_project_spark.streaming import events as ev, stateful
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, "click", ts(20)),
+        (1, "purchase", ts(30)),
+        (1, "view", ts(10)),
+        (1, "click", ts(15)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "chunked_events")
+    # one file => one micro-batch containing all four rows of the key
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        sink = ev.run_available_now(
+            stateful.user_funnel_stream(stream), output_mode="update"
+        )
+        final = stateful.finalize_funnel(sink).collect()
+    finally:
+        spark.conf.set(key, saved)
+    assert len(final) == 1
+    r = final[0]
+    assert (r.first_view_ts, r.first_click_ts, r.first_purchase_ts) == (
+        ts(10),
+        ts(15),
+        ts(30),
+    ), final
