@@ -359,14 +359,20 @@ def importance_weights(
     penalized). Positive ⇒ the document looks more like the target
     distribution than the corpus average.
 
-    Scale design (100 TB): both feature models are ``n_buckets``-row
-    aggregates — map-side partial combine collapses the token stream to
-    ≤ ``n_buckets`` rows per task, so the two collects are bounded
-    model parameters exactly like the IVF centroids, never data. The
-    scoring pass is then one narrow explode with a literal-array
-    lookup (zero joins) plus a single ``doc_id``-keyed aggregation —
-    the same shuffle any per-doc token stat pays. Buckets use the
-    repo's portable md5 idiom so any engine replays membership.
+    Scale design (100 TB): both feature models come from ONE
+    ``n_buckets``-row aggregation over a cached token stream —
+    map-side partial combine collapses the tokens to ≤ ``n_buckets``
+    rows per task, so the single collect is bounded model parameters
+    exactly like the IVF centroids, never data (advisor finding,
+    round 6: the raw and target models were previously fit as two
+    separate eager passes, a redundant full corpus scan). The scoring
+    pass is then one more scan of the same narrow projection with a
+    literal-array lookup (zero joins) plus a single ``doc_id``-keyed
+    aggregation — two total scans of a column-pruned parquet read;
+    deliberately NOT cached, because persisting a corpus-sized token
+    explode costs more memory/disk churn at cluster scale than the
+    narrow rescan it saves. Buckets use the repo's portable md5 idiom
+    so any engine replays membership.
     """
     import math
 
@@ -374,13 +380,17 @@ def importance_weights(
         F.col(id_col), is_target.alias("_tgt"), F.explode(tokens("text")).alias("tok")
     )
     tok = tok.withColumn("bucket", hash_bucket(F.col("tok"), n_buckets))
-    # bounded collects: n_buckets-row feature models (model parameters)
-    raw_rows = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    tgt_rows = (
-        tok.filter(F.col("_tgt")).groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    # ONE bounded collect: both n_buckets-row feature models at once
+    model_rows = (
+        tok.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("n_tgt"),
+        )
+        .collect()
     )
-    raw = {r["bucket"]: r["n"] for r in raw_rows}
-    tgt = {r["bucket"]: r["n"] for r in tgt_rows}
+    raw = {r["bucket"]: r["n_raw"] for r in model_rows}
+    tgt = {r["bucket"]: int(r["n_tgt"]) for r in model_rows}
     total_raw = sum(raw.values())
     total_tgt = sum(tgt.values())
     lr = [
