@@ -1748,6 +1748,7 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l.l_linestatus
     """,
     survey_ref="§2.3 widening: join + conditional two-way count (TPC-H Q12 shape)",
+    tags=("bench",),
 )
 def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 shape: fact-fact equi-join with a post-join interval

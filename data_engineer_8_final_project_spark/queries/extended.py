@@ -1359,6 +1359,7 @@ def _knn_triangles_oracle(n_cells: int, k: int) -> str:
     "knn_triangle_stats",
     oracle=_knn_triangles_oracle(n_cells=16, k=3),
     survey_ref="extended: k-NN graph triangle counts / local clustering coefficient",
+    tags=("bench",),
 )
 def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood density over the similarity graph: per-vector

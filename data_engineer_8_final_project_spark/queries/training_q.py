@@ -765,6 +765,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     survey_ref="extended: weighted sampling w/o replacement (Efraimidis-Spirakis)",
+    tags=("bench",),
 )
 def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed weighted sampling without replacement (Efraimidis &
@@ -819,6 +820,7 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source, sample_key DESC, doc_id
     """,
     survey_ref="extended: grouped weighted sampling w/o replacement (per-source quotas)",
+    tags=("bench",),
 )
 def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum weighted sampling without replacement: the same
