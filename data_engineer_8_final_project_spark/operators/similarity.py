@@ -319,6 +319,148 @@ def ivf_topk(
     )
 
 
+def _dot_ltr(a: list[float], b: list[float]) -> float:
+    s = 0.0  # left-to-right, same order as list_dot_product / aggregate(zip_with)
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def two_level_cells(
+    cents: list[tuple[int, list[float]]], n_parents: int
+) -> dict[int, int]:
+    """Leaf-cell → parent assignment for the hierarchical quantizer.
+
+    Parents are the first ``n_parents`` leaves (their centroids ARE
+    those leaves' vectors). A parent-leaf belongs to itself; every
+    other leaf joins the parent minimizing the same reduced
+    ``-2·dot + c2`` score (tie → lower parent id). Pure driver-side
+    arithmetic over the already-collected bounded centroid model —
+    left-to-right IEEE sums so a SQL oracle replays the grouping bit
+    for bit.
+    """
+    parents = cents[:n_parents]
+    group: dict[int, int] = {}
+    parent_ids = {pid for pid, _ in parents}
+    for cid, cv in cents:
+        if cid in parent_ids:
+            group[cid] = cid
+            continue
+        best: tuple[float, int] | None = None
+        for pid, pv in parents:
+            d2 = -2.0 * _dot_ltr(cv, pv) + _fold_c2(pv)
+            if best is None or (d2, pid) < best:
+                best = (d2, pid)
+        group[cid] = best[1]
+    return group
+
+
+def ivf2_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_cells: int = 16,
+    n_parents: int = 4,
+    n_probe_l1: int = 2,
+    n_probe: int = 4,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-level (hierarchical) IVF ANN top-k — the cell-count scale
+    path past :func:`ivf_topk`.
+
+    The flat quantizer's per-row cost is ``n_cells × dim`` dot terms;
+    past ~1024 cells that assignment term dominates the scan (the
+    documented eventual bottleneck of every cell-blocked operator
+    here). The classic fix is a coarse-in-coarse hierarchy (IVF-HNSW /
+    two-level IMI family): route each vector to one of ``n_parents``
+    level-1 centroids, then argmin only over that parent's leaf cells
+    — ``n_parents + |group|`` dot terms per row, √-ish of the flat
+    cost at equal leaf count (1024 leaves: 32 + ~32 vs 1024, ≈16×).
+
+    Determinism/oracle story: leaves are the ``n_cells``
+    lowest-vec_id vectors (the same seeded-medoid leaf SET as
+    :func:`ivf_topk`, so recall is comparable head-to-head), parents
+    the first ``n_parents`` of those, leaf→parent grouping via
+    :func:`two_level_cells` — every argmin the same reduced-d2 with
+    left-to-right IEEE sums, replayable in SQL.
+
+    Plan shape: both levels are literal-matrix expressions — level 1
+    an ``array_min(transform(...))`` over the parent matrix, level 2 a
+    lazily-evaluated CASE branch per parent over only that group's
+    matrix (codegen evaluates the matched branch, so the saving is
+    real per row, not just symbolic). Zero joins / zero shuffles for
+    assignment; probing mirrors :func:`ivf_topk` (level-1 probe of
+    ``n_probe_l1`` parents, then ``n_probe`` leaves within them,
+    broadcast to the scan).
+    """
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # bounded collect: the same n_cells-row centroid model as ivf_topk
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+    parents = cents[:n_parents]
+    group = two_level_cells(cents, n_parents)
+
+    def _structs(sub: list[tuple[int, list[float]]], with_pid: bool = False) -> str:
+        ids = "array(" + ",".join(str(cid) for cid, _ in sub) + ")"
+        mat = (
+            "array("
+            + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in sub)
+            + ")"
+        )
+        c2 = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in sub) + ")"
+        extra = ""
+        if with_pid:
+            pid_arr = "array(" + ",".join(str(group[cid]) for cid, _ in sub) + ")"
+            extra = f", 'pid', element_at({pid_arr}, i + 1)"
+        return (
+            f"transform(sequence(0, {len(sub) - 1}), i -> named_struct("
+            f"'d2', {_reduced_d2_sql('v', mat, c2)}, "
+            f"'cell', element_at({ids}, i + 1){extra}))"
+        )
+
+    p_structs = _structs(parents)
+    branches = " ".join(
+        f"WHEN {pid} THEN array_min("
+        + _structs([(cid, cv) for cid, cv in cents if group[cid] == pid])
+        + ").cell"
+        for pid, _ in parents
+    )
+    assigned_cell = F.expr(f"CASE array_min({p_structs}).cell {branches} END")
+
+    # leaf structs with their parent id, for the query-side level-2 probe
+    l_structs = _structs(cents, with_pid=True)
+    probe = (
+        emb.filter(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("v").alias("qv"),
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(filter({l_structs}, s -> array_contains("
+                    f"transform(slice(array_sort({p_structs}), 1, {n_probe_l1}), "
+                    f"p -> p.cell), s.pid))), 1, {n_probe})"
+                )
+            ).alias("pc"),
+        )
+        .select("qv", F.col("pc.cell").alias("cell"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("cell", assigned_cell)
+        .join(F.broadcast(probe), "cell")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), F.col("qv")), decimals).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane.
 

@@ -539,6 +539,101 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(t["embeddings"], query_vec_id=0, n_cells=16, n_probe=4, k=10)
 
 
+def _ivf2_oracle(
+    query_vec_id: int, n_cells: int, n_parents: int, n_probe_l1: int, n_probe: int, k: int
+) -> str:
+    """Oracle replays the two-level quantizer exactly: leaves = the
+    n_cells lowest vec_ids, parents = the first n_parents of those; a
+    parent-leaf groups to itself, other leaves to the argmin parent;
+    data vectors route parent-then-leaf-within-group; probing is
+    n_probe_l1 parents then n_probe leaves within them. Every argmin
+    the same reduced ``-2·dot + c2`` (tie → lower id) with the same
+    left-to-right float sums as the Spark literal-matrix expressions —
+    bit-identical assignments and probe sets."""
+    d2 = "-2*list_dot_product({x}, {c}) + list_dot_product({c}, {c})"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    parents AS (SELECT cell AS pid, cv AS pv FROM cents ORDER BY cell LIMIT {n_parents}),
+    l2p AS (
+      SELECT cell,
+             CASE WHEN cell IN (SELECT pid FROM parents) THEN cell ELSE pid END AS pid
+      FROM (
+        SELECT c.cell, p.pid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.cell
+                 ORDER BY {d2.format(x='c.cv', c='p.pv')} ASC, p.pid ASC) AS rn
+        FROM cents c CROSS JOIN parents p) t
+      WHERE rn = 1
+    ),
+    asg1 AS (
+      SELECT vec_id, label, v, pid FROM (
+        SELECT e.vec_id, e.label, e.v, p.pid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2.format(x='e.v', c='p.pv')} ASC, p.pid ASC) AS rn
+        FROM emb e CROSS JOIN parents p
+        WHERE e.vec_id <> {query_vec_id}) t
+      WHERE rn = 1
+    ),
+    asg2 AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT a.vec_id, a.label, a.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {d2.format(x='a.v', c='c.cv')} ASC, c.cell ASC) AS rn
+        FROM asg1 a JOIN l2p g ON g.pid = a.pid JOIN cents c ON c.cell = g.cell) t
+      WHERE rn = 1
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id}),
+    probe1 AS (
+      SELECT p.pid FROM parents p, q
+      ORDER BY {d2.format(x='q.qv', c='p.pv')} ASC, p.pid ASC
+      LIMIT {n_probe_l1}
+    ),
+    probe2 AS (
+      SELECT c.cell FROM l2p g JOIN probe1 USING (pid)
+                    JOIN cents c ON c.cell = g.cell, q
+      ORDER BY {d2.format(x='q.qv', c='c.cv')} ASC, c.cell ASC
+      LIMIT {n_probe}
+    )
+    SELECT a.vec_id, a.label,
+           ROUND(list_dot_product(a.v, q.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine
+    FROM asg2 a JOIN probe2 USING (cell), q
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ivf2_ann_topk",
+    oracle=_ivf2_oracle(
+        query_vec_id=0, n_cells=16, n_parents=4, n_probe_l1=2, n_probe=4, k=10
+    ),
+    survey_ref="extended: two-level (hierarchical) IVF ANN top-k (cell-count scale path)",
+    tags=("bench",),
+)
+def q_ivf2_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical IVF (operators/similarity.ivf2_topk): parent-then-
+    leaf routing cuts the per-row assignment from n_cells·dim to
+    (n_parents + group)·dim dot terms — the quantizer that stays flat
+    as leaf counts grow past 1024 at 100 TB corpus scale."""
+    t = tables_for(spark, sf_dir)
+    return similarity.ivf2_topk(
+        t["embeddings"],
+        query_vec_id=0,
+        n_cells=16,
+        n_parents=4,
+        n_probe_l1=2,
+        n_probe=4,
+        k=10,
+    )
+
+
 def _pq_oracle(
     query_vec_id: int, dim: int, n_sub: int, n_codes: int, shortlist: int, k: int
 ) -> str:

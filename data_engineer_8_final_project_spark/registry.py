@@ -121,6 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "label_centroids",
     "events_hourly",
     # ---- driver window boundary (50) ----
+    # new in round 7: hierarchical two-level IVF — r8 window head
+    "ivf2_ann_topk",
     # -- r5 greens riding the r8 window --
     "events_sliding",
     "events_hourly_gapfill",

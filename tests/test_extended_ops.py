@@ -210,3 +210,42 @@ def test_pq_adc_is_shuffle_free(spark, sf_dir):
     assert PI.exchange_count(df) == 0, plan
     assert PI.python_eval_count(df) == 0
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf2_recall_at_least_flat(spark, sf_dir):
+    """The two-level quantizer must not lose recall vs the flat IVF at
+    the same leaf set and equal probe budget (n_probe leaf cells; the
+    hierarchy only narrows WHICH leaves are considered, and on this
+    fixture the probed set is the same). Catches routing regressions
+    in the parent→leaf CASE expression."""
+    from data_engineer_8_final_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = set(
+        similarity.brute_force_topk(emb, query_vec_id=0, k=10).toPandas()["vec_id"]
+    )
+    flat = set(
+        similarity.ivf_topk(
+            emb, query_vec_id=0, n_cells=16, n_probe=4, k=10
+        ).toPandas()["vec_id"]
+    )
+    two = set(
+        similarity.ivf2_topk(
+            emb, query_vec_id=0, n_cells=16, n_parents=4, n_probe_l1=2, n_probe=4, k=10
+        ).toPandas()["vec_id"]
+    )
+    r_flat = len(exact & flat) / len(exact)
+    r_two = len(exact & two) / len(exact)
+    assert r_two >= r_flat, f"two-level recall {r_two:.2f} < flat {r_flat:.2f}"
+
+
+def test_two_level_grouping_is_total_and_self_consistent():
+    """Every leaf gets exactly one parent; parent-leaves group to
+    themselves; every assigned parent is a real parent."""
+    from data_engineer_8_final_project_spark.operators.similarity import two_level_cells
+
+    cents = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(12)]
+    group = two_level_cells(cents, n_parents=3)
+    assert sorted(group) == [c for c, _ in cents]
+    assert all(group[p] == p for p in (0, 1, 2))
+    assert set(group.values()) <= {0, 1, 2}

@@ -168,6 +168,19 @@ def test_ivf_assignment_is_shuffle_free(q):
     assert PI.python_eval_count(df) == 0
 
 
+def test_ivf2_assignment_is_shuffle_free(q):
+    # both quantizer levels are literal-matrix expressions (parent
+    # argmin + lazily-evaluated per-parent CASE branch) → assignment is
+    # a per-row expression; only the n_probe probe cells broadcast
+    df = q("ivf2_ann_topk")
+    plan = PI.explain_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert PI.broadcast_join_count(df) >= 1
+    assert "hashpartitioning(vec_id" not in plan
+    assert PI.python_eval_count(df) == 0
+
+
 def test_large_volume_customers_semi_join_no_subquery(q):
     # Q18 shape: the IN-subquery must decorrelate to a semi equi-join —
     # no nested-loop fallback, lineitem scanned without its text-heavy
