@@ -119,6 +119,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "similarity-brute-topk": ["query:embedding_topk"],
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
+    "graph-pagerank": [
+        # integer fixed-point PageRank over the k-NN graph — graph
+        # centrality scoring with bit-exact, width-invariant ranks
+        "query:knn_pagerank",
+    ],
     "similarity-ann-ivf2": [
         # two-level (hierarchical) coarse quantizer — the assignment
         # cost path past 1024 cells (VERDICT r6 stretch item 8)

@@ -179,3 +179,61 @@ def connected_components_twostar(
         )
     )
     return labels.localCheckpoint(eager=True)
+
+
+def pagerank_fixed_point(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**9,
+    damp_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer fixed-point — centrality over
+    a directed graph (``vertices``: ``id``; ``edges``: ``src``/``dst``),
+    the ranking step retrieval / curation pipelines run over a k-NN or
+    link graph.
+
+    Determinism is the whole design: ranks live as BIGINT multiples of
+    ``1/scale`` and every operation is integer (floor-div contribution
+    splits, integer damping ``(damp·Σ)÷100``), so the per-vertex sums
+    are associative — partitioning, shuffle width, and summation order
+    can never drift a rank, and a SQL oracle replays the exact bits.
+    Floating-point PageRank cannot make that guarantee (float sums
+    reorder across partitions).
+
+    Convention: contributions flow only along existing edges; a
+    dangling vertex (no out-edges) contributes nothing — its mass
+    evaporates rather than redistributing, the bounded-iteration
+    variant of the standard lost-mass convention, identical on both
+    engines. Fixed ``iters`` (not convergence-tested) keeps the plan
+    static: each round is one edges⋈ranks join + one dst-keyed integer
+    sum — the same key-partitioned shuffle pair any iterative graph
+    algorithm pays, no driver data, no collect.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Materialize (edge, outdeg) once: the list is re-joined EVERY
+    # round, and without truncation the (expensive) upstream graph
+    # build would be recomputed per iteration inside one final plan.
+    # localCheckpoint is the single-process stand-in for the parquet
+    # staging a cluster run would use at the same point; its size is
+    # |E| ≈ k·|V| rows of three longs — the standard materialization
+    # every iterative graph algorithm pays.
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    base = (scale * (100 - damp_pct)) // 100
+    ranks = vertices.select("id", F.lit(scale).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = ed.join(ranks.withColumnRenamed("id", "src"), "src").select(
+            "dst", F.expr("r div outdeg").alias("c")
+        )
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            vertices.join(insum.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("id"), F.col("r").alias("pagerank"))

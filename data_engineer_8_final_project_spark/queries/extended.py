@@ -883,6 +883,69 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_pagerank_oracle(n_cells: int, k: int, iters: int = 3) -> str:
+    """Replays the integer fixed-point PageRank bit-exact: the shared
+    seeded-medoid k-NN CTEs produce the edge list, then each iteration
+    is an integer-only round — contribution = rank // outdeg, next
+    rank = base + (85·Σ) // 100 — so sums are associative and no float
+    order can drift a value on either engine."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    scale = 10**9
+    base = (scale * 15) // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""i{i} AS (
+      SELECT e.dst AS id, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS s
+      FROM edges e JOIN deg d ON d.src = e.src JOIN {prev} r ON r.id = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.id, CAST({base} + (85 * COALESCE(i{i}.s, 0)) // 100 AS BIGINT) AS r
+      FROM {prev} n LEFT JOIN i{i} ON i{i}.id = n.id
+    )"""
+        )
+        prev = f"r{i}"
+    its = ",\n    ".join(rounds)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+    edges AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT vec_id AS id, CAST({scale} AS BIGINT) AS r FROM emb),
+    {its}
+    SELECT id AS vec_id, r AS pagerank FROM {prev}
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "knn_pagerank",
+    oracle=_knn_pagerank_oracle(n_cells=16, k=3, iters=3),
+    survey_ref="extended: PageRank centrality over the k-NN graph (integer fixed-point)",
+    tags=("bench",),
+)
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power-iteration PageRank rounds over the k-NN graph
+    (operators/clusters.pagerank_fixed_point): graph-centrality
+    document scoring — the curation signal ranking 'hub' documents in
+    an embedding neighborhood graph. Integer fixed-point throughout, so
+    the ranks are bit-identical at any shuffle width and under the
+    DuckDB oracle; per round the cost is one edges⋈ranks equi-join and
+    one dst-keyed integer sum."""
+    from ..operators import clusters
+
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"]
+    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    pr = clusters.pagerank_fixed_point(nodes, g, iters=3)
+    return pr.select(F.col("id").alias("vec_id"), "pagerank").orderBy("vec_id")
+
+
 @register(
     "semantic_dedup",
     oracle=_semantic_dedup_oracle(n_cells=16, threshold=0.45),

@@ -123,6 +123,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- driver window boundary (50) ----
     # new in round 7: hierarchical two-level IVF — r8 window head
     "ivf2_ann_topk",
+    # new in round 7: integer fixed-point PageRank — r8 window head
+    "knn_pagerank",
     # -- r5 greens riding the r8 window --
     "events_sliding",
     "events_hourly_gapfill",

@@ -249,3 +249,28 @@ def test_two_level_grouping_is_total_and_self_consistent():
     assert sorted(group) == [c for c, _ in cents]
     assert all(group[p] == p for p in (0, 1, 2))
     assert set(group.values()) <= {0, 1, 2}
+
+
+def test_pagerank_integer_fixed_point_hand_graph(spark):
+    """Hand-checkable 4-vertex graph (1→2, 2→1, 3→1, 4 dangling):
+    replay the integer recurrence in Python and require exact equality
+    — the operator's claim is bit-exactness, so the test asserts bits,
+    not tolerances."""
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    got = {
+        r.vec_id if hasattr(r, "vec_id") else r.id: r.pagerank
+        for r in clusters.pagerank_fixed_point(verts, edges, iters=3).collect()
+    }
+
+    scale, base = 10**9, 150_000_000
+    r = {v: scale for v in (1, 2, 3, 4)}
+    deg = {1: 1, 2: 1, 3: 1}
+    for _ in range(3):
+        s = {v: 0 for v in r}
+        for a, b in [(1, 2), (2, 1), (3, 1)]:
+            s[b] += r[a] // deg[a]
+        r = {v: base + (85 * s[v]) // 100 for v in r}
+    assert got == r, (got, r)
