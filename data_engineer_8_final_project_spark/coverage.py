@@ -119,6 +119,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "similarity-brute-topk": ["query:embedding_topk"],
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
+    "graph-communities": [
+        # deterministic synchronous LPA over the k-NN graph — community
+        # detection with total-order tie-breaks (bit-replayable)
+        "query:knn_communities",
+    ],
     "graph-pagerank": [
         # integer fixed-point PageRank over the k-NN graph — graph
         # centrality scoring with bit-exact, width-invariant ranks

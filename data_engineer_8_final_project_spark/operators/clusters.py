@@ -237,3 +237,49 @@ def pagerank_fixed_point(
             )
         )
     return ranks.select(F.col("id"), F.col("r").alias("pagerank"))
+
+
+def label_propagation_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., 2007) with a
+    deterministic total order — community detection over a similarity
+    graph, fixed-iteration form → (id, community).
+
+    Classic LPA is notoriously nondeterministic (random visit order,
+    random tie-breaks); this form removes every source of drift so a
+    SQL oracle replays it bit-exact: synchronous rounds (all updates
+    read the PREVIOUS round's labels), each vertex adopting the most
+    frequent label among its undirected neighbors with ties broken to
+    the SMALLEST label (the ``max(struct(n, -label))`` idiom — one
+    aggregation, no second window pass), isolated vertices keeping
+    their label. Fixed ``iters`` keeps the plan static; per round one
+    edges⋈labels equi-join + one (dst, label) count + one per-dst
+    max-struct — key-partitioned shuffles only. The undirected edge
+    list materializes once (localCheckpoint — the parquet-staging
+    point of a cluster run, as in :func:`pagerank_fixed_point`).
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select("id", F.col("id").alias("lbl"))
+    for _ in range(iters):
+        nb = (
+            und.join(labels.withColumnRenamed("id", "src").withColumnRenamed("lbl", "nlbl"), "src")
+            .groupBy("dst", "nlbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        win = (
+            nb.groupBy("dst")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("nlbl")).alias("neg"))).alias("m"))
+            .select(F.col("dst").alias("id"), (-F.col("m.neg")).alias("wlbl"))
+        )
+        labels = labels.join(win, "id", "left").select(
+            "id", F.coalesce("wlbl", "lbl").alias("lbl")
+        )
+    return labels.select("id", F.col("lbl").cast("long").alias("community"))

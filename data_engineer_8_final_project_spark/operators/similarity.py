@@ -927,10 +927,18 @@ def knn_triangle_stats(
     caps exactly what a raw co-occurrence graph cannot).
     """
     g = knn_graph(embeddings, n_cells=n_cells, k=k)
+    # Materialize the undirected edge list ONCE: four plan branches
+    # read it (degree + all three triangle-join sides), and without
+    # truncation each branch recomputes the full knn-graph lineage
+    # (quantizer assignment + cell join + rank window) from scratch —
+    # measured ~4.8 s → ~3.2 s at sf0.1. Same staging point as the
+    # pagerank / LPA edge lists.
     und = (
         g.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("v"))

@@ -922,6 +922,73 @@ def _knn_pagerank_oracle(n_cells: int, k: int, iters: int = 3) -> str:
     """
 
 
+def _knn_communities_oracle(n_cells: int, k: int, iters: int = 3) -> str:
+    """Replays the deterministic LPA bit-exact: undirected edges via
+    UNION (dedup), per round most-frequent neighbor label with tie →
+    smallest (ROW_NUMBER n DESC, lbl ASC), isolated vertices keep
+    their label (LEFT JOIN + COALESCE) — pure counting, no floats."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    rounds = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""nb{i} AS (
+      SELECT e.dst AS id, l.lbl, COUNT(*) AS n
+      FROM und e JOIN {prev} l ON l.id = e.src
+      GROUP BY e.dst, l.lbl
+    ),
+    w{i} AS (
+      SELECT id, lbl FROM (
+        SELECT id, lbl,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY n DESC, lbl ASC) AS rn
+        FROM nb{i}) t
+      WHERE rn = 1
+    ),
+    l{i} AS (
+      SELECT p.id, COALESCE(w.lbl, p.lbl) AS lbl
+      FROM {prev} p LEFT JOIN w{i} w ON w.id = p.id
+    )"""
+        )
+        prev = f"l{i}"
+    its = ",\n    ".join(rounds)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+    knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
+    und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM emb),
+    {its}
+    SELECT id AS vec_id, CAST(lbl AS BIGINT) AS community FROM {prev}
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "knn_communities",
+    oracle=_knn_communities_oracle(n_cells=16, k=3, iters=3),
+    survey_ref="extended: community detection over the k-NN graph (deterministic LPA)",
+    tags=("bench",),
+)
+def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities over the k-NN graph
+    (operators/clusters.label_propagation_fixed) — the coarser,
+    density-following cousin of connected components: dup_clusters
+    groups what is TRANSITIVELY linked, LPA groups what is densely
+    linked. Every nondeterminism of classic LPA (visit order, random
+    ties) is replaced by a total order, so the communities are
+    bit-identical at any shuffle width and under the DuckDB oracle."""
+    from ..operators import clusters
+
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"]
+    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    lp = clusters.label_propagation_fixed(nodes, g, iters=3)
+    return lp.select(F.col("id").alias("vec_id"), "community").orderBy("vec_id")
+
+
 @register(
     "knn_pagerank",
     oracle=_knn_pagerank_oracle(n_cells=16, k=3, iters=3),

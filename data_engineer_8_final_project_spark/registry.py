@@ -125,6 +125,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf2_ann_topk",
     # new in round 7: integer fixed-point PageRank — r8 window head
     "knn_pagerank",
+    # new in round 7: deterministic LPA communities — r8 window head
+    "knn_communities",
     # -- r5 greens riding the r8 window --
     "events_sliding",
     "events_hourly_gapfill",

@@ -274,3 +274,39 @@ def test_pagerank_integer_fixed_point_hand_graph(spark):
             s[b] += r[a] // deg[a]
         r = {v: base + (85 * s[v]) // 100 for v in r}
     assert got == r, (got, r)
+
+
+def test_label_propagation_hand_graph_bit_exact(spark):
+    """Two triangles bridged by one edge: replay the synchronous
+    deterministic-LPA recurrence in Python and require exact equality
+    (most-frequent neighbor label, tie → smallest, sync rounds)."""
+    from collections import Counter
+
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    vids = [1, 2, 3, 10, 11, 12]
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    verts = spark.createDataFrame([(v,) for v in vids], "id long")
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.id: r.community
+        for r in clusters.label_propagation_fixed(verts, edges, iters=3).collect()
+    }
+
+    und = {v: set() for v in vids}
+    for a, b in pairs:
+        und[a].add(b)
+        und[b].add(a)
+    lbl = {v: v for v in vids}
+    for _ in range(3):
+        nxt = {}
+        for v in vids:
+            c = Counter(lbl[u] for u in und[v])
+            if c:
+                top = max(c.values())
+                nxt[v] = min(l for l, n in c.items() if n == top)
+            else:
+                nxt[v] = lbl[v]
+        lbl = nxt
+    assert got == lbl, (got, lbl)
+    assert len(set(lbl.values())) == 2  # the bridge does not merge the triangles
