@@ -279,7 +279,15 @@ def label_propagation_fixed(
             .agg(F.max(F.struct(F.col("n"), (-F.col("nlbl")).alias("neg"))).alias("m"))
             .select(F.col("dst").alias("id"), (-F.col("m.neg")).alias("wlbl"))
         )
-        labels = labels.join(win, "id", "left").select(
-            "id", F.coalesce("wlbl", "lbl").alias("lbl")
+        # Each generation references the previous one TWICE (the
+        # neighbor count and the carry-over side), so an unchecked
+        # lineage doubles per round (2^iters input scans — 16 at
+        # iters=3, plan-audited). Materializing the |V|-row label
+        # table per round keeps the plan linear, same pattern as the
+        # two-star generations.
+        labels = (
+            labels.join(win, "id", "left")
+            .select("id", F.coalesce("wlbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
     return labels.select("id", F.col("lbl").cast("long").alias("community"))
