@@ -326,6 +326,97 @@ def _dot_ltr(a: list[float], b: list[float]) -> float:
     return s
 
 
+def _argmin_structs_sql(
+    sub: list[tuple[int, list[float]]], group: dict[int, int] | None = None
+) -> str:
+    """(d2, cell[, pid]) struct array over a literal centroid matrix —
+    ``array_min(...)`` of it is the reduced-d2 argmin. ``group`` adds
+    each cell's parent id for hierarchy-aware probing."""
+    ids = "array(" + ",".join(str(cid) for cid, _ in sub) + ")"
+    mat = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in sub)
+        + ")"
+    )
+    c2 = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in sub) + ")"
+    extra = ""
+    if group is not None:
+        pid_arr = "array(" + ",".join(str(group[cid]) for cid, _ in sub) + ")"
+        extra = f", 'pid', element_at({pid_arr}, i + 1)"
+    return (
+        f"transform(sequence(0, {len(sub) - 1}), i -> named_struct("
+        f"'d2', {_reduced_d2_sql('v', mat, c2)}, "
+        f"'cell', element_at({ids}, i + 1){extra}))"
+    )
+
+
+def two_level_assignment_sql(
+    cents: list[tuple[int, list[float]]], n_parents: int
+) -> str:
+    """Hierarchical cell-assignment expression: argmin over the
+    ``n_parents`` level-1 centroids, then argmin only over that
+    parent's leaves — (n_parents + |group|) dot terms per row instead
+    of len(cents). Same leaf SET as the flat quantizer; the routing
+    (not the cells) is what's approximate.
+
+    Form: the winning parent's leaf matrix / c2 / id arrays are
+    selected from nested literals by the level-1 argmin INDEX, and the
+    index is bound ONCE via a single-element ``transform`` lambda. A
+    per-parent CASE chain computes the same thing but repeats the
+    level-1 argmin subexpression across branches, which trips Spark
+    4's common-expression rewrite at a self-join boundary
+    (order-dependent INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, reproduced
+    running the flat graph then the hierarchical one in one session);
+    the lambda-bound form evaluates each level exactly once and
+    side-steps the rewrite entirely. Parent tie → lower index ≡ lower
+    parent id (parents are vec_id-ascending), leaf tie → lower cell id
+    — identical tie semantics to the flat argmin."""
+    parents = cents[:n_parents]
+    group = two_level_cells(cents, n_parents)
+    pmat = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in pv) + ")" for _, pv in parents)
+        + ")"
+    )
+    pc2 = "array(" + ",".join(_sql_d(_fold_c2(pv)) for _, pv in parents) + ")"
+    p_structs = (
+        f"transform(sequence(0, {len(parents) - 1}), i -> named_struct("
+        f"'d2', {_reduced_d2_sql('v', pmat, pc2)}, 'j', i))"
+    )
+    groups = [
+        [(cid, cv) for cid, cv in cents if group[cid] == pid] for pid, _ in parents
+    ]
+    gmats = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in g)
+            + ")"
+            for g in groups
+        )
+        + ")"
+    )
+    gc2s = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in g) + ")" for g in groups
+        )
+        + ")"
+    )
+    gids = (
+        "array("
+        + ",".join("array(" + ",".join(str(cid) for cid, _ in g) + ")" for g in groups)
+        + ")"
+    )
+    return (
+        f"element_at(transform(array(array_min({p_structs}).j), j -> "
+        f"array_min(transform(element_at({gmats}, j + 1), (cw, i) -> named_struct("
+        f"'d2', -2.0D * aggregate(zip_with(v, cw, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"
+        f" + element_at(element_at({gc2s}, j + 1), i + 1), "
+        f"'cell', element_at(element_at({gids}, j + 1), i + 1)))).cell), 1)"
+    )
+
+
 def two_level_cells(
     cents: list[tuple[int, list[float]]], n_parents: int
 ) -> dict[int, int]:
@@ -403,36 +494,11 @@ def ivf2_topk(
     ]
     parents = cents[:n_parents]
     group = two_level_cells(cents, n_parents)
-
-    def _structs(sub: list[tuple[int, list[float]]], with_pid: bool = False) -> str:
-        ids = "array(" + ",".join(str(cid) for cid, _ in sub) + ")"
-        mat = (
-            "array("
-            + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in sub)
-            + ")"
-        )
-        c2 = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in sub) + ")"
-        extra = ""
-        if with_pid:
-            pid_arr = "array(" + ",".join(str(group[cid]) for cid, _ in sub) + ")"
-            extra = f", 'pid', element_at({pid_arr}, i + 1)"
-        return (
-            f"transform(sequence(0, {len(sub) - 1}), i -> named_struct("
-            f"'d2', {_reduced_d2_sql('v', mat, c2)}, "
-            f"'cell', element_at({ids}, i + 1){extra}))"
-        )
-
-    p_structs = _structs(parents)
-    branches = " ".join(
-        f"WHEN {pid} THEN array_min("
-        + _structs([(cid, cv) for cid, cv in cents if group[cid] == pid])
-        + ").cell"
-        for pid, _ in parents
-    )
-    assigned_cell = F.expr(f"CASE array_min({p_structs}).cell {branches} END")
+    p_structs = _argmin_structs_sql(parents)
+    assigned_cell = F.expr(two_level_assignment_sql(cents, n_parents))
 
     # leaf structs with their parent id, for the query-side level-2 probe
-    l_structs = _structs(cents, with_pid=True)
+    l_structs = _argmin_structs_sql(cents, group=group)
     probe = (
         emb.filter(F.col("vec_id") == query_vec_id)
         .select(
@@ -808,6 +874,7 @@ def knn_graph(
     k: int = 3,
     decimals: int = 6,
     dim: int = 64,
+    n_parents: int | None = None,
 ) -> DataFrame:
     """Batch k-NN graph: every vector's top-``k`` neighbors, cell-blocked.
 
@@ -828,9 +895,20 @@ def knn_graph(
     are bit-replayable by the DuckDB oracle.
     """
     emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    _, structs_sql = seeded_medoid_cells(emb, n_cells)
+    cents, structs_sql = seeded_medoid_cells(emb, n_cells)
+    if n_parents:
+        # hierarchical routing (two_level_assignment_sql): the
+        # assignment term drops from n_cells·dim to
+        # (n_parents + group)·dim per row — the scale path once cell
+        # counts track corpus size past ~1024. Cell contents become
+        # routing-approximate (same leaf set, near-boundary vectors may
+        # land one cell over), so the REGISTERED oracle query keeps the
+        # flat form; this arm is the production knob's companion.
+        cell_expr = two_level_assignment_sql(cents, n_parents)
+    else:
+        cell_expr = f"array_min({structs_sql}).cell"
     assigned = _spread_if_undersplit(emb).withColumn(
-        "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
+        "cell", F.expr(cell_expr).cast("long")
     )
     a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
     b = assigned.select("cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb"))

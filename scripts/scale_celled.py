@@ -31,8 +31,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from data_engineer_8_final_project_spark import catalog  # noqa: E402
-from data_engineer_8_final_project_spark.operators import similarity  # noqa: E402
+from data_engineer_8_final_project_spark.operators import clusters, similarity  # noqa: E402
 from data_engineer_8_final_project_spark.session import get_spark  # noqa: E402
 
 
@@ -58,6 +60,19 @@ def main() -> None:
                 emb, n_cells=n_cells, threshold=0.45).count()),
             ("knn_graph", lambda: similarity.knn_graph(
                 emb, n_cells=n_cells, k=3).count()),
+            # the round-7 graph consumers: at fixed cells they inherit
+            # the pair-stage quadratic via the knn build; cells-scaled
+            # they ride its linear form plus their own per-round joins
+            ("knn_triangle_stats", lambda: similarity.knn_triangle_stats(
+                emb, n_cells=n_cells, k=3).count()),
+            ("knn_pagerank", lambda: clusters.pagerank_fixed_point(
+                emb.select(F.col("vec_id").alias("id")),
+                similarity.knn_graph(emb, n_cells=n_cells, k=3).select("src", "dst"),
+                iters=3).count()),
+            ("knn_communities", lambda: clusters.label_propagation_fixed(
+                emb.select(F.col("vec_id").alias("id")),
+                similarity.knn_graph(emb, n_cells=n_cells, k=3).select("src", "dst"),
+                iters=3).count()),
         ):
             ts = []
             for _ in range(args.reps):

@@ -310,3 +310,21 @@ def test_label_propagation_hand_graph_bit_exact(spark):
         lbl = nxt
     assert got == lbl, (got, lbl)
     assert len(set(lbl.values())) == 2  # the bridge does not merge the triangles
+
+
+def test_knn_graph_two_level_routing_close_to_flat(spark, sf_dir):
+    """The hierarchical-assignment arm must produce the same graph
+    shape (k rows per vector) and agree with flat routing on the
+    overwhelming majority of edges — only near-boundary vectors may
+    land one cell over. Pins the CASE-routing wiring without claiming
+    bit-equality the approximation doesn't promise."""
+    from data_engineer_8_final_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flat = similarity.knn_graph(emb, n_cells=16, k=3).toPandas()
+    two = similarity.knn_graph(emb, n_cells=16, k=3, n_parents=4).toPandas()
+    assert len(two) == len(flat)
+    fe = set(map(tuple, flat[["src", "dst"]].values.tolist()))
+    te = set(map(tuple, two[["src", "dst"]].values.tolist()))
+    agree = len(fe & te) / len(fe)
+    assert agree >= 0.9, f"edge agreement {agree:.2f} < 0.9"
