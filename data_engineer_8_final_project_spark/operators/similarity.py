@@ -363,12 +363,14 @@ def two_level_assignment_sql(
     selected from nested literals by the level-1 argmin INDEX, and the
     index is bound ONCE via a single-element ``transform`` lambda. A
     per-parent CASE chain computes the same thing but repeats the
-    level-1 argmin subexpression across branches, which trips Spark
-    4's common-expression rewrite at a self-join boundary
-    (order-dependent INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, reproduced
-    running the flat graph then the hierarchical one in one session);
-    the lambda-bound form evaluates each level exactly once and
-    side-steps the rewrite entirely. Parent tie → lower index ≡ lower
+    level-1 argmin subexpression across branches; the lambda-bound
+    form evaluates each level exactly once, which is both smaller and
+    cheaper. NOTE: the lambda form does NOT immunize a downstream
+    self-join against Spark 4's common-expression rewrite bug
+    (order-dependent INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on
+    schema-inferred inputs — the flat argmin trips it too); consumers
+    must self-join through the subquery-alias form
+    (:func:`_cell_self_join`). Parent tie → lower index ≡ lower
     parent id (parents are vec_id-ascending), leaf tie → lower cell id
     — identical tie semantics to the flat argmin."""
     parents = cents[:n_parents]
@@ -476,13 +478,16 @@ def ivf2_topk(
     left-to-right IEEE sums, replayable in SQL.
 
     Plan shape: both levels are literal-matrix expressions — level 1
-    an ``array_min(transform(...))`` over the parent matrix, level 2 a
-    lazily-evaluated CASE branch per parent over only that group's
-    matrix (codegen evaluates the matched branch, so the saving is
-    real per row, not just symbolic). Zero joins / zero shuffles for
-    assignment; probing mirrors :func:`ivf_topk` (level-1 probe of
-    ``n_probe_l1`` parents, then ``n_probe`` leaves within them,
-    broadcast to the scan).
+    an ``array_min(transform(...))`` over the parent matrix, level 2
+    the lambda-bound nested-literal selection of
+    :func:`two_level_assignment_sql`: the level-1 argmin index picks
+    the winning parent's leaf matrix out of a nested literal via a
+    single-element ``transform`` lambda, so only that group's dots are
+    evaluated per row (the saving is real per row, not just
+    symbolic). Zero joins / zero shuffles for assignment; probing
+    mirrors :func:`ivf_topk` (level-1 probe of ``n_probe_l1``
+    parents, then ``n_probe`` leaves within them, broadcast to the
+    scan).
     """
     emb = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
@@ -837,6 +842,41 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     return df
 
 
+def _cell_self_join(assigned: DataFrame, a_names: list[str], b_names: list[str]) -> DataFrame:
+    """Cell-keyed self-join of the ``(vec_id, v, cell)`` assignment
+    frame, built the ONE way that survives Spark 4's attribute-rewrite
+    bug: ``df.alias("a").join(df.alias("b"), a.cell == b.cell)`` with
+    qualifier-resolved columns.
+
+    Self-joining this frame through per-side ALIASING PROJECTIONS
+    (``select(col("v").alias("va"))`` / ``toDF``) dies at runtime with
+    ``INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND`` when the input is a
+    schema-inferred ``read.parquet`` (nullable array elements widen the
+    unrolled cosine tree; the collapse of the rename projection into
+    the deduplicated relation then loses the substitution). Verified
+    empirically against every staging variant — eager/lazy
+    ``localCheckpoint``, even two INDEPENDENT checkpoints, all still
+    crash; only the subquery-alias form binds correctly (repro:
+    tests/test_extended_ops.py::test_knn_graph_inferred_schema_read).
+    The explicit-schema catalog path never trips it, but operators
+    must accept any legal frame.
+
+    ``a_names``/``b_names`` rename ``(vec_id, v)`` per side; ``cell``
+    is kept once. Each side re-evaluates the assignment expression —
+    the same cost shape the r7 driver-green plans had; at cluster
+    scale the staging point is writing the assigned table to parquet
+    and self-joining THAT, not an in-plan checkpoint.
+    """
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return a.join(b, F.col("a.cell") == F.col("b.cell")).select(
+        F.col("a.cell").alias("cell"),
+        F.col("a.vec_id").alias(a_names[0]),
+        F.col("a.v").alias(a_names[1]),
+        F.col("b.vec_id").alias(b_names[0]),
+        F.col("b.v").alias(b_names[1]),
+    )
+
+
 def seeded_medoid_cells(emb: DataFrame, n_cells: int) -> tuple[list, str]:
     """Shared IVF-style coarse quantizer: ``(cents, structs_sql)``.
 
@@ -888,7 +928,10 @@ def knn_graph(
     corpus growth to trade per-task O((n/cells)²) work against recall.
 
     Plan: zero-shuffle literal-centroid assignment → one cell-keyed
-    equi-join (each vector rides the exchange once per side) → one
+    self-join via :func:`_cell_self_join` (the subquery-alias form —
+    the one formulation immune to the Spark 4 self-join
+    attribute-rewrite bug; each vector rides the exchange once per
+    side) → one
     src-keyed window for the per-vector top-k (row_number over
     |cell-pairs| rows, partition count = corpus size — no global
     window). Ranking happens on the ROUNDED cosine so rank boundaries
@@ -910,11 +953,9 @@ def knn_graph(
     assigned = _spread_if_undersplit(emb).withColumn(
         "cell", F.expr(cell_expr).cast("long")
     )
-    a = assigned.select("cell", F.col("vec_id").alias("src"), F.col("v").alias("va"))
-    b = assigned.select("cell", F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
-        a.join(b, "cell")
+        _cell_self_join(assigned, ["src", "va"], ["dst", "vb"])
         .filter(F.col("src") != F.col("dst"))
         .withColumn("cosine", F.round(cosine_sql("va", "vb", dim), decimals))
         .withColumn("nn_rank", F.row_number().over(w).cast("long"))
@@ -965,10 +1006,8 @@ def semantic_dedup_verdicts(
     assigned = _spread_if_undersplit(emb).withColumn(
         "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
     )
-    a = assigned.select("cell", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cell", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     dropped = (
-        a.join(b, "cell")
+        _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.round(cosine_sql("va", "vb", dim), decimals) >= threshold)
         .select(F.col("id_b").alias("vec_id"))

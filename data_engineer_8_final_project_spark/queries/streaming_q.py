@@ -16,6 +16,10 @@ from ..registry import register, tables_for
 from ..streaming import events as ev
 from .flagship import STANDINGS_ORACLE
 
+#: Funnel stage dirs already scheduled for atexit removal (one
+#: registration per (process, stage); the dirs are pid-scoped).
+_FUNNEL_STAGES: set[str] = set()
+
 HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
@@ -876,6 +880,7 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     each batch is sorted inside the update function. State = one
     4-long row per user; update-mode emissions finalize to the batch
     shape by last-emission-per-user."""
+    import atexit
     import datetime as dt
     import hashlib
     import os
@@ -898,6 +903,13 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"spark_graft_funnel_{key}")
     done = os.path.join(stage, "_staged_ok")
+    # pid-scoping means no other process ever reuses this dir, so it
+    # would leak one copy of events.parquet per process without an
+    # atexit reap (advisor finding, round 7). Registered once per
+    # (process, stage) — re-runs in the same process reuse the dir.
+    if stage not in _FUNNEL_STAGES:
+        _FUNNEL_STAGES.add(stage)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
     if not os.path.exists(done):
         batch = spark.read.schema(EVENTS).parquet(src)
         lo, hi = batch.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: two scalars

@@ -58,76 +58,21 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-7 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r6 items 1 and 7): the r6 window went 50/50
-    # green and rotates to the tail; the 21 late-r6 additions that have
-    # never had a driver row take the head (converting their local
-    # strict-verification into driver proof), followed by the 17
-    # queries whose newest green is still r4 (html extract, the two
-    # stream/json widenings, the 14 TPC-H shapes), and 12 r5 greens --
-    # oldest-evidence-first, including jaccard_near_dup whose r6 bench
-    # drift is under adjudication this round.
-    # -- never driver-verified (late r6) (21) --
-    "dup_cluster_representatives",
-    "semantic_dedup",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "knn_graph",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "knn_label_vote",
-    "session_path_topk",
-    "semantic_decontamination",
-    "event_funnel_stream",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "knn_triangle_stats",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
-    # -- newest green row is r4 -> refresh evidence (17) --
-    "html_matches_extract",
-    "events_by_segment_stream",
-    "events_json_extract",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    # -- r5 greens, oldest useful evidence (12) --
-    "jaccard_near_dup",
-    "dup_span_stats",
-    "order_chains_recursive",
-    "events_props_variant",
-    "dedup_exact",
-    "lsh_near_dup_pairs",
-    "ann_lsh_topk",
-    "full_outer_coalesce",
-    "scalar_cleaning_suite",
-    "embedding_topk",
-    "label_centroids",
-    "events_hourly",
-    # ---- driver window boundary (50) ----
-    # new in round 7: hierarchical two-level IVF — r8 window head
+    # ---- Round-8 window (first 50; the driver verifies only these). ----
+    # Rotation (VERDICT r7 items 2 and 7): the r7 window went 50/50
+    # green and rotates to the tail. Head: the 3 round-7 additions that
+    # landed after the r7 window was pinned (locally strict-verified
+    # twice -- by the builder and by the judge -- but never
+    # driver-verified), then the 38 queries whose newest green is r5
+    # (the whole remaining r5 cohort: post-r8, no registered query's
+    # newest green is older than r6), then 9 oldest-r6 greens to fill
+    # the window. New round-8 queries go at the head and displace
+    # r6-green refreshes (those have the freshest remaining evidence).
+    # -- never driver-verified (late r7) (3) --
     "ivf2_ann_topk",
-    # new in round 7: integer fixed-point PageRank — r8 window head
     "knn_pagerank",
-    # new in round 7: deterministic LPA communities — r8 window head
     "knn_communities",
-    # -- r5 greens riding the r8 window --
+    # -- newest green row is r5 -> refresh evidence (38) --
     "events_sliding",
     "events_hourly_gapfill",
     "latest_event_snapshot",
@@ -166,7 +111,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation",
     "distinct_customers_salted",
     "returned_items",
-    # -- r6 window, 50/50 green: freshest evidence in the repo --
+    # -- oldest r6 greens filling the window (9) --
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",
@@ -176,6 +121,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_normalize",
     "doc_fingerprints",
     "cube_flag_status",
+    # ---- driver window boundary (50) ----
+    # -- r6 greens awaiting their next refresh --
     "part_price_rank",
     "order_gaps_lag",
     "group_count",
@@ -217,6 +164,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_ann_topk",
     "reference_standings",
     "matches_clean",
+    # -- r7 window, 50/50 green: freshest evidence in the repo --
+    "dup_cluster_representatives",
+    "semantic_dedup",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "knn_graph",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "knn_label_vote",
+    "session_path_topk",
+    "semantic_decontamination",
+    "event_funnel_stream",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "knn_triangle_stats",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
+    "html_matches_extract",
+    "events_by_segment_stream",
+    "events_json_extract",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "jaccard_near_dup",
+    "dup_span_stats",
+    "order_chains_recursive",
+    "events_props_variant",
+    "dedup_exact",
+    "lsh_near_dup_pairs",
+    "ann_lsh_topk",
+    "full_outer_coalesce",
+    "scalar_cleaning_suite",
+    "embedding_topk",
+    "label_centroids",
+    "events_hourly",
 )
 
 def all_queries() -> dict[str, Query]:

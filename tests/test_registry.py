@@ -14,51 +14,54 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-7 rotation (VERDICT r6 items 1+7): the 21 late-r6 queries that
-#: have never had a driver CORRECTNESS row, plus the 17 queries whose
-#: newest green is still r4 (older than every other evidence in the
-#: repo).
+#: Round-8 rotation (VERDICT r7 items 2+7): the 3 round-7 additions
+#: that have never had a driver CORRECTNESS row, plus the 38 queries
+#: whose newest green is still r5 (the oldest evidence in the repo --
+#: post-r8, no registered query's newest green is older than r6).
 MUST_BE_IN_WINDOW = {
-    # never driver-verified (late r6)
-    "dup_cluster_representatives",
-    "semantic_dedup",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "knn_graph",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "knn_label_vote",
-    "session_path_topk",
-    "semantic_decontamination",
-    "event_funnel_stream",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "knn_triangle_stats",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
-    # newest green row is r4 — refresh
-    "html_matches_extract",
-    "events_by_segment_stream",
-    "events_json_extract",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
+    # never driver-verified (late r7)
+    "ivf2_ann_topk",
+    "knn_pagerank",
+    "knn_communities",
+    # newest green row is r5
+    "events_sliding",
+    "events_hourly_gapfill",
+    "latest_event_snapshot",
+    "events_trailing_hour_window",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "events_session_stream",
+    "events_time_rollup",
+    "event_sessions",
+    "purchases_in_sessions",
+    "clicks_last_error",
+    "user_totals_stateful",
+    "view_click_stream_join",
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
+    "standings_stream",
+    "embedding_near_dup_pairs",
+    "text_stats_by_lang",
+    "doc_quality_scores",
+    "token_topk",
+    "bpe_token_topk",
+    "lang_id_heuristic",
+    "doc_winnow_fingerprints",
+    "corpus_clean_pipeline",
+    "doc_repetition_scores",
+    "stratified_sample",
+    "media_manifest",
+    "media_features",
+    "media_frame_sample",
+    "pricing_summary",
+    "shipping_priority",
+    "customers_without_orders",
+    "high_value_customers_semi",
+    "top_customers_per_nation",
+    "rollup_region_nation",
+    "distinct_customers_salted",
+    "returned_items",
 }
 
 
