@@ -1,0 +1,89 @@
+"""Ordered conversion funnel (view → click → purchase) with a
+planner-level batch/stream dispatch.
+
+Two physical strategies compute the identical funnel table:
+
+- :func:`batch_funnel` — three user-keyed min-aggregations chained by
+  two equi-joins. Every shuffle is on ``user_id`` (one co-partitioned
+  key end to end), aggregates collapse before each join, and per-stage
+  frames shrink monotonically. Measured 0.74x wall at 64x events —
+  the right plan whenever the input is bounded.
+- ``streaming.stateful.user_funnel_stream`` — GroupState min-chaining
+  that survives micro-batch boundaries. Costs ≈9x at 64x (GroupState
+  scales with touched-keys-per-batch), which is the price of
+  incremental emission over an UNBOUNDED stream — the only regime
+  that needs it.
+
+:func:`funnel` is the dispatch: a bounded frame gets the batch plan, a
+streaming frame gets the stateful twin. The registered
+``event_funnel_stream`` query deliberately pins the streaming arm (its
+driver row is the evidence the GroupState path works); production
+callers replaying a BOUNDED event log should call :func:`funnel` and
+let it pick the 12x-cheaper batch plan (VERDICT r7 item 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def batch_funnel(events: DataFrame) -> DataFrame:
+    """Min-chained funnel over a bounded ``(user_id, event_type, ts)``
+    frame: each stage is the first qualifying event STRICTLY AFTER the
+    previous stage; ``funnel_stage`` = deepest stage reached.
+
+    Identical semantics (and registered oracle) as the streaming twin
+    finalized by ``finalize_funnel`` — tests pin row-for-row equality.
+    """
+    e = events.select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_ts",
+            "first_click_ts",
+            "first_purchase_ts",
+            (
+                F.lit(1)
+                + F.col("first_click_ts").isNotNull().cast("int")
+                + F.col("first_purchase_ts").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("funnel_stage"),
+        )
+    )
+
+
+def funnel(events: DataFrame) -> DataFrame:
+    """Strategy dispatch: bounded replay → :func:`batch_funnel`;
+    unbounded stream → the GroupState twin (caller runs the sink and
+    ``finalize_funnel`` as usual — a streaming frame can't be
+    finalized here because the last-emission-per-user collapse needs
+    the completed sink).
+    """
+    if events.isStreaming:
+        from ..streaming.stateful import user_funnel_stream
+
+        return user_funnel_stream(events)
+    return batch_funnel(events)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.funnel import batch_funnel
 from ..registry import register, tables_for
 from ..streaming import events as ev
 from .flagship import STANDINGS_ORACLE
@@ -697,51 +698,17 @@ EVENT_FUNNEL_ORACLE = """
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel with the order constraint: each
     stage is the first qualifying event strictly after the previous
-    stage. Three user-keyed min-aggregations chained by two equi-joins —
-    every shuffle is on user_id (one co-partitioned key end to end, so
-    AQE can reuse the exchange), aggregates collapse before each join,
-    and nothing is windowed. At 100 TB this is the textbook shape:
-    per-stage frames shrink monotonically (stage n+1 scans only stage-n
-    completers)."""
+    stage (operators/funnel.batch_funnel). Three user-keyed
+    min-aggregations chained by two equi-joins — every shuffle is on
+    user_id (one co-partitioned key end to end, so AQE can reuse the
+    exchange), aggregates collapse before each join, and nothing is
+    windowed. At 100 TB this is the textbook shape: per-stage frames
+    shrink monotonically (stage n+1 scans only stage-n completers).
+    This batch plan is what operators/funnel.funnel dispatches every
+    BOUNDED input to (0.74x wall at 64x events, vs ≈9x for the
+    GroupState twin)."""
     t = tables_for(spark, sf_dir)
-    e = t["events"].select("user_id", "event_type", "ts")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view_ts"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("first_view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_click_ts"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("first_click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase_ts"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "first_view_ts",
-            "first_click_ts",
-            "first_purchase_ts",
-            (
-                F.lit(1)
-                + F.col("first_click_ts").isNotNull().cast("int")
-                + F.col("first_purchase_ts").isNotNull().cast("int")
-            )
-            .cast("long")
-            .alias("funnel_stage"),
-        )
-        .orderBy("user_id")
-    )
+    return batch_funnel(t["events"]).orderBy("user_id")
 
 
 @register(
@@ -879,7 +846,14 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — the file source feeds micro-batches in mtime order) and
     each batch is sorted inside the update function. State = one
     4-long row per user; update-mode emissions finalize to the batch
-    shape by last-emission-per-user."""
+    shape by last-emission-per-user.
+
+    This query PINS the streaming arm on purpose — its driver row is
+    the evidence the GroupState path works. It is not the plan a
+    bounded replay should get: ``operators/funnel.funnel`` is the
+    planner-level dispatch (bounded → batch min-chaining at 0.74x of
+    64x; streaming frame → this stateful twin), and production callers
+    go through it."""
     import atexit
     import datetime as dt
     import hashlib

@@ -376,3 +376,73 @@ def test_knn_graph_two_level_routing_matches_flat_on_separated_cells(spark):
     fe = set(map(tuple, flat[["src", "dst"]].values.tolist()))
     te = set(map(tuple, two[["src", "dst"]].values.tolist()))
     assert fe == te, f"edge agreement {len(fe & te) / len(fe):.2f} < 1.0"
+
+
+def test_pagerank_until_stable_matches_python_replay(spark):
+    """Converged mode (VERDICT r7 item 9): iterate until the integer
+    max-|Δrank| probe falls under tol_units. Replayed exactly in
+    Python with the same stop rule — bit equality, and the round count
+    must be data-driven (15 rounds at tol 1e8 on this cycle), not the
+    max_iters cap."""
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    verts = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    got = {
+        r.id: r.pagerank
+        for r in clusters.pagerank_fixed_point(
+            verts, edges, until_stable=True, max_iters=30, tol_units=10**8
+        ).collect()
+    }
+
+    scale, base = 10**9, 150_000_000
+    r = {v: scale for v in (1, 2, 3, 4)}
+    deg = {1: 1, 2: 1, 3: 1}
+    for i in range(30):
+        s = {v: 0 for v in r}
+        for a, b in [(1, 2), (2, 1), (3, 1)]:
+            s[b] += r[a] // deg[a]
+        new = {v: base + (85 * s[v]) // 100 for v in r}
+        d = max(abs(new[v] - r[v]) for v in r)
+        r = new
+        if d <= 10**8:
+            break
+    assert i + 1 == 15  # converged, not capped
+    assert got == r, (got, r)
+
+
+def test_label_propagation_until_stable_matches_python_replay(spark):
+    """Converged LPA: exact label stability (discrete labels — no
+    tolerance), replayed in Python; the bridge-of-triangles graph
+    stabilizes in 4 rounds, inside the cap."""
+    from collections import Counter
+
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    vids = [1, 2, 3, 10, 11, 12]
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    verts = spark.createDataFrame([(v,) for v in vids], "id long")
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.id: r.community
+        for r in clusters.label_propagation_fixed(
+            verts, edges, until_stable=True, max_iters=10
+        ).collect()
+    }
+
+    und = {v: set() for v in vids}
+    for a, b in pairs:
+        und[a].add(b)
+        und[b].add(a)
+    lbl = {v: v for v in vids}
+    for _ in range(10):
+        nxt = {}
+        for v in vids:
+            c = Counter(lbl[u] for u in und[v])
+            top = max(c.values())
+            nxt[v] = min(l for l, n in c.items() if n == top)
+        if nxt == lbl:
+            break
+        lbl = nxt
+    assert got == lbl, (got, lbl)
+    assert len(set(lbl.values())) == 2
