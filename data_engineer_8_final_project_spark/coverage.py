@@ -135,6 +135,21 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:ivf2_ann_topk",
     ],
     "similarity-ann-pq": ["query:pq_adc_topk"],
+    "similarity-hard-negatives": [
+        # contrastive hard-negative mining: top-k cross-label cell-local
+        # neighbors (the "looks alike, isn't" pair generator) — new r8
+        "query:hard_negative_mining",
+    ],
+    "sampling-token-budget": [
+        # per-source quality-ordered prefix under an integer token
+        # budget — the mixture-construction step above the samplers
+        "query:token_budget_pack",
+    ],
+    "diagnostics-source-overlap": [
+        # cross-source distinct-shingle overlap matrix — the
+        # contamination diagnostic run before mixing sources
+        "query:source_overlap_matrix",
+    ],
     "dedup-canonical-selection": ["query:dup_cluster_representatives"],
     "decontamination-semantic": [
         # embedding-similarity train/test decontamination — catches the

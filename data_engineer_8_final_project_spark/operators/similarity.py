@@ -1021,6 +1021,52 @@ def semantic_dedup_verdicts(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    k: int = 1,
+    decimals: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    top-``k`` most-similar CELL-LOCAL neighbors with a DIFFERENT label
+    — the "looks alike, isn't" pairs a contrastive or reranker
+    objective wants as negatives (high-cosine, cross-class).
+
+    Same scale shape as :func:`knn_graph` (one literal-centroid
+    assignment, one cell-keyed self-join through the subquery-alias
+    form, one src-keyed window), with the label inequality applied
+    BEFORE the window so within-class pairs never rank. Ranking on the
+    ROUNDED cosine keeps every rank boundary oracle-replayable.
+
+    Returns (src, src_label, neg_rank, dst, dst_label, cosine).
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    _, structs_sql = seeded_medoid_cells(emb, n_cells)
+    assigned = _spread_if_undersplit(emb).withColumn(
+        "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(b, F.col("a.cell") == F.col("b.cell")).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("a.label").alias("src_label"),
+        F.col("a.v").alias("va"),
+        F.col("b.vec_id").alias("dst"),
+        F.col("b.label").alias("dst_label"),
+        F.col("b.v").alias("vb"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        pairs.filter(F.col("src_label") != F.col("dst_label"))
+        .withColumn("cosine", F.round(cosine_sql("va", "vb", dim), decimals))
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= k)
+        .select("src", "src_label", "neg_rank", "dst", "dst_label", "cosine")
+    )
+
+
 def knn_triangle_stats(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import clusters, dedup, sampling, text
@@ -850,4 +850,173 @@ def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "weight", F.round("k", 6).alias("sample_key"))
         .orderBy("source", F.desc("sample_key"), "doc_id")
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    -- Contrastive hard negatives: each vector's most-similar
+    -- CELL-LOCAL neighbor with a DIFFERENT label (the "looks alike,
+    -- isn't" pair a contrastive objective wants). Same seeded-medoid
+    -- assignment + within-cell pairs as the knn-graph oracle, with
+    -- the label inequality replacing src<>dst (one label per vector,
+    -- so it subsumes it); rank on the ROUNDED cosine keeps boundaries
+    -- bit-replayable. (src, neg_rank) is unique -> tiebreak-complete.
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT 16),
+    asg AS (
+      SELECT vec_id, v, label, cell FROM (
+        SELECT e.vec_id, e.v, e.label, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -2*list_dot_product(e.v, c.cv)
+                          + list_dot_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, a.label AS src_label,
+             b.vec_id AS dst, b.label AS dst_label,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.label <> b.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM pairs
+    )
+    SELECT src, src_label, CAST(rnk AS BIGINT) AS neg_rank,
+           dst, dst_label, cosine
+    FROM ranked WHERE rnk <= 1
+    ORDER BY src, neg_rank
+    """,
+    survey_ref="extended: contrastive hard-negative mining (cell-blocked cross-label ANN)",
+    tags=("bench",),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 cross-label neighbor per vector
+    (operators/similarity.hard_negatives): the mining pass that turns
+    an embedded corpus into contrastive training pairs. Cell-blocked
+    like every pair stage in the engine — n_cells is the scale knob,
+    no all-pairs join exists."""
+    from ..operators import similarity
+
+    t = tables_for(spark, sf_dir)
+    return similarity.hard_negatives(t["embeddings"], n_cells=16, k=1).orderBy(
+        "src", "neg_rank"
+    )
+
+
+@register(
+    "token_budget_pack",
+    oracle="""
+    -- Per-source token-budget curriculum pack: order each source's
+    -- docs by type-token-ratio quality (DESC, doc_id tiebreak), keep
+    -- the prefix whose running token total fits the budget (300).
+    -- The ratio is ROUND(.., 4) on both sides, the running SUM is
+    -- integer, and (source, ttr DESC, doc_id) is a total order ->
+    -- the kept set and cum_tokens are bit-replayable.
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             ROUND(len(list_distinct(string_split(trim(text), ' ')))
+                   / len(string_split(trim(text), ' ')), 4) AS ttr
+      FROM documents
+    ),
+    packed AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY ttr DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT source, doc_id, n_tokens, ttr, cum_tokens
+    FROM packed WHERE cum_tokens <= 300
+    ORDER BY source, cum_tokens
+    """,
+    survey_ref="extended: per-source token-budget pack (quality-ordered prefix under budget)",
+)
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a per-source token budget —
+    the mixture-construction step that turns per-source quality scores
+    into a bounded training slice. One source-keyed window (sort by
+    rounded type-token-ratio DESC, doc_id ASC) carrying an integer
+    running sum; the budget predicate on the running sum keeps the
+    highest-quality prefix. Scale shape: the only shuffle is the
+    source-keyed window — at 100 TB sources are range-partitioned and
+    each partition's pack is independent."""
+    t = tables_for(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("ttr"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = t["documents"].select(
+        "source",
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.round(
+            text.distinct_token_count("text") / text.token_count("text"), 4
+        ).alias("ttr"),
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 300)
+        .select("source", "doc_id", "n_tokens", "ttr", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    -- Cross-source contamination matrix: for each source pair (a<b),
+    -- the number of DISTINCT 3-token shingles present in both — the
+    -- corpus-level overlap diagnostic run before mixing sources into
+    -- a training set (exact-text overlap is zero on this fixture;
+    -- shingle overlap is the graded signal).
+    WITH toks AS (
+      SELECT source, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_ref="extended: cross-source shingle-overlap matrix (contamination diagnostic)",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|shingles(a) ∩ shingles(b)| for every source pair: explode the
+    3-token shingles (the same zip_with builder as the MinHash tiers),
+    collapse to DISTINCT (source, shingle) FIRST (the dedup-before-join
+    rule — posting lists, not raw occurrences, ride the exchange),
+    then count pair hits through one shingle-keyed equi-join. Scale
+    shape: the join key is the shingle (uniform md5-like spread), the
+    output is |sources|² rows — tiny; no cross join of sources exists.
+    At 100 TB add a max_df cap on hot shingles exactly as the LSH
+    posting lists do."""
+    t = tables_for(spark, sf_dir)
+    sh = (
+        t["documents"]
+        .select("source", F.explode(text.shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .orderBy("source_a", "source_b")
     )

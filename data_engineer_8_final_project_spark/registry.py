@@ -65,9 +65,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # twice -- by the builder and by the judge -- but never
     # driver-verified), then the 38 queries whose newest green is r5
     # (the whole remaining r5 cohort: post-r8, no registered query's
-    # newest green is older than r6), then 9 oldest-r6 greens to fill
-    # the window. New round-8 queries go at the head and displace
-    # r6-green refreshes (those have the freshest remaining evidence).
+    # newest green is older than r6), then the oldest r6 greens to
+    # fill the window. The 3 new round-8 queries take the very head,
+    # displacing three r6-green refreshes (those have the freshest
+    # remaining evidence).
+    # -- new in round 8: never verified anywhere but locally --
+    "hard_negative_mining",
+    "token_budget_pack",
+    "source_overlap_matrix",
     # -- never driver-verified (late r7) (3) --
     "ivf2_ann_topk",
     "knn_pagerank",
@@ -118,10 +123,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "price_quantiles",
     "pivot_qty_by_status",
     "unpivot_order_metrics",
+    # ---- driver window boundary (50) ----
     "text_normalize",
     "doc_fingerprints",
     "cube_flag_status",
-    # ---- driver window boundary (50) ----
     # -- r6 greens awaiting their next refresh --
     "part_price_rank",
     "order_gaps_lag",
