@@ -147,8 +147,15 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     ],
     "diagnostics-source-overlap": [
         # cross-source distinct-shingle overlap matrix — the
-        # contamination diagnostic run before mixing sources
+        # contamination diagnostic run before mixing sources; the
+        # MinHash sketch twin is the one-pass 100 TB screen
         "query:source_overlap_matrix",
+        "query:source_minhash_similarity",
+    ],
+    "diagnostics-dup-rate": [
+        # per-source near-dup participation rate — the dedup health
+        # rollup a curation dashboard reports
+        "query:near_dup_rate_by_source",
     ],
     "dedup-canonical-selection": ["query:dup_cluster_representatives"],
     "decontamination-semantic": [

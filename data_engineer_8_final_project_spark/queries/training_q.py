@@ -1020,3 +1020,181 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .orderBy("source_a", "source_b")
     )
+
+
+def _source_minhash_oracle(num_hashes: int = 24) -> str:
+    """Replays the per-source MinHash sketch comparison value-exact:
+    the same md5 shingle hash, affine permutation literals
+    (dedup.minhash_coeffs), source-level DISTINCT shingle sets, and
+    matching-component estimator as the doc-level native tier."""
+    p = dedup.MINHASH_PRIME
+    coeffs = dedup.minhash_coeffs(num_hashes)
+    mins = ",\n             ".join(
+        f"MIN((hv * {a} + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    h AS (
+      SELECT source,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT source,
+             {mins}
+      FROM h GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(({matches}) / {num_hashes}.0, 4) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    ORDER BY source_a, source_b
+    """
+
+
+@register(
+    "source_minhash_similarity",
+    oracle=_source_minhash_oracle(),
+    survey_ref="extended: per-source MinHash sketch similarity (the 100 TB overlap path)",
+)
+def q_source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path twin of source_overlap_matrix: each source collapses
+    to a k=24 MinHash signature (min over the source's DISTINCT shingle
+    hashes per affine permutation — one shuffle on source), and pair
+    similarity is the matching-component Jaccard estimator. At 100 TB
+    the exact matrix's shingle join scans every posting; the sketch
+    needs ONE pass + |sources| fixed-width rows — the estimator is the
+    production screen, the exact matrix the audit. Pair generation is
+    the bounded collect_list + pair-explode idiom (|sources| rows, one
+    struct array — never a cartesian join)."""
+    t = tables_for(spark, sf_dir)
+    num_hashes = 24
+    p = dedup.MINHASH_PRIME
+    sh = (
+        t["documents"]
+        .select("source", F.explode(text.shingles("text", 3)).alias("shingle"))
+        .distinct()
+    )
+    hv = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % p
+    sig = (
+        sh.select("source", hv.alias("hv"))
+        .groupBy("source")
+        .agg(
+            *[
+                F.min((F.col("hv") * F.lit(a) + F.lit(b)) % p).alias(f"m{i}")
+                for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
+            ]
+        )
+    )
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
+    one = sig.select(F.struct(F.col("source"), sig_arr.alias("sig")).alias("s")).agg(
+        F.array_sort(F.collect_list("s")).alias("ss")
+    )
+    pairs = one.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (a, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), b -> struct("
+                "a.source AS source_a, b.source AS source_b, "
+                "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))"
+                " AS matches))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(F.col("matches") / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+    ).orderBy("source_a", "source_b")
+
+
+@register(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    -- Per-source near-duplication rate: fraction of each source's
+    -- docs that participate in at least one Jaccard>=0.3 near-dup
+    -- pair (the corpus-health dashboard number a dedup pass reports).
+    -- Same banded candidate CTEs as jaccard_near_dup.
+    WITH toks AS (
+      SELECT doc_id, {{T}} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({{SH}})) AS sh FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT sh.doc_id, sh.sh FROM sh
+      JOIN (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh) d
+        ON sh.sh = d.s2 AND d.df <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        JOIN sizes na ON pairs.doc_a = na.doc_id
+        JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        WHERE ROUND(shared / (na.n_sh + nb.n_sh - shared), 4) >= 0.3
+        UNION ALL
+        SELECT doc_b FROM pairs
+        JOIN sizes na ON pairs.doc_a = na.doc_id
+        JOIN sizes nb ON pairs.doc_b = nb.doc_id
+        WHERE ROUND(shared / (na.n_sh + nb.n_sh - shared), 4) >= 0.3)
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (dd.doc_id IS NOT NULL) AS BIGINT) AS n_dup_docs,
+           ROUND(COUNT(*) FILTER (dd.doc_id IS NOT NULL) / COUNT(*), 4) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """.replace("{T}", _DUCK_TOKENS).replace(
+        "{SH}",
+        "list_transform(range(1, greatest(len(t)-2, 0)+1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])",
+    ),
+    survey_ref="extended: per-source near-dup rate (dedup health rollup)",
+)
+def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolls the Jaccard near-dup pairs up to the per-source dup rate —
+    the number a curation dashboard actually shows. Reuses
+    jaccard_candidate_pairs (banded, df-capped, dedup-before-verify);
+    the rollup adds one distinct on dup doc ids and one doc_id-keyed
+    left join, both shuffling |documents| rows at most. The ROUNDED Jaccard
+    (4 decimals, the operator's output contract) gates the threshold
+    on BOTH engines so the 0.3 boundary can't drift."""
+    t = tables_for(spark, sf_dir)
+    pairs = dedup.jaccard_candidate_pairs(
+        t["documents"], shingle_n=3, min_shared=2, max_df=100
+    )
+    hits = pairs.filter(F.col("jaccard") >= 0.3)
+    dup_docs = (
+        hits.select(F.col("doc_a").alias("doc_id"))
+        .union(hits.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        t["documents"]
+        .join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_d").isNotNull().cast("int")).cast("long").alias("n_dup_docs"),
+        )
+        .withColumn("dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 4))
+        .orderBy("source")
+    )

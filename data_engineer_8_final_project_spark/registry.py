@@ -66,13 +66,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-verified), then the 38 queries whose newest green is r5
     # (the whole remaining r5 cohort: post-r8, no registered query's
     # newest green is older than r6), then the oldest r6 greens to
-    # fill the window. The 3 new round-8 queries take the very head,
-    # displacing three r6-green refreshes (those have the freshest
+    # fill the window. The 5 new round-8 queries take the very head,
+    # displacing five r6-green refreshes (those have the freshest
     # remaining evidence).
     # -- new in round 8: never verified anywhere but locally --
     "hard_negative_mining",
     "token_budget_pack",
     "source_overlap_matrix",
+    "source_minhash_similarity",
+    "near_dup_rate_by_source",
     # -- never driver-verified (late r7) (3) --
     "ivf2_ann_topk",
     "knn_pagerank",
@@ -121,9 +123,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue_share",
     "order_value_quartiles",
     "price_quantiles",
+    # ---- driver window boundary (50) ----
     "pivot_qty_by_status",
     "unpivot_order_metrics",
-    # ---- driver window boundary (50) ----
     "text_normalize",
     "doc_fingerprints",
     "cube_flag_status",

@@ -335,6 +335,9 @@ def test_knn_graph_inferred_schema_read(spark, sf_dir):
     assert flat.groupby("src").size().eq(3).all()
     sd = similarity.semantic_dedup_verdicts(emb).toPandas()
     assert len(sd) == n
+    hn = similarity.hard_negatives(emb, n_cells=16, k=1).toPandas()
+    assert hn.groupby("src").size().eq(1).all()
+    assert (hn["src_label"] != hn["dst_label"]).all()
 
 
 def test_knn_graph_two_level_routing_matches_flat_on_separated_cells(spark):
