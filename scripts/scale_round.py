@@ -84,13 +84,16 @@ def main() -> None:
     ]
     if args.keep:
         cmd += ["--keep", args.keep]
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        sys.exit(f"scale_curve failed with exit {proc.returncode} (stderr above)")
+    out = proc.stdout
 
     rows: dict[str, dict[int, float]] = {}
-    for line in out.splitlines():
-        if line.startswith("{"):
-            rec = json.loads(line)
-            rows.setdefault(rec["query"], {})[rec["factor"]] = rec["median_s"]
+    for m in re.finditer(r'\{"query[^}]*\}', out):
+        rec = json.loads(m.group(0))
+        rows.setdefault(rec["query"], {})[rec["factor"]] = rec["median_s"]
 
     lines = [
         f"# SCALE_r{args.round} — 1x/8x/64x deep-scaling curve",
