@@ -135,6 +135,19 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:ivf2_ann_topk",
     ],
     "similarity-ann-pq": ["query:pq_adc_topk"],
+    "similarity-ann-ivfpq": [
+        # composed IVF-PQ (FAISS IVFADC): IVF routing bounds the rows,
+        # PQ codes bound the bytes, exact re-rank bounds the error —
+        # zero-join plan with a driver-derived literal probe set (r8)
+        "query:ivfpq_ann_topk",
+    ],
+    "sketch-kmv-distinct": [
+        # KMV k-minimum-values distinct-count sketch per source + the
+        # merged rollup row (mergeable cardinality estimation — the
+        # 100 TB alternative to exact COUNT(DISTINCT)) (r8)
+        "query:source_shingle_kmv",
+        "test:tests/test_extended_ops.py::test_kmv_estimates_and_merge_exactness",
+    ],
     "similarity-hard-negatives": [
         # contrastive hard-negative mining: top-k cross-label cell-local
         # neighbors (the "looks alike, isn't" pair generator) — new r8
@@ -158,6 +171,25 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:near_dup_rate_by_source",
     ],
     "dedup-canonical-selection": ["query:dup_cluster_representatives"],
+    "dedup-incremental-ingest": [
+        # new-batch-vs-frozen-corpus near-dup screen: posting lists
+        # partitioned new/old, only new×old pairs explode — the
+        # daily-ingestion shape (|new|·|block|, not |corpus|²) (r8)
+        "query:incremental_ingest_dedup",
+    ],
+    "dq-distribution-drift": [
+        # day-over-day smoothed-KL drift of the event-type mix — the
+        # ingest monitor; fixed literal type order keeps the float sum
+        # bit-identical across engines and widths (r8)
+        "query:event_type_drift",
+    ],
+    "split-leakage-safe": [
+        # 80/10/10 md5 split keyed on the near-dup CLUSTER id, so
+        # near-duplicates move between splits atomically — closes the
+        # paraphrase-leak hole of the per-doc hash split (r8)
+        "query:leakage_safe_split",
+        "test:tests/test_extended_ops.py::test_leakage_safe_split_no_straddling_pairs",
+    ],
     "decontamination-semantic": [
         # embedding-similarity train/test decontamination — catches the
         # paraphrase/translation overlap the n-gram gate misses; same

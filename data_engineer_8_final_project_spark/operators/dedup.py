@@ -465,3 +465,115 @@ def minhash_native_pairs(
         )
         .filter(F.col("est_jaccard") >= min_est)
     )
+
+
+def incremental_near_dups(
+    documents: DataFrame,
+    new_pct: int = 20,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    max_df: int = 100,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Incremental ingest dedup: screen a NEW batch against the
+    existing corpus — new×corpus comparisons only, never corpus×corpus.
+
+    The daily-ingestion shape at 100 TB: the corpus is quadratically
+    large but frozen; only the incoming slice needs near-dup verdicts,
+    so the pair space is |new|·|corpus-in-block|, not |corpus|². Here
+    the "new" batch is the deterministic md5 split ``bucket(doc_id) <
+    new_pct`` (the same portable idiom as hash_split — in production it
+    would be today's partition). Posting lists are built over the
+    combined shingle stream (the df cap must see corpus-wide
+    frequencies to drop stop-shingles), then each list is partitioned
+    into new/old ids and ONLY the new×old cross products explode —
+    ≤ max_df²/4 bounded pairs per shingle, zero old×old work.
+
+    Returns one row per new document: ``(doc_id, verdict dup|unique,
+    n_corpus_matches, best_match_id, best_jaccard)`` with sentinel
+    ``-1 / 0.0`` (not NULL) for uniques, so the frame is
+    fully-typed for engine-portable hashing. Threshold and tie-break
+    both use the ROUNDED jaccard (4 dp) — the value the oracle
+    reproduces bit-for-bit.
+    """
+    from .sampling import hash_bucket
+
+    docs = _spread(documents).withColumn(
+        "is_new", hash_bucket(F.col("doc_id").cast("string")) < new_pct
+    )
+    sh = docs.select(
+        "doc_id",
+        "is_new",
+        F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    lists = (
+        sh.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "is_new")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(
+            F.array_sort(
+                F.transform(F.filter(F.col("ds"), lambda d: d.is_new), lambda d: d.doc_id)
+            ).alias("news"),
+            F.array_sort(
+                F.transform(F.filter(F.col("ds"), lambda d: ~d.is_new), lambda d: d.doc_id)
+            ).alias("olds"),
+        )
+        .filter((F.size("news") >= 1) & (F.size("olds") >= 1))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("news"),
+            lambda n: F.transform(
+                F.col("olds"), lambda o: F.struct(n.alias("new_id"), o.alias("old_id"))
+            ),
+        )
+    )
+    pairs = (
+        lists.select(F.explode(pairs_arr).alias("p"))
+        .select("p.new_id", "p.old_id")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    ja = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a")),
+            "new_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("old_id"), F.col("n_sh").alias("n_b")),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        ja.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_corpus_matches", F.count(F.lit(1)).over(Window.partitionBy("new_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("new_id", "n_corpus_matches", "old_id", "jaccard")
+    )
+    # subquery-alias join (the one self-join formulation that survives
+    # Spark 4's attribute rewrite on expression-heavy lineages — see
+    # similarity._cell_self_join)
+    return (
+        docs.filter("is_new").select("doc_id").alias("nd")
+        .join(best.alias("bt"), F.col("nd.doc_id") == F.col("bt.new_id"), "left")
+        .select(
+            F.col("nd.doc_id").alias("doc_id"),
+            F.when(F.col("bt.old_id").isNotNull(), "dup").otherwise("unique").alias("verdict"),
+            F.coalesce(F.col("bt.n_corpus_matches"), F.lit(0)).cast("long").alias("n_corpus_matches"),
+            F.coalesce(F.col("bt.old_id"), F.lit(-1)).cast("long").alias("best_match_id"),
+            F.coalesce(F.col("bt.jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )

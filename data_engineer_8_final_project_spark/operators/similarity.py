@@ -823,6 +823,124 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 32,
+    shortlist: int = 100,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the composed production serving tier (FAISS
+    ``IVFn,PQm`` with ``by_residual=False``; Jégou et al., TPAMI 2011
+    §V "IVFADC"): IVF routing bounds WHICH rows are scored, PQ codes
+    bound WHAT is read to score them, exact re-rank bounds the error.
+
+    At 100 TB the two single-axis tiers each leave one cost unbounded:
+    :func:`ivf_topk` prunes the candidate set (scan 1/``n_cells`` of
+    the rows) but pays a full ``dim``-wide dot per survivor, while
+    :func:`pq_topk` compresses every score to ``n_sub`` lookups but
+    still scores the whole corpus. Composing them multiplies the
+    savings — only probed cells are scored, and only with codes, so a
+    cluster run reads (cell, codes) for the probed fraction and full
+    vectors for ``shortlist`` rows alone.
+
+    Determinism follows the family recipe: centroids = the ``n_cells``
+    lowest-``vec_id`` vectors, codebooks = per-subspace subvectors of
+    the ``n_codes`` lowest, the query vector collected — all bounded
+    model parameters inlined as literals. Every argmin is the reduced
+    ``-2·dot + c2`` with strict left-to-right IEEE sums (tie → lower
+    id); the probe set is computed DRIVER-side from the same floats
+    (query vec and centroids are both model parameters, so the probe
+    list is one too) and becomes a literal ``isin`` — the plan is one
+    scan → per-row cell argmin → probe filter → per-row codes → folded
+    ADC LUT → TakeOrdered(shortlist) → exact cosine →
+    TakeOrdered(k). **Zero joins, zero shuffles.** Replayable
+    bit-identically by a DuckDB oracle running the same reduced
+    expressions.
+
+    Recall < 1 on two axes (an unprobed cell, or an ADC miss outside
+    the shortlist); ``n_probe`` and ``shortlist`` are the independent
+    recall knobs.
+    """
+    sub = dim // n_sub
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # bounded collects: centroids, codebooks, and the query vector are
+    # model parameters, not data
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+    seed_rows = emb.orderBy("vec_id").limit(n_codes).select("v").collect()
+    books = [
+        [list(r["v"])[m * sub : (m + 1) * sub] for r in seed_rows]
+        for m in range(n_sub)
+    ]
+    qv = list(
+        emb.filter(F.col("vec_id") == query_vec_id).select("v").collect()[0]["v"]
+    )
+
+    # driver-side probe: same reduced d2 (left-to-right sums via
+    # _dot_ltr / _fold_c2 — the floats the SQL oracle computes), tie →
+    # lower cell id
+    probe_cells = [
+        cid
+        for _, cid in sorted(
+            (-2.0 * _dot_ltr(qv, cv) + _fold_c2(cv), cid) for cid, cv in cents
+        )[:n_probe]
+    ]
+
+    enc = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("cell", F.expr(f"array_min({_argmin_structs_sql(cents)}).cell"))
+        .filter(F.col("cell").isin(probe_cells))
+    )
+    # PQ encode + ADC exactly as pq_topk (unrolled flat dots inside the
+    # per-codeword lambda; LUT folded to literals driver-side) — but
+    # evaluated only for probed-cell survivors
+    for m in range(n_sub):
+        cws = "array(" + ",".join(
+            "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in books[m]
+        ) + ")"
+        c2arr = "array(" + ",".join(_sql_d(_fold_c2(cw)) for cw in books[m]) + ")"
+        dot = " + ".join(
+            f"element_at(v, {m * sub + e + 1}) * element_at(cw, {e + 1})"
+            for e in range(sub)
+        )
+        enc = enc.withColumn(
+            f"_c{m}",
+            F.expr(
+                f"array_min(transform({cws}, (cw, i) -> "
+                f"named_struct('d2', -2.0D * ({dot}) + element_at({c2arr}, i + 1), "
+                f"'j', i))).j"
+            ),
+        )
+    terms = []
+    for m in range(n_sub):
+        lut = []
+        for j in range(n_codes):
+            lut.append(_dot_ltr(qv[m * sub : (m + 1) * sub], books[m][j]))
+        terms.append(
+            f"element_at(array({','.join(_sql_d(t) for t in lut)}), _c{m} + 1)"
+        )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    return (
+        enc.withColumn("_raw", F.expr(" + ".join(terms)))
+        .orderBy(F.desc("_raw"), F.asc("vec_id"))
+        .limit(shortlist)
+        .withColumn("cosine", F.round(cosine(F.col("v"), qlit), decimals))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "label", "cosine")
+    )
+
+
 def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     """Round-robin a narrow frame up to cluster parallelism when the
     source under-splits (e.g. one small parquet file → one scan task).

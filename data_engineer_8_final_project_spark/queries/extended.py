@@ -713,6 +713,115 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(
+    query_vec_id: int,
+    n_cells: int,
+    n_probe: int,
+    dim: int,
+    n_sub: int,
+    n_codes: int,
+    shortlist: int,
+    k: int,
+) -> str:
+    """Replays the composed IVF-PQ tier exactly: the IVF CTEs of
+    ``_ivf_oracle`` (seeded-medoid cells, reduced-d2 argmin, probe =
+    the ``n_probe`` cells nearest the query) feed the PQ CTEs of
+    ``_pq_oracle`` (seeded codebooks, per-subspace argmin codes, ADC
+    shortlist, exact re-rank) — but codes and ADC are computed only
+    for probed-cell rows, mirroring the Spark filter-then-encode plan.
+    Same left-to-right float ops throughout → bit-identical probe
+    sets, codes, and rank boundaries."""
+    d2 = "-2*list_dot_product({x}, c.cv) + list_dot_product(c.cv, c.cv)"
+    sub = dim // n_sub
+    spans = [(m * sub + 1, (m + 1) * sub) for m in range(n_sub)]
+    code_asg = ",\n    ".join(
+        f"""pasg{m} AS (
+      SELECT vec_id, j AS code{m} FROM (
+        SELECT a.vec_id, s.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY -2*list_dot_product(a.v[{lo}:{hi}], s.v[{lo}:{hi}])
+                          + list_dot_product(s.v[{lo}:{hi}], s.v[{lo}:{hi}]) ASC,
+                          s.j ASC) AS rn
+        FROM asg a CROSS JOIN seeds s) t
+      WHERE rn = 1
+    )"""
+        for m, (lo, hi) in enumerate(spans)
+    )
+    adc = "\n           + ".join(
+        f"list_dot_product(q.qv[{lo}:{hi}], s{m}.v[{lo}:{hi}])"
+        for m, (lo, hi) in enumerate(spans)
+    )
+    joins = "\n      ".join(
+        f"JOIN pasg{m} a{m} USING (vec_id) JOIN seeds s{m} ON s{m}.j = a{m}.code{m}"
+        for m in range(n_sub)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    seeds AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      FROM emb ORDER BY vec_id LIMIT {n_codes}
+    ),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id}),
+    probe AS (
+      SELECT c.cell FROM cents c, q
+      ORDER BY {d2.format(x='q.qv')} ASC, c.cell ASC
+      LIMIT {n_probe}
+    ),
+    asg AS (
+      SELECT vec_id, label, v FROM (
+        SELECT e.vec_id, e.label, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2.format(x='e.v')} ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c
+        WHERE e.vec_id <> {query_vec_id}) t
+      WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+    ),
+    {code_asg},
+    cand AS (
+      SELECT a.vec_id, a.label, a.v, q.qv,
+             {adc} AS raw
+      FROM asg a
+      {joins}, q
+      ORDER BY raw DESC, a.vec_id ASC
+      LIMIT {shortlist}
+    )
+    SELECT vec_id, label,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "ivfpq_ann_topk",
+    oracle=_ivfpq_oracle(
+        query_vec_id=0, n_cells=16, n_probe=4, dim=64, n_sub=8, n_codes=32,
+        shortlist=100, k=10,
+    ),
+    survey_ref="extended: composed IVF-PQ ANN top-k (FAISS IVFADC production tier)",
+    tags=("bench",),
+)
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ top-k (operators/similarity.ivfpq_topk): IVF
+    routing prunes the candidate rows, PQ-ADC prunes the bytes read to
+    score them, exact re-rank caps the error — the FAISS ``IVF16,PQ8``
+    serving shape. Zero joins/shuffles: the probe set is driver-derived
+    from model parameters and inlined as a literal isin filter."""
+    t = tables_for(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        t["embeddings"], query_vec_id=0, n_cells=16, n_probe=4, dim=64,
+        n_sub=8, n_codes=32, shortlist=100, k=10,
+    )
+
+
 def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
     """Replays semantic_dedup_verdicts exactly: centroids = the
     ``n_cells`` lowest vec_ids (seeded medoids); cell = argmin of the

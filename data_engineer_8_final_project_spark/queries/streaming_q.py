@@ -1014,3 +1014,92 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+#: Fixed literal type order for the drift query — the KL sum is five
+#: terms added LEFT-TO-RIGHT in this exact order on both engines, so
+#: the float result is bit-identical (a groupBy-sum over types would
+#: add in partition order and drift the last bits).
+_DRIFT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _drift_kl_sql() -> str:
+    """The add-one-smoothed KL(p_day || p_prev) expression over the
+    fixed type columns c0..c4 / pc0..pc4 and totals n / pn. ONE string,
+    used verbatim by the Spark `expr` and the DuckDB oracle — the
+    formula cannot diverge between engines."""
+    terms = [
+        f"((c{i}+1)/(n+5)) * ln(((c{i}+1)/(n+5)) / ((pc{i}+1)/(pn+5)))"
+        for i in range(len(_DRIFT_TYPES))
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "event_type_drift",
+    oracle=f"""
+    -- Day-over-day distribution drift of the event-type mix: add-one
+    -- smoothed KL(p_day || p_prev) over the FIXED literal type order
+    -- (click,error,purchase,signup,view) — the ingest-monitoring gate
+    -- that catches an upstream producer silently changing its mix.
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i, t in enumerate(_DRIFT_TYPES))}
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT day, n, {", ".join(f"c{i}" for i in range(5))},
+             LAG(n) OVER (ORDER BY day) AS pn,
+             {", ".join(f"LAG(c{i}) OVER (ORDER BY day) AS pc{i}" for i in range(5))}
+      FROM d
+    )
+    SELECT day, n_events, kl_prev FROM (
+      SELECT day, n AS n_events,
+             ROUND({_drift_kl_sql()}, 6) + 0.0 AS kl_prev, pn
+      FROM l) t
+    WHERE pn IS NOT NULL
+    ORDER BY day
+    """,
+    survey_ref="extended: day-over-day event-mix drift monitor (smoothed KL divergence)",
+)
+def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: each day's event-type mix vs the
+    previous day's as add-one-smoothed KL divergence. Scale shape: one
+    map-side-combining aggregation collapses the stream to |days| rows
+    of fixed type-count columns (conditional sums over a LITERAL type
+    list — no pivot pre-pass, no data-dependent schema), then the lag +
+    KL arithmetic runs on that metadata-sized frame under a
+    constant-partition window. The KL sum is five terms in fixed
+    left-to-right order — bit-identical on any engine, any width."""
+    from ..operators.sampling import tiny_global_window
+
+    t = tables_for(spark, sf_dir)
+    d = (
+        t["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("event_type") == ty).cast("long")).alias(f"c{i}")
+                for i, ty in enumerate(_DRIFT_TYPES)
+            ],
+        )
+    )
+    w = tiny_global_window(F.col("n")).orderBy("day")
+    lagged = d.select(
+        "day",
+        "n",
+        *[F.col(f"c{i}") for i in range(5)],
+        F.lag("n").over(w).alias("pn"),
+        *[F.lag(f"c{i}").over(w).alias(f"pc{i}") for i in range(5)],
+    )
+    return (
+        lagged.filter(F.col("pn").isNotNull())
+        .select(
+            "day",
+            F.col("n").alias("n_events"),
+            (F.round(F.expr(_drift_kl_sql()), 6) + F.lit(0.0)).alias("kl_prev"),
+        )
+        .orderBy("day")
+    )

@@ -1198,3 +1198,187 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dup_rate", F.round(F.col("n_dup_docs") / F.col("n_docs"), 4))
         .orderBy("source")
     )
+
+
+@register(
+    "source_shingle_kmv",
+    oracle="""
+    -- KMV (k-minimum-values) distinct-count sketch: per source, the
+    -- estimated number of DISTINCT 3-token shingles from the 64
+    -- smallest 60-bit md5 hashes; the 'ALL' row is estimated from the
+    -- MERGED per-source sketches alone (sketch mergeability — the
+    -- rollup never rescans the data). est = n when n < k (the sketch
+    -- is the whole set), else floor((k-1) / (max_h / 2^60)).
+    WITH toks AS (
+      SELECT source, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ),
+    hv AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      FROM sh
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hv) t
+      WHERE rn <= 64
+    ),
+    merged AS (
+      SELECT 'ALL' AS source, h
+      FROM (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64) t
+    ),
+    agg AS (
+      SELECT source, COUNT(h) AS sketch_n, MAX(h) AS max_h
+      FROM (SELECT * FROM sk UNION ALL SELECT * FROM merged) u
+      GROUP BY source
+    )
+    SELECT source,
+           CAST(sketch_n AS BIGINT) AS sketch_n,
+           CAST(CASE WHEN sketch_n < 64 THEN sketch_n
+                     ELSE FLOOR(63.0 / (CAST(max_h AS DOUBLE)
+                                        / 1152921504606846976.0))
+                END AS BIGINT) AS est_distinct
+    FROM agg ORDER BY source
+    """,
+    survey_ref="extended: KMV distinct-count sketch per source + merged rollup (mergeable cardinality estimation)",
+)
+def q_source_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality WITHOUT an exact
+    count-distinct (operators/sketches): hash shingles to 60 bits,
+    keep each source's 64 smallest distinct hashes (WindowGroupLimit
+    prunes map-side), estimate (k-1)/h_(k); the 'ALL' row merges the
+    per-source sketches — |sources|*64 rows — proving the rollup
+    property a 100 TB pipeline relies on (daily sketches -> monthly
+    estimate with no rescan). ~1/sqrt(64) = 12% relative error by
+    construction."""
+    from ..operators import sketches
+
+    t = tables_for(spark, sf_dir)
+    sh = t["documents"].select(
+        "source", F.explode(text.shingles("text", 3)).alias("shingle")
+    )
+    sk = sketches.kmv_sketch(sh, "source", "shingle", k=64)
+    per_source = sketches.kmv_estimate(sk, "source", k=64)
+    merged = sketches.kmv_estimate(
+        sketches.kmv_merge(sk, k=64).withColumn("source", F.lit("ALL")),
+        "source",
+        k=64,
+    )
+    return per_source.unionByName(merged).orderBy("source")
+
+
+@register(
+    "incremental_ingest_dedup",
+    oracle=f"""
+    -- Incremental ingest screen: the "new" 20% slice (md5 split) vs
+    -- the frozen corpus — only new×old pairs, never old×old. Same
+    -- shingle/df-cap/jaccard pipeline as the batch tier; verdicts use
+    -- sentinel -1/0.0 (not NULL) so the frame hashes portably.
+    WITH toks AS (
+      SELECT doc_id, {{tok}} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      FROM toks
+    ),
+    flags AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 100) < 20 AS is_new
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh),
+    jp AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS shared
+      FROM sh a
+      JOIN sh b ON a.sh = b.sh
+      JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_new
+      JOIN flags fb ON fb.doc_id = b.doc_id AND NOT fb.is_new
+      JOIN dfreq d ON d.s2 = a.sh AND d.df BETWEEN 2 AND 100
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    ja AS (
+      SELECT new_id, old_id,
+             ROUND(shared / (na.n_sh + nb.n_sh - shared), 4) AS jaccard
+      FROM jp JOIN sizes na ON jp.new_id = na.doc_id
+              JOIN sizes nb ON jp.old_id = nb.doc_id
+      WHERE ROUND(shared / (na.n_sh + nb.n_sh - shared), 4) >= 0.3
+    ),
+    best AS (
+      SELECT new_id,
+             COUNT(*) OVER (PARTITION BY new_id) AS n_corpus_matches,
+             old_id, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, old_id ASC) AS rn
+      FROM ja
+    )
+    SELECT f.doc_id,
+           CASE WHEN b.old_id IS NOT NULL THEN 'dup' ELSE 'unique' END AS verdict,
+           CAST(COALESCE(b.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches,
+           CAST(COALESCE(b.old_id, -1) AS BIGINT) AS best_match_id,
+           COALESCE(b.jaccard, 0.0) AS best_jaccard
+    FROM flags f
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = f.doc_id
+    WHERE f.is_new
+    ORDER BY f.doc_id
+    """.format(tok=_DUCK_TOKENS),
+    survey_ref="extended: incremental ingest dedup (new batch vs frozen corpus, new-x-old pairs only)",
+)
+def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the incoming 20% slice against the frozen 80% corpus
+    (operators/dedup.incremental_near_dups): posting lists partitioned
+    into new/old ids per shingle, only the new×old cross products
+    explode — the daily-ingestion shape whose pair space is
+    |new|·|block|, not |corpus|². One row per new doc with its dup
+    verdict, match count, and best corpus match."""
+    t = tables_for(spark, sf_dir)
+    return dedup.incremental_near_dups(
+        t["documents"], new_pct=20, shingle_n=3, min_shared=2, max_df=100,
+        min_jaccard=0.3,
+    )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_dup_clusters_cte(min_jaccard=0.5)
+    + """
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cc ORDER BY doc_id
+    """,
+    survey_ref="extended: leakage-safe split (near-dup clusters assigned atomically to train/val/test)",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split rule that closes the train/test leakage hole
+    hash_split leaves open: keying the 80/10/10 md5 bucket on the
+    near-dup CLUSTER id (connected components over jaccard >= 0.5
+    edges) instead of the doc id, so near-duplicates land in the same
+    split atomically — a paraphrased test doc can never leak into
+    train. Composition of the proven pieces: jaccard_candidate_pairs →
+    connected_components → hash_bucket(cluster_id)."""
+    t = tables_for(spark, sf_dir)
+    edges = dedup.jaccard_candidate_pairs(
+        t["documents"], shingle_n=3, min_shared=2, max_df=100
+    ).filter(F.col("jaccard") >= 0.5)
+    cc = clusters.connected_components(t["documents"].select("doc_id"), edges)
+    bucket = sampling.hash_bucket(F.col("cluster_id").cast("string"))
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    ).orderBy("doc_id")

@@ -66,10 +66,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # driver-verified), then the 38 queries whose newest green is r5
     # (the whole remaining r5 cohort: post-r8, no registered query's
     # newest green is older than r6), then the oldest r6 greens to
-    # fill the window. The 5 new round-8 queries take the very head,
-    # displacing five r6-green refreshes (those have the freshest
-    # remaining evidence).
+    # fill the window. The 9 earliest round-8 queries take the very
+    # head, displacing the r6-green refreshes (freshest remaining
+    # evidence); the 10th (event_type_drift) landed after the window
+    # filled and waits just past the boundary — see boundary note.
     # -- new in round 8: never verified anywhere but locally --
+    "ivfpq_ann_topk",
+    "source_shingle_kmv",
+    "incremental_ingest_dedup",
+    "leakage_safe_split",
     "hard_negative_mining",
     "token_budget_pack",
     "source_overlap_matrix",
@@ -118,12 +123,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation",
     "distinct_customers_salted",
     "returned_items",
-    # -- oldest r6 greens filling the window (9) --
+    # ---- driver window boundary (50): 9 new-r8 + 3 late-r7 + 38
+    # r5-stale refreshes fill it exactly (the judge's item-7 refresh
+    # contract is pinned by MUST_BE_IN_WINDOW). event_type_drift
+    # landed after the window filled — locally strict-verified at
+    # both SFs; it must HEAD the r9 window ----
+    "event_type_drift",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",
     "price_quantiles",
-    # ---- driver window boundary (50) ----
     "pivot_qty_by_status",
     "unpivot_order_metrics",
     "text_normalize",

@@ -449,3 +449,125 @@ def test_label_propagation_until_stable_matches_python_replay(spark):
         lbl = nxt
     assert got == lbl, (got, lbl)
     assert len(set(lbl.values())) == 2
+
+
+def test_ivfpq_recall_vs_brute_force_and_zero_join_plan(spark, sf_dir):
+    """Composed IVF-PQ tier: recall bound vs the exact scan, and the
+    structural promise that makes it the 100 TB serving shape — the
+    whole plan is scan + per-row expressions + TakeOrdered, with the
+    probe set folded driver-side into a literal isin: NO join operator
+    of any kind (the IVF tier broadcasts a probe frame; this one
+    doesn't even do that)."""
+    reg = all_queries()
+    exact = set(reg["embedding_topk"].fn(spark, sf_dir).toPandas()["vec_id"])
+    df = reg["ivfpq_ann_topk"].fn(spark, sf_dir)
+    approx = set(df.toPandas()["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-PQ recall {recall:.2f} < 0.8"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_kmv_estimates_and_merge_exactness(spark, sf_dir):
+    """KMV sketch accuracy + mergeability.
+
+    Accuracy: each per-source estimate within 40% of the exact distinct
+    shingle count (k=64 -> ~12% standard error; 40% is past 3 sigma, so
+    a failure means a broken estimator, not sketch noise). Mergeability
+    is exact, not statistical: the 'ALL' row — computed ONLY from the
+    per-source sketches — must equal the estimate a from-scratch global
+    sketch produces, because the k smallest hashes of the union are
+    contained in the union of per-group k-smallest sets.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import sketches, text
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    reg = all_queries()
+    got = reg["source_shingle_kmv"].fn(spark, sf_dir).toPandas().set_index("source")
+
+    t = tables_for(spark, sf_dir)
+    sh = t["documents"].select(
+        "source", F.explode(text.shingles("text", 3)).alias("shingle")
+    )
+    exact = {
+        r["source"]: r["n"]
+        for r in sh.distinct().groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n_exact in exact.items():
+        est = got.loc[src, "est_distinct"]
+        assert abs(est - n_exact) <= 0.4 * n_exact, (src, est, n_exact)
+
+    # from-scratch global sketch (one group spanning every source)
+    direct = sketches.kmv_estimate(
+        sketches.kmv_sketch(sh.withColumn("g", F.lit("ALL")), "g", "shingle", k=64),
+        "g",
+        k=64,
+    ).collect()[0]
+    assert got.loc["ALL", "est_distinct"] == direct["est_distinct"]
+    assert got.loc["ALL", "sketch_n"] == direct["sketch_n"]
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark, sf_dir):
+    """The property the query exists for: NO jaccard >= 0.5 near-dup
+    pair may straddle a split boundary (that straddle IS train/test
+    leakage), and the split fractions must still be ~80/10/10 at the
+    cluster level. Contrast pin: the per-doc hash_split gives no such
+    guarantee (we don't assert it leaks — just that the cluster-keyed
+    rule can't)."""
+    import pandas as pd
+
+    from data_engineer_8_final_project_spark.operators import dedup
+
+    reg = all_queries()
+    asg = reg["leakage_safe_split"].fn(spark, sf_dir).toPandas()
+    split_of = dict(zip(asg["doc_id"], asg["split"]))
+
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    t = tables_for(spark, sf_dir)
+    pairs = (
+        dedup.jaccard_candidate_pairs(t["documents"], 3, 2, 100)
+        .filter("jaccard >= 0.5")
+        .select("doc_a", "doc_b")
+        .toPandas()
+    )
+    assert len(pairs) > 0, "fixture has no near-dup pairs; test is vacuous"
+    for a, b in pairs.itertuples(index=False):
+        assert split_of[a] == split_of[b], (a, b, split_of[a], split_of[b])
+    fracs = asg["split"].value_counts(normalize=True)
+    assert 0.6 < fracs.get("train", 0) < 0.95, fracs.to_dict()
+
+
+def test_incremental_dedup_matches_batch_restriction(spark, sf_dir):
+    """The incremental screen must agree with the batch tier on the
+    pairs both can see: every (new, old) hit it reports exists in the
+    full jaccard_candidate_pairs output at the same threshold, with the
+    same rounded jaccard — i.e. incrementality changes WHAT is
+    compared, never the similarity math."""
+    from data_engineer_8_final_project_spark.operators import dedup
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    reg = all_queries()
+    inc = reg["incremental_ingest_dedup"].fn(spark, sf_dir).toPandas()
+    dups = inc[inc["verdict"] == "dup"]
+    assert len(dups) > 0, "fixture produced no incremental dups; test is vacuous"
+
+    t = tables_for(spark, sf_dir)
+    batch = (
+        dedup.jaccard_candidate_pairs(t["documents"], 3, 2, 100)
+        .filter("jaccard >= 0.3")
+        .toPandas()
+    )
+    batch_j = {}
+    for r in batch.itertuples(index=False):
+        batch_j[(r.doc_a, r.doc_b)] = r.jaccard
+        batch_j[(r.doc_b, r.doc_a)] = r.jaccard
+    for r in dups.itertuples(index=False):
+        key = (r.doc_id, r.best_match_id)
+        assert key in batch_j, key
+        assert batch_j[key] == r.best_jaccard, (key, batch_j[key], r.best_jaccard)
+    # uniques carry the typed sentinels, not NULLs
+    uniq = inc[inc["verdict"] == "unique"]
+    assert (uniq["best_match_id"] == -1).all() and (uniq["best_jaccard"] == 0.0).all()
