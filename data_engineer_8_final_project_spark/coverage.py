@@ -177,6 +177,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # daily-ingestion shape (|new|·|block|, not |corpus|²) (r8)
         "query:incremental_ingest_dedup",
     ],
+    "join-point-in-time-scd2": [
+        # feature-store enrichment: purchases joined to the half-open
+        # SCD2 state interval containing them — bucketed equi-join
+        # rewrite of the interval theta-join, leakage-free by
+        # construction (r8)
+        "query:scd2_point_in_time_join",
+        "test:tests/test_extended_ops.py::test_scd2_point_in_time_join_is_unique_and_leakage_free",
+    ],
     "dq-distribution-drift": [
         # day-over-day smoothed-KL drift of the event-type mix — the
         # ingest monitor; fixed literal type order keeps the float sum

@@ -62,11 +62,20 @@ def bucketed_range_join(
     start: str,
     end: str,
     step_minutes: int = 30,
+    closed: str = "both",
 ) -> DataFrame:
     """Rows of ``points`` joined to every same-key interval containing
-    their timestamp (inclusive bounds). Columns of both inputs survive;
-    name collisions other than ``key`` must be resolved by the caller.
+    their timestamp. Columns of both inputs survive; name collisions
+    other than ``key`` must be resolved by the caller.
+
+    ``closed="both"`` keeps the inclusive ``[start, end]`` bounds (the
+    session-containment semantics); ``closed="left"`` gives half-open
+    ``[start, end)`` — the SCD2 / validity-interval semantics where a
+    point landing exactly on a boundary belongs to the NEXT interval,
+    never to two.
     """
+    if closed not in ("both", "left"):
+        raise ValueError(f"closed must be 'both' or 'left', got {closed!r}")
     step_us = step_minutes * 60 * 1_000_000
     # integral div (not float / + cast): epoch-micros exceed 2^53 ÷
     # nothing, but the bucket math must be exact, not rounded
@@ -80,8 +89,11 @@ def bucketed_range_join(
             )
         ),
     )
+    upper = (
+        F.col(ts) <= F.col(end) if closed == "both" else F.col(ts) < F.col(end)
+    )
     return (
         p.join(i, [key, "_b"])
-        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .filter((F.col(ts) >= F.col(start)) & upper)
         .drop("_b")
     )

@@ -1103,3 +1103,79 @@ def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    -- Point-in-time-correct feature join (the feature-store shape):
+    -- each purchase event is enriched with the view-state the user
+    -- held AT PURCHASE TIME — the half-open SCD2 interval [valid_from,
+    -- valid_to) containing the purchase ts, never a later one (that
+    -- would be training-label leakage) and never two (half-open
+    -- intervals partition time). Open-ended current rows close at a
+    -- fixed literal horizon.
+    WITH dim AS (
+      SELECT user_id, value AS view_value, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '2024-02-01 00:00:00') AS valid_to
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           d.view_value, d.valid_from AS state_since
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from AND p.ts < d.valid_to
+    ORDER BY p.event_id
+    """,
+    survey_ref="extended: SCD2 point-in-time feature join (half-open validity intervals, leakage-free enrichment)",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store enrichment done the scale way: build the per-user
+    view-state SCD2 intervals (one LEAD window), close the current row
+    at a LITERAL horizon (a data-dependent max(ts) would serialize a
+    pre-pass), then bucketed_range_join(closed='left') — time-bucket
+    equi-join + exact half-open containment filter, the equi-join
+    rewrite of the interval theta-join that a BNLJ would make
+    quadratic at 100 TB. Half-open bounds mean a purchase exactly on a
+    state boundary joins the NEXT state only — at most ONE row per
+    purchase, and never a future state (the leakage direction)."""
+    from ..operators.sessions import bucketed_range_join
+
+    t = tables_for(spark, sf_dir)
+    ev_t = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev_t.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("value").alias("view_value"), "ts", "event_id")
+        .select(
+            "user_id",
+            "view_value",
+            F.col("ts").alias("valid_from"),
+            F.coalesce(
+                F.lead("ts").over(w),
+                F.lit("2024-02-01 00:00:00").cast("timestamp"),
+            ).alias("valid_to"),
+        )
+    )
+    purchases = ev_t.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        bucketed_range_join(
+            purchases, dim,
+            key="user_id", ts="ts", start="valid_from", end="valid_to",
+            step_minutes=30, closed="left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "view_value",
+            F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("event_id")
+    )

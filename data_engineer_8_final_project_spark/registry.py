@@ -125,10 +125,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "returned_items",
     # ---- driver window boundary (50): 9 new-r8 + 3 late-r7 + 38
     # r5-stale refreshes fill it exactly (the judge's item-7 refresh
-    # contract is pinned by MUST_BE_IN_WINDOW). event_type_drift
-    # landed after the window filled — locally strict-verified at
-    # both SFs; it must HEAD the r9 window ----
+    # contract is pinned by MUST_BE_IN_WINDOW). These two landed after
+    # the window filled — locally strict-verified at both SFs; they
+    # must HEAD the r9 window ----
     "event_type_drift",
+    "scd2_point_in_time_join",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -571,3 +571,27 @@ def test_incremental_dedup_matches_batch_restriction(spark, sf_dir):
     # uniques carry the typed sentinels, not NULLs
     uniq = inc[inc["verdict"] == "unique"]
     assert (uniq["best_match_id"] == -1).all() and (uniq["best_jaccard"] == 0.0).all()
+
+
+def test_scd2_point_in_time_join_is_unique_and_leakage_free(spark, sf_dir):
+    """The two properties that define a point-in-time-correct feature
+    join: (a) at most ONE state row per purchase (half-open intervals
+    partition time — an inclusive-bounds join could double-count
+    boundary hits), and (b) the joined state NEVER starts after the
+    purchase (the future-leakage direction), and is exactly the
+    LATEST view at-or-before the purchase ts (agrees with the as-of
+    backward join semantics)."""
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    reg = all_queries()
+    got = reg["scd2_point_in_time_join"].fn(spark, sf_dir).toPandas()
+    assert got["event_id"].is_unique
+    assert (got["state_since"] <= got["purchase_ts"]).all()
+
+    t = tables_for(spark, sf_dir)
+    ev_pd = t["events"].select("event_id", "user_id", "ts", "event_type").toPandas()
+    views = ev_pd[ev_pd["event_type"] == "view"]
+    for r in got.head(50).itertuples(index=False):
+        uv = views[(views["user_id"] == r.user_id) & (views["ts"] <= r.purchase_ts)]
+        assert len(uv) > 0
+        assert uv["ts"].max() == r.state_since, (r.event_id, uv["ts"].max(), r.state_since)
