@@ -135,6 +135,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:ivf2_ann_topk",
     ],
     "similarity-ann-pq": ["query:pq_adc_topk"],
+    "similarity-gemm-arrow-twin": [
+        # mapInPandas/Arrow numpy-GEMV twin of the exact cosine scan:
+        # one BLAS call per batch + batch-local top-k candidate cut;
+        # row-for-row equal to the codegen twin after 6-dp rounding,
+        # 1.3x faster at 128k vectors (r8)
+        "test:tests/test_extended_ops.py::test_gemm_topk_agrees_with_codegen_twin",
+    ],
     "similarity-ann-ivfpq": [
         # composed IVF-PQ (FAISS IVFADC): IVF routing bounds the rows,
         # PQ codes bound the bytes, exact re-rank bounds the error —

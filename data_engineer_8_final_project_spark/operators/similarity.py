@@ -87,6 +87,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_gemm(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Arrow-batch twin of :func:`brute_force_topk`: the exact cosine
+    scan as a per-partition numpy GEMV instead of an unrolled
+    whole-stage-codegen dot tree.
+
+    This is the sanctioned "drop to Python" shape for dense numeric
+    kernels: ``mapInPandas`` streams Arrow batches, each batch scores
+    as ONE ``(n, dim) @ (dim,)`` BLAS call, and only each batch's
+    local top-k survives to the global TakeOrdered — the candidate cut
+    keeps rows-crossing-the-exchange at k·batches regardless of corpus
+    size. At 2000×64 the codegen tree wins (JVM stays in one pass, no
+    Arrow hop); the GEMV amortizes as vectors×dim grow — the crossover
+    is measured in ``tests/test_extended_ops.py`` only for equality,
+    and in SURVEY §10 for wall clock.
+
+    NOT oracle-registered: BLAS accumulates partials in SIMD order,
+    not left-to-right, so the last float bits are not portable to a
+    DuckDB replay. The pytest gate instead pins row-for-row agreement
+    with the codegen twin after 6-dp rounding on the fixture corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # bounded collect: the query vector is a one-row model parameter
+    qv = np.asarray(
+        emb.filter(F.col("vec_id") == query_vec_id).select("v").collect()[0]["v"],
+        dtype=np.float64,
+    )
+    qnorm = float(np.sqrt(qv @ qv))
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            cos = np.round(
+                (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qnorm), decimals
+            )
+            out = pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "label": pdf["label"], "cosine": cos}
+            )
+            # local candidate cut: only this batch's top-k can matter
+            yield out.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True]
+            ).head(k)
+
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .mapInPandas(score, "vec_id long, label int, cosine double")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -595,3 +595,33 @@ def test_scd2_point_in_time_join_is_unique_and_leakage_free(spark, sf_dir):
         uv = views[(views["user_id"] == r.user_id) & (views["ts"] <= r.purchase_ts)]
         assert len(uv) > 0
         assert uv["ts"].max() == r.state_since, (r.event_id, uv["ts"].max(), r.state_since)
+
+
+def test_gemm_topk_agrees_with_codegen_twin(spark, sf_dir):
+    """The Arrow/numpy GEMV twin must reproduce brute_force_topk
+    row-for-row after 6-dp rounding (BLAS partial-sum order can only
+    move bits far below the rounding grid on this fixture). Also pins
+    the candidate-cut contract: the plan carries a mapInPandas (Arrow
+    batch) node, not row-at-a-time Python."""
+    import pandas as pd
+
+    from data_engineer_8_final_project_spark.operators import similarity
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    t = tables_for(spark, sf_dir)
+    exact = (
+        similarity.brute_force_topk(t["embeddings"], query_vec_id=0, k=10)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    gemm = (
+        similarity.brute_force_topk_gemm(t["embeddings"], query_vec_id=0, k=10)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(exact, gemm, check_dtype=False)
+    plan = (
+        similarity.brute_force_topk_gemm(t["embeddings"], 0, 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
