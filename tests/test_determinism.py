@@ -25,7 +25,10 @@ DRIVER_WINDOW = 50
 
 
 def _window_names() -> list[str]:
-    return list(registry.all_queries())[:DRIVER_WINDOW]
+    # +2: the round-8 additions parked just past the boundary
+    # (event_type_drift, scd2_point_in_time_join) head the r9 window
+    # and must already hold the same invariant
+    return list(registry.all_queries())[: DRIVER_WINDOW + 2]
 
 
 @pytest.mark.parametrize("name", _window_names())

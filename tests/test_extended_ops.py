@@ -625,3 +625,23 @@ def test_gemm_topk_agrees_with_codegen_twin(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_kmv_sketch_is_pure_function_of_value_set(spark):
+    """KMV's defining algebraic property: the sketch (and therefore the
+    estimate) depends ONLY on the distinct value set — duplicating
+    every row, reordering, and repartitioning must yield the
+    identical sketch rows and estimate."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import sketches
+
+    base = spark.createDataFrame(
+        [("a", f"v{i % 97}") for i in range(500)], "g string, val string"
+    )
+    dup = base.union(base).union(base).repartition(13).orderBy(F.rand(7))
+    one = sketches.kmv_estimate(sketches.kmv_sketch(base, "g", "val", k=16), "g", k=16)
+    two = sketches.kmv_estimate(sketches.kmv_sketch(dup, "g", "val", k=16), "g", k=16)
+    assert one.collect() == two.collect()
+    # 97 distinct values > k=16 -> the estimator path, not the exact path
+    assert one.collect()[0]["sketch_n"] == 16
