@@ -1132,6 +1132,7 @@ def q_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.event_id
     """,
     survey_ref="extended: SCD2 point-in-time feature join (half-open validity intervals, leakage-free enrichment)",
+    tags=("bench",),
 )
 def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-store enrichment done the scale way: build the per-user

@@ -1248,6 +1248,7 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM agg ORDER BY source
     """,
     survey_ref="extended: KMV distinct-count sketch per source + merged rollup (mergeable cardinality estimation)",
+    tags=("bench",),
 )
 def q_source_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-shingle cardinality WITHOUT an exact
@@ -1334,6 +1335,7 @@ def q_source_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY f.doc_id
     """.format(tok=_DUCK_TOKENS),
     survey_ref="extended: incremental ingest dedup (new batch vs frozen corpus, new-x-old pairs only)",
+    tags=("bench",),
 )
 def q_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Screen the incoming 20% slice against the frozen 80% corpus
