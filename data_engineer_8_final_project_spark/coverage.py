@@ -198,6 +198,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # bit-identical across engines and widths (r8)
         "query:event_type_drift",
     ],
+    "clustering-kmeans-lloyd": [
+        # integer fixed-point Lloyd k-means: broadcast-literal
+        # assignment (map-side, zero shuffle) + k·dim-cell update agg —
+        # deterministic on any width, oracle replays it bit-exact (r8)
+        "query:kmeans_clusters",
+        "test:tests/test_extended_ops.py::test_kmeans_partitions_all_vectors_and_improves_cost",
+    ],
     "split-leakage-safe": [
         # 80/10/10 md5 split keyed on the near-dup CLUSTER id, so
         # near-duplicates move between splits atomically — closes the

@@ -356,3 +356,110 @@ def label_propagation_fixed(
         for _ in range(iters):
             labels = step(labels)
     return labels.select("id", F.col("lbl").cast("long").alias("community"))
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column in integer fixed-point —
+    the canonical corpus-clustering step of a curation pipeline
+    (topic bucketing, per-cluster sampling quotas, semantic sharding),
+    → (vec_id, label, cluster, dist).
+
+    Float k-means is nondeterministic on a cluster twice over: the
+    centroid MEANS are float sums whose value drifts with partitioning
+    and summation order, and a vector near-equidistant between two
+    centroids can flip assignment on that drift. This form removes
+    both: components are scaled to BIGINT (``round(x·scale)``), every
+    distance is an exact integer (sum of squared int diffs, |x|≤2·10⁶
+    per term × 64 dims ≈ 2.6·10¹⁴ ≪ 2⁶³), assignment ties break to the
+    lowest centroid id via one ``least(struct(dist, cid))``, and the
+    centroid update is ``floor(sum/count)`` on BIGINT sums — exact
+    while |sum| < 2⁵³, i.e. through ~10⁹ vectors per cluster at this
+    scale; past that, swap the division to DECIMAL(38). Same bits on
+    any shuffle width, and a SQL oracle replays the run value-exact.
+
+    Seeding: the ``k`` lowest vec_ids (the seeded-medoid convention of
+    the IVF family, operators/similarity.py); production would use
+    k-means‖ sampling — the iteration body is seeding-agnostic. An
+    emptied cluster keeps its previous centroid (deterministic on both
+    engines).
+
+    Scale shape (the textbook broadcast-Lloyd): per round the
+    assignment pass is MAP-SIDE ONLY — centroids ride into the plan as
+    k literal arrays (k·dim longs, a bounded model parameter like the
+    IVF codebooks), so there is no join and no shuffle; the update
+    pass posexplodes to (cluster, pos) and hash-aggregates — one
+    shuffle of k·dim cells with map-side partial sums. The per-round
+    driver traffic is the k·dim centroid matrix, never data rows. The
+    scaled-int projection materializes once (localCheckpoint — the
+    parquet-staging point of a cluster run) because every round's two
+    passes re-read it.
+
+    ``rounds`` = number of assignment passes (rounds−1 centroid
+    updates), fixed so the plan is static and a SQL oracle can replay
+    it; a converged production variant would reuse the integer
+    max-|Δcentroid| probe of :func:`pagerank_fixed_point`.
+    """
+    sv = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    # k×dim bounded model parameter — the same sanctioned collect
+    # budget as the IVF codebooks (operators/similarity.py).
+    cents = {
+        cid: [int(v) for v in row["s"]]
+        for cid, row in enumerate(sv.orderBy("vec_id").limit(k).collect())
+    }
+
+    def choose(model: dict[int, list[int]]):
+        def dist_to(c: list[int]):
+            lit = F.array(*[F.lit(v).cast("long") for v in c])
+            return F.aggregate(
+                F.zip_with(F.col("s"), lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        return F.least(
+            *[
+                F.struct(dist_to(c).alias("d"), F.lit(cid).cast("long").alias("c"))
+                for cid, c in sorted(model.items())
+            ]
+        )
+
+    for _ in range(rounds - 1):
+        assigned = sv.withColumn("cluster", choose(cents)["c"])
+        rows = (
+            assigned.select("cluster", F.posexplode("s"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(F.sum("col") / F.count(F.lit(1))).cast("long").alias("v")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["v"])
+        cents = {
+            cid: (
+                [by_cid[cid][p] for p in range(len(old))] if cid in by_cid else old
+            )
+            for cid, old in cents.items()
+        }
+
+    final = sv.withColumn("ch", choose(cents))
+    return final.select(
+        "vec_id",
+        "label",
+        F.col("ch.c").alias("cluster"),
+        F.col("ch.d").alias("dist"),
+    )

@@ -1704,3 +1704,81 @@ def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_triangle_stats(t["embeddings"], n_cells=16, k=3).orderBy(
         "vec_id"
     )
+
+
+def _kmeans_oracle(k: int, rounds: int, scale: int, dim: int) -> str:
+    """Oracle replays the fixed-point Lloyd run exactly: the same
+    ``round(x·scale)`` BIGINT projection, the same k-lowest-vec_id
+    seeds, per round the same exact-integer argmin (tie → lower cid)
+    and the same ``floor(sum/count)`` centroid update (emptied cluster
+    carries its previous centroid) — every quantity an integer, so
+    the replay is bit-exact regardless of engine or ordering."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({v}, {c}.cs), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    ctes = [
+        f"""sv AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{scale}.0) AS BIGINT)) AS s
+      FROM embeddings)""",
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, s AS cs
+      FROM (SELECT vec_id, s FROM sv ORDER BY vec_id LIMIT {k}))""",
+        f"pos AS (SELECT unnest(range(1, {dim + 1})) AS p)",
+    ]
+    prev = "c0"
+    for i in range(1, rounds):
+        ctes.append(
+            f"""a{i} AS (
+      SELECT vec_id, label, s, cid FROM (
+        SELECT sv.vec_id, sv.label, sv.s, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id ORDER BY
+                 {d2.format(v="sv.s", c="c")} ASC, c.cid ASC) AS rn
+        FROM sv CROSS JOIN {prev} c) t WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""u{i} AS (
+      SELECT a.cid, p.p,
+             CAST(FLOOR(CAST(SUM(a.s[p.p]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM a{i} a CROSS JOIN pos p GROUP BY a.cid, p.p)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+      SELECT {prev}.cid, COALESCE(n.cs, {prev}.cs) AS cs
+      FROM {prev} LEFT JOIN
+           (SELECT cid, list(v ORDER BY p) AS cs FROM u{i} GROUP BY cid) n
+        ON {prev}.cid = n.cid)"""
+        )
+        prev = f"c{i}"
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, label, cid AS cluster, d AS dist FROM (
+      SELECT sv.vec_id, sv.label, c.cid,
+             {d2.format(v="sv.s", c="c")} AS d,
+             ROW_NUMBER() OVER (PARTITION BY sv.vec_id ORDER BY
+               {d2.format(v="sv.s", c="c")} ASC, c.cid ASC) AS rn
+      FROM sv CROSS JOIN {prev} c) t
+    WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "kmeans_clusters",
+    oracle=_kmeans_oracle(k=8, rounds=2, scale=10**6, dim=64),
+    survey_ref="extended: fixed-point Lloyd k-means corpus clustering (broadcast-centroid scale shape)",
+    tags=("bench",),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering for curation: every embedding assigned to one
+    of k Lloyd-refined centroids (operators/clusters.kmeans_fixed_point
+    — integer fixed-point throughout, so the run is deterministic on
+    any shuffle width). Output carries the exact integer distance so
+    the oracle verifies the geometry, not just the partition."""
+    t = tables_for(spark, sf_dir)
+    from ..operators import clusters
+
+    return clusters.kmeans_fixed_point(t["embeddings"], k=8, rounds=2).orderBy("vec_id")

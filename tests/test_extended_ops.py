@@ -645,3 +645,33 @@ def test_kmv_sketch_is_pure_function_of_value_set(spark):
     assert one.collect() == two.collect()
     # 97 distinct values > k=16 -> the estimator path, not the exact path
     assert one.collect()[0]["sketch_n"] == 16
+
+
+def test_kmeans_partitions_all_vectors_and_improves_cost(spark, sf_dir):
+    """Lloyd invariants on the fixed-point form: the assignment is a
+    partition (every vector exactly once, cluster ids in [0, k)), the
+    reported dist is the exact integer distance to the OWN centroid
+    (non-negative), and one centroid update never increases the total
+    quantization cost (the Lloyd monotonicity argument survives the
+    integer floor because the update stays within 1 unit per dim of
+    the true mean — asserted with that slack)."""
+    from data_engineer_8_final_project_spark.operators.clusters import (
+        kmeans_fixed_point,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = 8
+    one = kmeans_fixed_point(emb, k=k, rounds=1).toPandas()
+    two = kmeans_fixed_point(emb, k=k, rounds=2).toPandas()
+
+    for pdf in (one, two):
+        assert len(pdf) == n
+        assert pdf["vec_id"].is_unique
+        assert pdf["cluster"].between(0, k - 1).all()
+        assert (pdf["dist"] >= 0).all()
+    # Lloyd step: total cost non-increasing (64 dims × 1-unit floor
+    # slack per dim per vector on the integer centroid).
+    assert two["dist"].sum() <= one["dist"].sum() + 64 * n
+    # the update must actually move something at this data
+    assert two["dist"].sum() < one["dist"].sum()
