@@ -198,6 +198,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # bit-identical across engines and widths (r8)
         "query:event_type_drift",
     ],
+    "retrieval-bm25": [
+        # BM25 lexical retrieval for a fixed term query — the sparse
+        # half of a retrieval stack next to the ANN family; per-term
+        # contributions pivoted to fixed columns and added in literal
+        # order, so no float sum rides a shuffle (r8)
+        "query:bm25_doc_ranking",
+        "test:tests/test_extended_ops.py::test_bm25_matches_brute_force_pandas",
+    ],
     "clustering-kmeans-lloyd": [
         # integer fixed-point Lloyd k-means: broadcast-literal
         # assignment (map-side, zero shuffle) + k·dim-cell update agg —

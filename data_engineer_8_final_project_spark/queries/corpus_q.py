@@ -377,3 +377,130 @@ def q_vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# BM25 (Robertson/Lucene variant) over the fixture corpus for a fixed
+# 3-term query. The score is ONE textual SQL expression shared verbatim
+# by the Spark side (F.expr) and the DuckDB oracle: identical input
+# bits (integer tf/dl/df counts, the same double n_docs/avgdl) through
+# identical IEEE ops in identical order → bit-identical doubles, so
+# even the pre-round ordering agrees. Per-term contributions are
+# PIVOTED into fixed columns and added in literal order — never a
+# float SUM over a shuffle whose order could drift (the same trick as
+# the drift monitor's fixed literal type order).
+_BM25_TERMS = ("dup", "vector", "join")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_term_expr(tf: str, df: str) -> str:
+    k1, b = _BM25_K1, _BM25_B
+    return (
+        f"(ln(1.0 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
+        f" * (CAST({tf} AS DOUBLE) * ({k1} + 1.0))"
+        f" / (CAST({tf} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl)))"
+    )
+
+
+_BM25_SCORE = " + ".join(
+    _bm25_term_expr(f"tf_{t}", f"df_{t}") for t in _BM25_TERMS
+)
+
+
+def _bm25_oracle(k: int) -> str:
+    in_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    tf_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    tf_out = ", ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS dl FROM documents),
+    tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents),
+    tfq AS (
+      SELECT doc_id,
+             {tf_cols}
+      FROM tok WHERE term IN ({in_list}) GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM d),
+    dfs AS (
+      SELECT {df_cols}
+      FROM tfq),
+    scored AS (
+      SELECT t.doc_id, d.dl, {tf_out}, c.n_docs, c.avgdl, dfs.*
+      FROM tfq t JOIN d USING (doc_id) CROSS JOIN corpus c CROSS JOIN dfs)
+    SELECT doc_id, {tf_out}, ROUND({_BM25_SCORE}, 6) AS bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=_bm25_oracle(k=15),
+    survey_ref="extended: BM25 document ranking for a fixed term query (retrieval scoring)",
+    tags=("bench",),
+)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval scoring — the sparse half of a RAG / curation
+    retrieval stack next to the ANN family. Scale shape: the term
+    filter lands immediately after the explode (map-side, before any
+    shuffle), so only query-term hits ever move; tf pivots via
+    conditional sums in ONE doc-keyed aggregation; corpus stats
+    (n_docs, avgdl) and per-term dfs are two 1-row broadcast
+    aggregates. The per-doc score is a fixed-order literal expression —
+    no float sum rides a shuffle, so the result is width-invariant and
+    the oracle replays it bit-exact."""
+    t = tables_for(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", F.size(text.tokens("text")).cast("long").alias("dl")
+    )
+    toks = t["documents"].select(
+        "doc_id", F.explode(text.tokens("text")).alias("term")
+    )
+    tfq = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t_, 1).otherwise(0))
+                .cast("long")
+                .alias(f"tf_{t_}")
+                for t_ in _BM25_TERMS
+            ]
+        )
+    )
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    dfs = tfq.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{t_}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t_}")
+            for t_ in _BM25_TERMS
+        ]
+    )
+    scored = (
+        tfq.join(docs, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dfs))
+        .withColumn("bm25", F.round(F.expr(_BM25_SCORE), 6))
+    )
+    return (
+        scored.select("doc_id", *[f"tf_{t_}" for t_ in _BM25_TERMS], "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(15)
+    )

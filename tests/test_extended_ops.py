@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from data_engineer_8_final_project_spark.registry import all_queries
 
@@ -675,3 +676,42 @@ def test_kmeans_partitions_all_vectors_and_improves_cost(spark, sf_dir):
     assert two["dist"].sum() <= one["dist"].sum() + 64 * n
     # the update must actually move something at this data
     assert two["dist"].sum() < one["dist"].sum()
+
+
+def test_bm25_matches_brute_force_pandas(spark, sf_dir):
+    """Independent recomputation: BM25 (k1=1.2, b=0.75, Lucene idf)
+    over the same whitespace tokens in plain pandas/math must produce
+    the same top-15 ranking and scores (6dp) as the registered
+    fixed-order-expression query."""
+    import math
+
+    from data_engineer_8_final_project_spark.registry import all_queries
+
+    got = all_queries()["bm25_doc_ranking"].fn(spark, sf_dir).toPandas()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    terms = ("dup", "vector", "join")
+    toks = {r.doc_id: r.text.strip().split(" ") for r in docs.itertuples()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+    rows = []
+    for doc_id, tk in toks.items():
+        tf = {t: tk.count(t) for t in terms}
+        if sum(tf.values()) == 0:
+            continue
+        s = sum(
+            math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            * (tf[t] * (k1 + 1.0))
+            / (tf[t] + k1 * (1.0 - b + b * len(tk) / avgdl))
+            for t in terms
+        )
+        rows.append((doc_id, round(s, 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    want = rows[:15]
+    assert [(r.doc_id, r.bm25) for r in got.itertuples()] == [
+        (d, pytest.approx(s, abs=2e-6)) for d, s in want
+    ]
