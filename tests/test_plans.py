@@ -453,6 +453,7 @@ _NESTED_LOOP_OK: dict[str, str] = {
     "idle_rich_customers": "theta vs 1-row avg(c_acctbal) scalar (Q22 shape)",
     "embedding_topk": "cross x 1-row query-vector frame",
     "bigram_logprob": "cross x 1-row distinct-token count (add-1 denominator)",
+    "bm25_doc_ranking": "cross x two 1-row stats frames (corpus n/avgdl + per-term dfs)",
 }
 
 
