@@ -198,6 +198,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # bit-identical across engines and widths (r8)
         "query:event_type_drift",
     ],
+    "table-profile-analyze": [
+        # ANALYZE-shaped per-column profile (null/distinct/min/max) in
+        # ONE scan + ONE aggregation — the ingest trust gate; plan-
+        # pinned single-scan with Expand multi-distinct (r8)
+        "query:table_profile",
+        "test:tests/test_plans.py::test_table_profile_is_single_scan",
+    ],
     "retrieval-bm25": [
         # BM25 lexical retrieval for a fixed term query — the sparse
         # half of a retrieval stack next to the ANN family; per-term

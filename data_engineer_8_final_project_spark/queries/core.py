@@ -1773,3 +1773,51 @@ def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    from ..operators.profiling import CANON
+
+    branches = []
+    for c, kind in _PROFILE_COLS:
+        canon = CANON[kind].replace("AS STRING", "AS VARCHAR")
+        branches.append(
+            f"""
+      SELECT '{c}' AS column_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             {canon.format(v=f"MIN({c})")} AS min_value,
+             {canon.format(v=f"MAX({c})")} AS max_value
+      FROM orders"""
+        )
+    return (
+        "\n    UNION ALL".join(branches) + "\n    ORDER BY column_name"
+    )
+
+
+@register(
+    "table_profile",
+    oracle=_profile_oracle(),
+    survey_ref="extended: one-pass per-column table profile (ANALYZE-shaped ingest gate)",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the orders table — ONE aggregation over ONE scan for
+    all six columns (operators/profiling.py; the oracle's 6-scan
+    UNION ALL is the naive form this replaces). Exact multi-column
+    distinct plans as Expand with map-side partials; the documented
+    100 TB swap is approx_count_distinct."""
+    t = tables_for(spark, sf_dir)
+    from ..operators.profiling import profile
+
+    return profile(t["orders"], _PROFILE_COLS).orderBy("column_name")

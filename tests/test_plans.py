@@ -522,3 +522,14 @@ def test_weighted_sample_per_source_limit_is_pushed_map_side(q):
     s = PI.explain_string(q("weighted_sample_per_source"))
     assert "WindowGroupLimit" in s and "Partial" in s
     assert s.count("hashpartitioning(source") == 1
+
+
+def test_table_profile_is_single_scan(q):
+    """The profiler's pitch is six columns of stats from ONE pass —
+    the plan must hold exactly one scan of orders (the oracle's
+    UNION ALL form scans six times), and the exact multi-distinct
+    must plan as Expand with a partial aggregate before the shuffle."""
+    plan = PI.explain_string(q("table_profile"))
+    scans = _re.findall(r"^\(\d+\) Scan parquet", plan, _re.M)
+    assert len(scans) == 1, "profile re-scans the table"
+    assert "Expand" in plan, "multi-distinct lost its Expand shape"
