@@ -198,6 +198,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # bit-identical across engines and widths (r8)
         "query:event_type_drift",
     ],
+    "graph-bfs-distance": [
+        # fixed-round BFS hop distances from a seed over the k-NN
+        # graph — integer min-propagation, NULL-skipping LEAST carries
+        # the frontier identically on both engines (r8)
+        "query:knn_bfs_hops",
+        "test:tests/test_extended_ops.py::test_bfs_hops_on_hand_graph",
+    ],
     "table-profile-analyze": [
         # ANALYZE-shaped per-column profile (null/distinct/min/max) in
         # ONE scan + ONE aggregation — the ingest trust gate; plan-

@@ -463,3 +463,56 @@ def kmeans_fixed_point(
         F.col("ch.c").alias("cluster"),
         F.col("ch.d").alias("dist"),
     )
+
+
+def bfs_hops_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int,
+    iters: int = 4,
+) -> DataFrame:
+    """Fixed-round breadth-first hop distances from one source over an
+    undirected graph → (id, hops) with −1 for vertices unreached
+    within ``iters`` rounds — the reachability / radius probe of the
+    graph family (e.g. "how many hops of the similarity graph does a
+    seed document influence").
+
+    Pure integer min-propagation, so deterministic on any width: round
+    i sets ``d(v) = least(d(v), min over in-neighbors u of d(u)+1)``
+    (``least`` skips NULLs identically on both engines — an unreached
+    vertex carries NULL until first touched). Fixed rounds keep the
+    plan static for the SQL oracle; a production run iterates until
+    the frontier empties (the same bounded scalar probe as
+    :func:`connected_components`) and propagates only the CHANGED
+    frontier — the delta optimization every Pregel implementation
+    ships; the fixed-round form's per-round cost is one edges⋈dist
+    equi-join + one dst-keyed integer min, key-partitioned shuffles
+    only. Per-generation localCheckpoint (the parquet-staging point of
+    a cluster run) keeps the plan linear — each generation is read by
+    both the join and the carry side.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(None))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        nb = (
+            und.join(dist.withColumnRenamed("id", "src"), "src")
+            .filter(F.col("d").isNotNull())
+            .groupBy("dst")
+            .agg(F.min(F.col("d") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(nb.withColumnRenamed("dst", "id"), "id", "left")
+            .select("id", F.least("d", "nd").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("id", F.coalesce("d", F.lit(-1)).cast("long").alias("hops"))

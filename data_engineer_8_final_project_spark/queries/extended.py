@@ -1782,3 +1782,64 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import clusters
 
     return clusters.kmeans_fixed_point(t["embeddings"], k=8, rounds=2).orderBy("vec_id")
+
+
+def _knn_bfs_oracle(n_cells: int, k: int, source: int, iters: int) -> str:
+    """Replays the fixed-round BFS bit-exact: the shared seeded-medoid
+    k-NN CTEs produce the edge list, then each round is an integer
+    min-propagation — LEAST skips NULLs identically on both engines,
+    so an untouched vertex stays NULL until first reached."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    rounds = []
+    prev = "d0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""m{i} AS (
+      SELECT e.dst AS id, CAST(MIN(p.d + 1) AS BIGINT) AS nd
+      FROM und e JOIN {prev} p ON p.id = e.src
+      WHERE p.d IS NOT NULL
+      GROUP BY e.dst
+    ),
+    d{i} AS (
+      SELECT p.id, LEAST(p.d, m.nd) AS d
+      FROM {prev} p LEFT JOIN m{i} m ON m.id = p.id
+    )"""
+        )
+        prev = f"d{i}"
+    its = ",\n    ".join(rounds)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+    knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
+    und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    d0 AS (SELECT vec_id AS id,
+                  CAST(CASE WHEN vec_id = {source} THEN 0 ELSE NULL END AS BIGINT) AS d
+           FROM emb),
+    {its}
+    SELECT id AS vec_id, CAST(COALESCE(d, -1) AS BIGINT) AS hops FROM {prev}
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "knn_bfs_hops",
+    oracle=_knn_bfs_oracle(n_cells=16, k=3, source=0, iters=4),
+    survey_ref="extended: BFS hop distances from a seed over the k-NN graph",
+)
+def q_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence radius of a seed document over the similarity graph:
+    hop distance from vec_id 0, −1 where unreached within 4 rounds
+    (operators/clusters.bfs_hops_fixed — integer min-propagation,
+    bit-replayable). The cell-blocked k-NN construction bounds
+    reachability to the seed's cell — the documented oracle-replay
+    constraint of the whole knn family."""
+    from ..operators import clusters
+
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"]
+    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    bfs = clusters.bfs_hops_fixed(nodes, g, source=0, iters=4)
+    return bfs.select(F.col("id").alias("vec_id"), "hops").orderBy("vec_id")

@@ -715,3 +715,25 @@ def test_bm25_matches_brute_force_pandas(spark, sf_dir):
     assert [(r.doc_id, r.bm25) for r in got.itertuples()] == [
         (d, pytest.approx(s, abs=2e-6)) for d, s in want
     ]
+
+
+def test_bfs_hops_on_hand_graph(spark):
+    """Chain 0-1-2-3-4 plus isolated 5: hop counts are exact, the
+    unreached vertex reports -1, and iters caps the radius (iters=2
+    leaves vertex 4 unreached but finds 3)."""
+    from data_engineer_8_final_project_spark.operators.clusters import bfs_hops_fixed
+
+    vertices = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    full = {
+        r["id"]: r["hops"]
+        for r in bfs_hops_fixed(vertices, edges, source=0, iters=4).collect()
+    }
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: -1}
+    capped = {
+        r["id"]: r["hops"]
+        for r in bfs_hops_fixed(vertices, edges, source=0, iters=3).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1}
