@@ -130,6 +130,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # must HEAD the r9 window ----
     "event_type_drift",
     "scd2_point_in_time_join",
+    # -- late round-8 additions (kmeans/BM25/profile/BFS): locally
+    # strict-verified at sf0.01 + width-swept; r9-window head with the
+    # two above --
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "table_profile",
+    "knn_bfs_hops",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",
