@@ -198,6 +198,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # bit-identical across engines and widths (r8)
         "query:event_type_drift",
     ],
+    "quality-model-gate": [
+        # literal-logistic classifier gate over the heuristic quality
+        # features (the fasttext-style model filter) — weights are
+        # bounded literals, the whole verdict is map-side (r8)
+        "query:quality_model_filter",
+    ],
     "graph-bfs-distance": [
         # fixed-round BFS hop distances from a seed over the k-NN
         # graph — integer min-propagation, NULL-skipping LEAST carries

@@ -1843,3 +1843,64 @@ def q_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = emb.select(F.col("vec_id").alias("id"))
     bfs = clusters.bfs_hops_fixed(nodes, g, source=0, iters=4)
     return bfs.select(F.col("id").alias("vec_id"), "hops").orderBy("vec_id")
+
+
+# Model-based quality filtering: an offline-trained logistic classifier
+# applied at corpus scale (the fasttext-style "model quality gate"
+# every curation pipeline runs after the heuristic gates). The weights
+# ride into the plan as LITERALS — exactly the IVF-codebook pattern:
+# the model is a bounded parameter, never a join. The margin is a
+# fixed-order literal expression over the already-rounded(4) quality
+# features, shared verbatim between F.expr and the oracle; exp() is
+# the one per-engine libm call, applied to bit-identical inputs and
+# rounded to 6dp (the same accepted tolerance class as ln in tfidf /
+# the drift monitor).
+_QUALITY_MODEL_MARGIN = (
+    "(-2.0"
+    " + 0.8 * (CAST(n_tokens AS DOUBLE) / 100.0)"
+    " + 3.0 * type_token_ratio"
+    " + 1.5 * stopword_ratio"
+    " - 0.6 * (avg_token_len / 10.0))"
+)
+
+
+@register(
+    "quality_model_filter",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens,
+             ROUND(len(list_distinct({_DUCK_TOKENS})) / len({_DUCK_TOKENS}), 4)
+               AS type_token_ratio,
+             ROUND(len(list_filter({_DUCK_TOKENS},
+                                   x -> list_contains({_DUCK_STOPWORDS}, x)))
+                   / len({_DUCK_TOKENS}), 4) AS stopword_ratio,
+             ROUND((length(trim(text)) - (len({_DUCK_TOKENS}) - 1))
+                   / len({_DUCK_TOKENS}), 4) AS avg_token_len
+      FROM documents)
+    SELECT doc_id,
+           ROUND({_QUALITY_MODEL_MARGIN}, 6) AS margin,
+           ROUND(1.0 / (1.0 + exp(-ROUND({_QUALITY_MODEL_MARGIN}, 6))), 6) AS score,
+           ROUND({_QUALITY_MODEL_MARGIN}, 6) >= 0.0 AS keep
+    FROM q
+    ORDER BY doc_id
+    """,
+    survey_ref="extended: model-based quality filter (literal logistic classifier gate)",
+)
+def q_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gate verdict per document: logistic margin over the
+    heuristic quality features, sigmoid score, keep = margin >= 0.
+    Entirely map-side — one scan, zero shuffles before the
+    presentation sort; 100 TB cost is the scan itself. Swapping in a
+    real trained model changes the literals, not the plan."""
+    t = tables_for(spark, sf_dir)
+    q = text.quality_metrics(t["documents"]).select(
+        "doc_id", "n_tokens", "type_token_ratio", "stopword_ratio", "avg_token_len"
+    )
+    m = _QUALITY_MODEL_MARGIN
+    return q.select(
+        "doc_id",
+        F.round(F.expr(m), 6).alias("margin"),
+        F.round(F.expr(f"1.0 / (1.0 + exp(-ROUND({m}, 6)))"), 6).alias("score"),
+        (F.round(F.expr(m), 6) >= 0.0).alias("keep"),
+    ).orderBy("doc_id")

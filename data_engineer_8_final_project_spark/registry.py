@@ -137,6 +137,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bm25_doc_ranking",
     "table_profile",
     "knn_bfs_hops",
+    "quality_model_filter",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",
