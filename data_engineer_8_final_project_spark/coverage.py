@@ -233,6 +233,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:kmeans_clusters",
         "test:tests/test_extended_ops.py::test_kmeans_partitions_all_vectors_and_improves_cost",
     ],
+    "sampling-cluster-balanced": [
+        # learned-key per-cluster quota: k-means topic bucketing +
+        # md5-ordered cap per cluster, the diversity-preserving
+        # selection step of an embedding-curation pipeline; quota is
+        # one map-side WindowGroupLimit window (r8)
+        "query:cluster_balanced_sample",
+        "test:tests/test_sampling_ops.py::test_cluster_balanced_sample_caps_every_cluster",
+    ],
     "split-leakage-safe": [
         # 80/10/10 md5 split keyed on the near-dup CLUSTER id, so
         # near-duplicates move between splits atomically — closes the

@@ -279,6 +279,49 @@ def per_key_cap(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    cap: int = 50,
+) -> DataFrame:
+    """Diversity-preserving corpus selection: k-means topic bucketing
+    composed with a deterministic per-cluster quota → (vec_id, label,
+    cluster, pick_rank).
+
+    The cluster-balanced selection step of an embedding-curation
+    pipeline (pick ≤ ``cap`` exemplars per semantic cluster so no topic
+    dominates the training mix — the same rebalancing idea as
+    :func:`per_key_cap`, but the key is LEARNED from the embedding
+    geometry rather than read from a column). Which rows survive is a
+    pure function of (vec_id, centroid trajectory): cluster membership
+    comes from the integer fixed-point Lloyd run
+    (operators/clusters.kmeans_fixed_point — bit-exact on any shuffle
+    width) and the within-cluster pick order is the stable md5 hash
+    with vec_id tiebreak, so the sample replays value-exact on any
+    engine.
+
+    Scale shape: the k-means rounds are broadcast-Lloyd (map-side
+    assignment against k·dim literal centroids, one k·dim-cell update
+    aggregate per round — no data-row joins), and the quota is ONE
+    window whose ``row_number() <= cap`` compiles to a map-side Partial
+    WindowGroupLimit (InferWindowGroupLimit, Spark 3.5+), so each input
+    partition ships at most ``cap`` rows per cluster into the single
+    (cluster)-keyed exchange — a hot cluster's shuffle input is bounded
+    by cap × partitions, never by cluster population.
+    """
+    from .clusters import kmeans_fixed_point
+
+    labeled = kmeans_fixed_point(emb, k=k, rounds=rounds)
+    w = Window.partitionBy("cluster").orderBy("_pick", "vec_id")
+    return (
+        labeled.withColumn("_pick", _hash60(F.col("vec_id").cast("string")))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= cap)
+        .select("vec_id", "label", "cluster", "pick_rank")
+    )
+
+
 def temperature_mixture_sample(
     documents: DataFrame,
     stratum_col: str = "source",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import parquet_row_count
-from ..operators import dedup, similarity, text
+from ..operators import dedup, sampling, similarity, text
 from ..registry import register, tables_for
 
 # DuckDB token/shingle fragments mirrored from operators/text.py
@@ -1706,13 +1706,11 @@ def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int, rounds: int, scale: int, dim: int) -> str:
-    """Oracle replays the fixed-point Lloyd run exactly: the same
-    ``round(x·scale)`` BIGINT projection, the same k-lowest-vec_id
-    seeds, per round the same exact-integer argmin (tie → lower cid)
-    and the same ``floor(sum/count)`` centroid update (emptied cluster
-    carries its previous centroid) — every quantity an integer, so
-    the replay is bit-exact regardless of engine or ordering."""
+def _kmeans_ctes(k: int, rounds: int, scale: int, dim: int) -> tuple[str, str, str]:
+    """Shared CTE body for the fixed-point Lloyd replays → (ctes,
+    final_centroid_cte, d2_template). Used by the kmeans oracle and
+    every oracle that composes on top of its assignment (e.g. the
+    cluster-balanced sampler)."""
     d2 = (
         "CAST(list_sum(list_transform(list_zip({v}, {c}.cs), "
         "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
@@ -1752,7 +1750,17 @@ def _kmeans_oracle(k: int, rounds: int, scale: int, dim: int) -> str:
         ON {prev}.cid = n.cid)"""
         )
         prev = f"c{i}"
-    joined = ",\n    ".join(ctes)
+    return ",\n    ".join(ctes), prev, d2
+
+
+def _kmeans_oracle(k: int, rounds: int, scale: int, dim: int) -> str:
+    """Oracle replays the fixed-point Lloyd run exactly: the same
+    ``round(x·scale)`` BIGINT projection, the same k-lowest-vec_id
+    seeds, per round the same exact-integer argmin (tie → lower cid)
+    and the same ``floor(sum/count)`` centroid update (emptied cluster
+    carries its previous centroid) — every quantity an integer, so
+    the replay is bit-exact regardless of engine or ordering."""
+    joined, prev, d2 = _kmeans_ctes(k, rounds, scale, dim)
     return f"""
     WITH {joined}
     SELECT vec_id, label, cid AS cluster, d AS dist FROM (
@@ -1763,6 +1771,33 @@ def _kmeans_oracle(k: int, rounds: int, scale: int, dim: int) -> str:
       FROM sv CROSS JOIN {prev} c) t
     WHERE rn = 1
     ORDER BY vec_id
+    """
+
+
+def _cluster_balanced_oracle(
+    k: int, rounds: int, scale: int, dim: int, cap: int
+) -> str:
+    """Replays kmeans assignment (shared CTEs) then the deterministic
+    per-cluster quota: rank by the portable md5-prefix hash with
+    vec_id tiebreak, keep rank ≤ cap — every step value-exact."""
+    joined, prev, d2 = _kmeans_ctes(k, rounds, scale, dim)
+    return f"""
+    WITH {joined},
+    assign AS (
+      SELECT vec_id, label, cid AS cluster FROM (
+        SELECT sv.vec_id, sv.label, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY sv.vec_id ORDER BY
+                 {d2.format(v="sv.s", c="c")} ASC, c.cid ASC) AS rn
+        FROM sv CROSS JOIN {prev} c) t
+      WHERE rn = 1)
+    SELECT vec_id, label, cluster, pick_rank FROM (
+      SELECT vec_id, label, cluster,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+               vec_id ASC) AS BIGINT) AS pick_rank
+      FROM assign) r
+    WHERE pick_rank <= {cap}
+    ORDER BY cluster, pick_rank
     """
 
 
@@ -1782,6 +1817,23 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import clusters
 
     return clusters.kmeans_fixed_point(t["embeddings"], k=8, rounds=2).orderBy("vec_id")
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=_cluster_balanced_oracle(k=8, rounds=2, scale=10**6, dim=64, cap=50),
+    survey_ref="extended: cluster-balanced corpus selection (learned-key per-cluster quota)",
+    tags=("bench",),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving selection: ≤50 exemplars per k-means topic
+    cluster, picked by stable md5 order
+    (operators/sampling.cluster_balanced_sample) — the learned-key twin
+    of per_key_cap, with the same map-side WindowGroupLimit quota."""
+    t = tables_for(spark, sf_dir)
+    return sampling.cluster_balanced_sample(
+        t["embeddings"], k=8, rounds=2, cap=50
+    ).orderBy("cluster", "pick_rank")
 
 
 def _knn_bfs_oracle(n_cells: int, k: int, source: int, iters: int) -> str:

@@ -138,6 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "knn_bfs_hops",
     "quality_model_filter",
+    "cluster_balanced_sample",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -94,3 +94,38 @@ def test_temperature_sample_deterministic_across_partitioning(spark, sf_dir):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark, sf_dir):
+    """Learned-key quota: every k-means cluster contributes at most
+    ``cap`` rows, pick_rank is dense 1..n within each cluster, the
+    surviving (vec_id → cluster) assignment agrees with the standalone
+    k-means run, and membership is invariant to input partitioning."""
+    emb = catalog.load(spark, sf_dir)["embeddings"]
+    out = sampling.cluster_balanced_sample(emb, k=4, rounds=2, cap=30)
+    rows = out.collect()
+    assert rows
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.pick_rank)
+    for c, ranks in by_cluster.items():
+        assert len(ranks) <= 30, f"cluster {c} over cap"
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), c
+    # assignment agrees with the standalone Lloyd run
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    full = {
+        r.vec_id: r.cluster
+        for r in clusters.kmeans_fixed_point(emb, k=4, rounds=2).collect()
+    }
+    assert all(full[r.vec_id] == r.cluster for r in rows)
+    # partitioning-invariant membership
+    again = sorted(
+        map(
+            tuple,
+            sampling.cluster_balanced_sample(
+                emb.repartition(13), k=4, rounds=2, cap=30
+            ).collect(),
+        )
+    )
+    assert again == sorted(map(tuple, rows))
