@@ -218,6 +218,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "retrieval-maxsim-multivector": [
+        # ColBERT-style late interaction: Σ_q max_t <q,t> over token
+        # sub-vectors, integer fixed-point, literal query tokens →
+        # map-side scan + TakeOrderedAndProject; the reranker shape
+        # to put behind the IVF first stage (r8)
+        "query:maxsim_multivector_topk",
+        "test:tests/test_extended_ops.py::test_maxsim_dominates_aligned_dot_and_orders_desc",
+    ],
     "retrieval-bm25": [
         # BM25 lexical retrieval for a fixed term query — the sparse
         # half of a retrieval stack next to the ANN family; per-term

@@ -1317,3 +1317,75 @@ def knn_triangle_stats(
             .alias("lcc"),
         )
     )
+
+
+def maxsim_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_tokens: int = 4,
+    k: int = 10,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Multi-vector "late interaction" retrieval (ColBERT-style MaxSim)
+    → the k docs with the highest ``Σ_q max_t <q, t>`` score, where
+    each document is represented by ``n_tokens`` sub-vectors rather
+    than one pooled embedding → (vec_id, label, score).
+
+    The fixture corpus has one 64-d vector per doc, so token vectors
+    are its ``n_tokens`` contiguous slices (64/n_tokens dims each) — a
+    deterministic stand-in for per-token encoder output; the operator
+    body is representation-agnostic. The query's token vectors come
+    from ``query_vec_id``'s row (one bounded collect — the same
+    one-row model-parameter budget as the brute-force query vector).
+
+    Determinism: components are scaled to BIGINT (``round(x·scale)``),
+    every dot product is an exact integer sum (16 dims × 10¹² per term
+    ≈ 1.6·10¹³ ≪ 2⁶³; the n_tokens² MaxSim sum stays < 10¹⁵), the
+    final order is (score DESC, vec_id ASC) — tiebreak-complete, so
+    the top-k is bit-identical on any engine or shuffle width.
+
+    Scale shape: the score is a pure literal expression tree — the
+    n_tokens query slices ride into the plan as literal arrays, so the
+    scan is MAP-SIDE ONLY (no join, no shuffle) and the global top-k
+    compiles to TakeOrderedAndProject (per-partition k survivors, one
+    k·partitions merge at the driver). At 100 TB this is the exact
+    shape you want for a reranker over a candidate set; a first-stage
+    retriever would put the IVF family in front of it.
+    """
+    dim_per = 64 // n_tokens
+    sv = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("s"),
+    )
+    # one-row bounded collect: the query's token matrix
+    qrow = sv.filter(F.col("vec_id") == query_vec_id).select("s").collect()[0]["s"]
+    qtoks = [
+        [int(v) for v in qrow[i * dim_per : (i + 1) * dim_per]]
+        for i in range(n_tokens)
+    ]
+
+    def dot_lit(doc_tok: Column, q: list[int]) -> Column:
+        lit = F.array(*[F.lit(v).cast("long") for v in q])
+        return F.aggregate(
+            F.zip_with(doc_tok, lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    doc_toks = [
+        F.slice(F.col("s"), 1 + i * dim_per, dim_per) for i in range(n_tokens)
+    ]
+    score = None
+    for q in qtoks:
+        best = F.greatest(*[dot_lit(t, q) for t in doc_toks])
+        score = best if score is None else score + best
+    return (
+        sv.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )

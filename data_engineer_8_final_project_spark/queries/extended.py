@@ -1836,6 +1836,56 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster", "pick_rank")
 
 
+def _maxsim_oracle(query_vec_id: int, n_tokens: int, k: int, scale: int) -> str:
+    """Replays the MaxSim run value-exact: same BIGINT projection,
+    same slice boundaries, every dot an exact integer sum, same
+    (score DESC, vec_id ASC) tiebreak-complete top-k."""
+    dim_per = 64 // n_tokens
+
+    def dot(qi: int, ti: int) -> str:
+        qa, qb = qi * dim_per + 1, (qi + 1) * dim_per
+        ta, tb = ti * dim_per + 1, (ti + 1) * dim_per
+        return (
+            f"CAST(list_sum(list_transform(list_zip(q.qs[{qa}:{qb}], "
+            f"sv.s[{ta}:{tb}]), p -> p[1]*p[2])) AS BIGINT)"
+        )
+
+    maxes = " + ".join(
+        "GREATEST(" + ", ".join(dot(qi, ti) for ti in range(n_tokens)) + ")"
+        for qi in range(n_tokens)
+    )
+    return f"""
+    WITH sv AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{scale}.0) AS BIGINT)) AS s
+      FROM embeddings),
+    q AS (SELECT s AS qs FROM sv WHERE vec_id = {query_vec_id})
+    SELECT sv.vec_id, sv.label, {maxes} AS score
+    FROM sv CROSS JOIN q
+    WHERE sv.vec_id <> {query_vec_id}
+    ORDER BY score DESC, sv.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register(
+    "maxsim_multivector_topk",
+    oracle=_maxsim_oracle(query_vec_id=0, n_tokens=4, k=10, scale=10**6),
+    survey_ref="extended: multi-vector late-interaction retrieval (ColBERT-style MaxSim top-k)",
+    tags=("bench",),
+)
+def q_maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction reranking: each doc scored by
+    Σ_q max_t <query-token, doc-token> over 4 token sub-vectors
+    (operators/similarity.maxsim_topk) — integer fixed-point, literal
+    query tokens, map-side scan + TakeOrderedAndProject top-k."""
+    t = tables_for(spark, sf_dir)
+    return similarity.maxsim_topk(
+        t["embeddings"], query_vec_id=0, n_tokens=4, k=10
+    ).orderBy(F.desc("score"), F.asc("vec_id"))
+
+
 def _knn_bfs_oracle(n_cells: int, k: int, source: int, iters: int) -> str:
     """Replays the fixed-round BFS bit-exact: the shared seeded-medoid
     k-NN CTEs produce the edge list, then each round is an integer

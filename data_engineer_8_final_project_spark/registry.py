@@ -139,6 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_bfs_hops",
     "quality_model_filter",
     "cluster_balanced_sample",
+    "maxsim_multivector_topk",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -737,3 +737,29 @@ def test_bfs_hops_on_hand_graph(spark):
         for r in bfs_hops_fixed(vertices, edges, source=0, iters=3).collect()
     }
     assert capped == {0: 0, 1: 1, 2: 2, 3: 3, 4: -1, 5: -1}
+
+
+def test_maxsim_dominates_aligned_dot_and_orders_desc(spark, sf_dir):
+    """MaxSim property: Σ_q max_t <q,t> ≥ Σ_q <q,t_q> (the aligned
+    assignment is one candidate of each max), so every returned score
+    must be ≥ the scaled full-vector dot product with the query; and
+    the top-k comes back score-DESC with vec_id tiebreak."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.maxsim_topk(emb, query_vec_id=0, n_tokens=4, k=10).collect()
+    assert len(out) == 10
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # exact integer full-vector dots computed driver-side
+    rows = {r.vec_id: r.s for r in emb.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000000).cast("long")).alias("s"),
+    ).collect()}
+    q = rows[0]
+    for r in out:
+        aligned = sum(a * b for a, b in zip(q, rows[r.vec_id]))
+        assert r.score >= aligned, r.vec_id
