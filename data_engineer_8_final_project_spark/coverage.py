@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-attribution-last-touch": [
+        # last-touch marketing attribution: carry-forward ignorenulls
+        # window (ts, event_id tiebreak) + lookback gate + integer-cent
+        # revenue rollup — one user_id shuffle end to end (r8)
+        "query:attribution_last_touch",
+        "test:tests/test_extended_ops.py::test_attribution_last_touch_hand_cases",
+    ],
     "retrieval-maxsim-multivector": [
         # ColBERT-style late interaction: Σ_q max_t <q,t> over token
         # sub-vectors, integer fixed-point, literal query tokens →

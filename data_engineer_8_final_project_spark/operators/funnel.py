@@ -87,3 +87,57 @@ def funnel(events: DataFrame) -> DataFrame:
 
         return user_funnel_stream(events)
     return batch_funnel(events)
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    conversion_type: str = "purchase",
+    lookback_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Last-touch attribution → (channel, n_purchases,
+    attributed_revenue): each conversion credits the user's most recent
+    prior touch event within the lookback, else the 'direct' bucket.
+
+    ONE user-keyed window pass (carry-forward ``last`` with ignorenulls
+    over a rows-preceding frame, (ts, event_id) tiebreak — deterministic
+    on any shuffle width) + a |channels|-row rollup. Revenue is summed
+    as exact integer cents so no float reduction rides the shuffle; the
+    double is derived once from the exact BIGINT.
+    """
+    from pyspark.sql import Window
+
+    e = events.select("user_id", "ts", "event_id", "event_type", "value")
+    is_touch = F.col("event_type").isin(*touch_types)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lt_type = F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w)
+    lt_us = F.last(
+        F.when(is_touch, F.unix_micros(F.col("ts"))), ignorenulls=True
+    ).over(w)
+    conversions = (
+        e.withColumn("lt_type", lt_type)
+        .withColumn("lt_us", lt_us)
+        .filter(F.col("event_type") == conversion_type)
+        .select(
+            F.when(
+                F.col("lt_us").isNotNull()
+                & (F.unix_micros(F.col("ts")) - F.col("lt_us") <= lookback_us),
+                F.col("lt_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        conversions.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.round(F.sum("cents") / 100.0, 2) + 0.0).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )

@@ -831,6 +831,58 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "attribution_last_touch",
+    oracle="""
+    -- Last-touch marketing attribution: every purchase credits the
+    -- most recent prior view/click/signup by the same user within a
+    -- 24 h lookback, else the 'direct' bucket. Revenue sums ride as
+    -- exact integer cents so no float sum crosses a shuffle.
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_type,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt_us
+      FROM events),
+    p AS (
+      SELECT CASE WHEN lt_us IS NOT NULL
+                       AND epoch_us(ts) - lt_us <= 86400000000
+                  THEN lt_type ELSE 'direct' END AS channel,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM base WHERE event_type = 'purchase')
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) + 0.0
+             AS attributed_revenue
+    FROM p GROUP BY channel ORDER BY channel
+    """,
+    survey_ref="extended: last-touch attribution (lookback-bounded carry-forward window)",
+    tags=("bench",),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits
+    the user's most recent prior touch event (view/click/signup)
+    within a 24 h lookback; purchases with no in-window touch land in
+    'direct'. ONE user-keyed window pass (carry-forward `last` with
+    ignorenulls over rows-preceding frame, (ts, event_id) tiebreak —
+    deterministic on any width) + a tiny channel rollup. Revenue is
+    summed as exact integer cents, so the double is computed once from
+    an exact BIGINT — no float reduction rides the shuffle. At 100 TB:
+    one shuffle on user_id, then a |channels|-row aggregate.
+    Logic: operators/funnel.last_touch_attribution."""
+    from ..operators.funnel import last_touch_attribution
+
+    t = tables_for(spark, sf_dir)
+    return last_touch_attribution(t["events"])
+
+
+@register(
     "event_funnel_stream",
     oracle=EVENT_FUNNEL_ORACLE,
     survey_ref="§2.9 T3 extended: stateful streaming funnel (GroupState min-chaining)",

@@ -140,6 +140,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_model_filter",
     "cluster_balanced_sample",
     "maxsim_multivector_topk",
+    "attribution_last_touch",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -763,3 +763,38 @@ def test_maxsim_dominates_aligned_dot_and_orders_desc(spark, sf_dir):
     for r in out:
         aligned = sum(a * b for a, b in zip(q, rows[r.vec_id]))
         assert r.score >= aligned, r.vec_id
+
+
+def test_attribution_last_touch_hand_cases(spark):
+    """Hand graph of the three attribution cases: purchase right after
+    a click → that channel; purchase with no prior touch → direct;
+    purchase whose only touch is outside the 24 h lookback → direct;
+    an intervening error event never takes credit."""
+    import datetime as dt
+
+    from data_engineer_8_final_project_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: click then purchase 10 min later -> click
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=5), 2, "error", 9.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=10), 3, "purchase", 10.00, "{}"),
+        # user 2: no prior touch -> direct
+        (2, t0, 4, "purchase", 5.50, "{}"),
+        # user 3: view 2 days before purchase -> outside lookback -> direct
+        (3, t0 - dt.timedelta(days=2), 5, "view", 1.0, "{}"),
+        (3, t0, 6, "purchase", 7.25, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.channel: (r.n_purchases, r.attributed_revenue)
+        for r in last_touch_attribution(df).collect()
+    }
+    assert out == {"click": (1, 10.00), "direct": (2, 12.75)}
