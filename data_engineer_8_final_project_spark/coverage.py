@@ -218,6 +218,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "features-ewma-fixed-lag": [
+        # trailing EWMA feature: 8-lag truncated recurrence as one
+        # windowed expression (single Window node / one user_id
+        # shuffle); alpha=1/4 exact binary fraction so the shared
+        # Spark/DuckDB expression is bit-identical (r8)
+        "query:ewma_user_value",
+        "test:tests/test_extended_ops.py::test_ewma_hand_values_and_single_window_node",
+    ],
     "analytics-attribution-last-touch": [
         # last-touch marketing attribution: carry-forward ignorenulls
         # window (ts, event_id tiebreak) + lookback gate + integer-cent

@@ -830,6 +830,64 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed-lag EWMA: alpha·(1−alpha)^i weights over the 8 most recent
+#: events. Truncating the recurrence to a literal 8-term window makes
+#: the smoother a PURE EXPRESSION — no sequential state, no float sum
+#: riding a shuffle — and renormalizing by the weights actually present
+#: handles short histories exactly. The expression string is shared
+#: VERBATIM by Spark `F.expr` and the DuckDB oracle, so the doubles are
+#: bit-identical (same IEEE tree, correctly-rounded ops). alpha is
+#: deliberately an exact binary fraction (1/4): every weight
+#: 3^i/4^(i+1) and every subset-sum of weights is exactly representable
+#: in both double and decimal — so even though Spark parses the bare
+#: literals as DECIMAL and DuckDB as DOUBLE, both sides hold the
+#: identical exact value at every step (verified by the strict hash at
+#: both SFs).
+_EWMA_ALPHA = 0.25
+_EWMA_LAGS = 8
+
+
+def _ewma_expr() -> str:
+    ow = "PARTITION BY user_id ORDER BY ts, event_id"
+    num, den = [], []
+    for i in range(_EWMA_LAGS):
+        w = repr(_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i)
+        v = f"LAG(value, {i}) OVER ({ow})" if i else "value"
+        num.append(f"(CASE WHEN {v} IS NOT NULL THEN {w} * {v} ELSE 0.0 END)")
+        den.append(f"(CASE WHEN {v} IS NOT NULL THEN {w} ELSE 0.0 END)")
+    return f"ROUND(({' + '.join(num)}) / ({' + '.join(den)}), 4) + 0.0"
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    -- Per-event trailing EWMA feature (8-lag truncation, alpha=0.25):
+    -- the identical expression string the Spark side runs via F.expr.
+    SELECT event_id, user_id, {_ewma_expr()} AS ewma_value
+    FROM events ORDER BY event_id
+    """,
+    survey_ref="extended: fixed-lag EWMA time-series feature (shared-expression determinism)",
+    tags=("bench",),
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing EWMA of the user's last 8 event values — the
+    feature-engineering primitive behind burst/decay signals. The
+    8-lag truncated form turns the sequential recurrence into a pure
+    windowed expression: ONE user_id shuffle, 8 LAGs over one shared
+    window spec (computed in a single Window physical node), weights as
+    literals in fixed order — width-invariant doubles, oracle-exact.
+    At 100 TB the alternative (true infinite-horizon EWMA) needs an
+    ordered per-key scan (applyInPandas or transformWithState); the
+    truncated form is the shuffle-friendly default with error bounded
+    by (1-alpha)^8 ≈ 0.1 of weight mass."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["events"]
+        .select("event_id", "user_id", F.expr(_ewma_expr()).alias("ewma_value"))
+        .orderBy("event_id")
+    )
+
+
 @register(
     "attribution_last_touch",
     oracle="""

@@ -141,6 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cluster_balanced_sample",
     "maxsim_multivector_topk",
     "attribution_last_touch",
+    "ewma_user_value",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -798,3 +798,36 @@ def test_attribution_last_touch_hand_cases(spark):
         for r in last_touch_attribution(df).collect()
     }
     assert out == {"click": (1, 10.00), "direct": (2, 12.75)}
+
+
+def test_ewma_hand_values_and_single_window_node(spark):
+    """EWMA hand-check: one event → ewma = value (renormalization);
+    two events → alpha-weighted mean of (current, prev) with weights
+    renormalized over the two present lags. Also pins that all 8 LAGs
+    share ONE Window physical node (single user_id shuffle)."""
+    import datetime as dt
+
+    from data_engineer_8_final_project_spark.queries.streaming_q import _ewma_expr
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 1, "view", 10.0, "{}"),
+            (2, t0, 2, "view", 4.0, "{}"),
+            (2, t0 + dt.timedelta(minutes=1), 3, "view", 8.0, "{}"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    out = df.select("event_id", F.expr(_ewma_expr()).alias("e"))
+    got = {r.event_id: r.e for r in out.collect()}
+    assert got[1] == 10.0
+    assert got[2] == 4.0
+    # two-lag renormalized: (0.25*8 + 0.1875*4) / (0.25 + 0.1875)
+    expected = round((0.25 * 8.0 + 0.1875 * 4.0) / 0.4375, 4)
+    assert got[3] == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("+- Window ") == 1, final
+    assert final.count("Exchange") == 1, final
