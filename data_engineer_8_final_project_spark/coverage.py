@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "quality-outliers-mad": [
+        # robust per-type outlier screen: rank-exact median/MAD (no
+        # engine quantile interpolation), broadcast stats, 4.4478·MAD
+        # gate; documented approx_percentile swap at 100 TB (r8)
+        "query:value_outliers_mad",
+        "test:tests/test_extended_ops.py::test_mad_outliers_hand_distribution",
+    ],
     "features-ewma-fixed-lag": [
         # trailing EWMA feature: 8-lag truncated recurrence as one
         # windowed expression (single Window node / one user_id

@@ -59,3 +59,83 @@ def profile(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
         "(column_name, n_null, n_distinct, min_value, max_value)",
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+
+
+def mad_outlier_stats(events: DataFrame, k_mad: str = "4.4478") -> DataFrame:
+    """Robust per-type outlier screen → (event_type, n_events, med,
+    mad, n_outliers): median / median-absolute-deviation and the count
+    of values beyond ``k_mad``·MAD (4.4478 ≈ 3σ under normality via the
+    1.4826 consistency constant) — the quarantine gate a pipeline runs
+    on numeric feeds before trusting aggregates, immune to the very
+    outliers it hunts (unlike mean/stddev z-scores).
+
+    Medians are EXPLICIT RANK SELECTIONS, not an engine quantile
+    function: row_number over (value, event_id) picks the middle one
+    or two rows and averages them — addition of two doubles is
+    commutative-exact, so the result is bit-identical everywhere,
+    whereas interpolating quantile implementations differ in formula
+    ((1−g)·lo + g·hi vs lo + g·(hi−lo)) in the last ulp across
+    engines. ``k_mad`` stays a string so both sides parse the SAME
+    literal.
+
+    Scale shape: two window passes + one aggregate, all keyed on
+    event_type. The key is LOW-CARDINALITY by nature (a handful of
+    types), so per-type sort-window work is the bottleneck at 100 TB —
+    the documented swap is approx_percentile(0.5) per type (one pass,
+    mergeable sketches, no per-type total sort; accuracy path covered
+    by tests/test_approx.py); the exact rank form is registered
+    because the oracle replays it value-for-value.
+    """
+    from pyspark.sql import Window
+
+    e = events.select("event_type", "event_id", "value")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # middle one (odd n) or two (even n) ranks: (n+1)//2 and (n+2)//2
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("med"))
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    wa = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "ad",
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = (
+        dranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.round(F.min("med"), 4) + 0.0).alias("med"),
+            (F.round(F.min("mad"), 4) + 0.0).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > F.expr(f"{k_mad} * mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

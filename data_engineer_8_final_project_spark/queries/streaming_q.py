@@ -859,6 +859,66 @@ def _ewma_expr() -> str:
 
 
 @register(
+    "value_outliers_mad",
+    oracle="""
+    -- Robust per-type outlier screen: median / MAD via EXPLICIT rank
+    -- selection (engine quantile interpolation formulas differ in the
+    -- last ulp), outliers = |v - med| > 4.4478 * MAD (~3 sigma).
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    med AS (
+      SELECT event_type, AVG(value) AS med
+      FROM ranked
+      WHERE rn = CAST(FLOOR((n+1)/2) AS BIGINT)
+         OR rn = CAST(FLOOR((n+2)/2) AS BIGINT)
+      GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS ad, m.med
+      FROM e JOIN med m USING (event_type)),
+    dranked AS (
+      SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ad, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type, AVG(ad) AS mad
+      FROM dranked
+      WHERE rn = CAST(FLOOR((n+1)/2) AS BIGINT)
+         OR rn = CAST(FLOOR((n+2)/2) AS BIGINT)
+      GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MIN(d.med), 4) + 0.0 AS med,
+           ROUND(MIN(m.mad), 4) + 0.0 AS mad,
+           CAST(SUM(CASE WHEN d.ad > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    survey_ref="extended: robust MAD outlier screen (rank-exact medians)",
+    tags=("bench",),
+)
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier screen: median, MAD, and the
+    count beyond 4.4478·MAD (operators/profiling.mad_outlier_stats).
+    Medians are explicit rank selections (bit-portable, unlike
+    interpolating quantile functions); the two tiny per-type stats
+    frames broadcast back onto the scan. The documented 100 TB swap is
+    approx_percentile per type — the exact rank form is registered
+    because the oracle replays it value-for-value."""
+    from ..operators.profiling import mad_outlier_stats
+
+    t = tables_for(spark, sf_dir)
+    return mad_outlier_stats(t["events"])
+
+
+@register(
     "ewma_user_value",
     oracle=f"""
     -- Per-event trailing EWMA feature (8-lag truncation, alpha=0.25):

@@ -142,6 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "maxsim_multivector_topk",
     "attribution_last_touch",
     "ewma_user_value",
+    "value_outliers_mad",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -831,3 +831,28 @@ def test_ewma_hand_values_and_single_window_node(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("+- Window ") == 1, final
     assert final.count("Exchange") == 1, final
+
+
+def test_mad_outliers_hand_distribution(spark):
+    """Hand check: values 1..9 plus a 100 spike → median 5.5, MAD 2.5,
+    exactly one value beyond 4.4478·MAD; the clean type flags none."""
+    import datetime as dt
+
+    from data_engineer_8_final_project_spark.operators.profiling import (
+        mad_outlier_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, i, "spiky", float(v), "{}")
+            for i, v in enumerate(list(range(1, 10)) + [100])]
+    rows += [(2, t0, 100 + i, "clean", float(v), "{}") for i, v in enumerate([5, 6, 7])]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in mad_outlier_stats(df).collect()}
+    s = out["spiky"]
+    assert (s.n_events, s.med, s.mad, s.n_outliers) == (10, 5.5, 2.5, 1)
+    c = out["clean"]
+    assert (c.n_events, c.med, c.mad, c.n_outliers) == (3, 6.0, 1.0, 0)
