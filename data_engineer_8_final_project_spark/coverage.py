@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-grouped-ols-trend": [
+        # per-nation closed-form least squares: integer-cent moments
+        # (n, Σx, Σy, Σxy, Σx²) as exact BIGINT sums, slope = one
+        # double division — width-invariant; numpy polyfit cross-check
+        "query:revenue_trend_by_nation",
+        "test:tests/test_extended_ops.py::test_revenue_trend_matches_numpy_polyfit",
+    ],
     "quality-outliers-mad": [
         # robust per-type outlier screen: rank-exact median/MAD (no
         # engine quantile interpolation), broadcast stats, 4.4478·MAD

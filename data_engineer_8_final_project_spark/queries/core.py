@@ -1821,3 +1821,91 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import profile
 
     return profile(t["orders"], _PROFILE_COLS).orderBy("column_name")
+
+
+@register(
+    "revenue_trend_by_nation",
+    oracle="""
+    -- Grouped closed-form OLS: per-nation linear trend of yearly
+    -- revenue. Revenue rides as exact integer cents; the OLS moments
+    -- (n, Σx, Σy, Σxy, Σx²) are pure BIGINT sums, so numerator and
+    -- denominator are exact integers and the slope is ONE double
+    -- division — bit-identical on any engine or shuffle width.
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)),
+    moments AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(yr) AS BIGINT) AS sx,
+             CAST(SUM(rev_cents) AS BIGINT) AS sy,
+             CAST(SUM(yr * rev_cents) AS BIGINT) AS sxy,
+             CAST(SUM(yr * yr) AS BIGINT) AS sxx
+      FROM yearly GROUP BY nation)
+    SELECT nation,
+           n AS n_years,
+           ROUND(sy / 100.0, 2) + 0.0 AS total_revenue,
+           ROUND((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+                 / 100.0, 4) + 0.0 AS slope_per_year
+    FROM moments
+    WHERE n >= 2
+    ORDER BY nation
+    """,
+    survey_ref="extended: grouped closed-form OLS trend (integer-moment regression)",
+    tags=("bench",),
+)
+def q_revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend by closed-form least squares — the
+    grouped-regression primitive of a metrics warehouse (is each
+    market growing, and how fast?). Determinism: revenue is summed as
+    exact integer cents and all five OLS moments are BIGINT sums, so
+    the slope is a single double division of two exact integers — no
+    float reduction ever rides a shuffle. Integer headroom: Σ(yr ·
+    cents) stays < 2⁶³ through ~10¹⁴ cents per nation-year; past that
+    the moments swap to DECIMAL(38,0), same plan. Scale shape: dims
+    broadcast onto the orders scan, one (nation, year) partial-agg
+    shuffle that collapses to |nations|·|years| rows, then a
+    |nations|-row moment rollup — nothing downstream of the first
+    aggregate sees data volume."""
+    t = tables_for(spark, sf_dir)
+    yearly = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    moments = yearly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yr").cast("long").alias("sx"),
+        F.sum("rev_cents").cast("long").alias("sy"),
+        F.sum(F.col("yr") * F.col("rev_cents")).cast("long").alias("sxy"),
+        F.sum(F.col("yr") * F.col("yr")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        moments.filter(F.col("n") >= 2)
+        .select(
+            "nation",
+            F.col("n").alias("n_years"),
+            (F.round(F.col("sy") / 100.0, 2) + 0.0).alias("total_revenue"),
+            (F.round(num / den / 100.0, 4) + 0.0).alias("slope_per_year"),
+        )
+        .orderBy("nation")
+    )

@@ -143,6 +143,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "ewma_user_value",
     "value_outliers_mad",
+    "revenue_trend_by_nation",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -856,3 +856,35 @@ def test_mad_outliers_hand_distribution(spark):
     assert (s.n_events, s.med, s.mad, s.n_outliers) == (10, 5.5, 2.5, 1)
     c = out["clean"]
     assert (c.n_events, c.med, c.mad, c.n_outliers) == (3, 6.0, 1.0, 0)
+
+
+def test_revenue_trend_matches_numpy_polyfit(spark, sf_dir):
+    """The integer-moment OLS slope must agree with numpy's float
+    least-squares on the same yearly series (to rounding tolerance) —
+    an independent reimplementation, not a replay of the SQL."""
+    from pyspark.sql import functions as F
+
+    got = {
+        r.nation: r.slope_per_year
+        for r in all_queries()["revenue_trend_by_nation"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) > 0
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, float]]] = {}
+    for r in yearly:
+        series.setdefault(r.n_name, []).append((r.yr, r.rev))
+    for nat, pts in series.items():
+        if len(pts) < 2 or nat not in got:
+            continue
+        xs, ys = zip(*sorted(pts))
+        slope = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)[0]
+        assert abs(got[nat] - slope) < max(1e-3, abs(slope) * 1e-5), nat
