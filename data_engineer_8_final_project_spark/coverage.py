@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-rfm-segmentation": [
+        # RFM quartile coding via the distributed two-phase global
+        # rank (no Exchange SinglePartition), exact-cent monetary,
+        # frozen recency anchor; width-invariance pinned in pytest
+        "query:rfm_segments",
+        "test:tests/test_extended_ops.py::test_rfm_segments_partition_and_quartile_invariants",
+    ],
     "analytics-grouped-ols-trend": [
         # per-nation closed-form least squares: integer-cent moments
         # (n, Σx, Σy, Σxy, Σx²) as exact BIGINT sums, slope = one

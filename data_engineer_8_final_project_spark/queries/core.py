@@ -1909,3 +1909,108 @@ def q_revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    -- RFM customer segmentation: per-customer recency (days to the
+    -- frozen anchor), frequency, monetary (exact cents); each metric
+    -- quartile-coded by GLOBAL RANK (1 + floor(4*(rn-1)/n)), which is
+    -- deterministic under the tiebreak-complete orders — unlike
+    -- NTILE-off-a-float-quantile, every engine assigns identically.
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '2001-09-01') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, cents,
+             ROW_NUMBER() OVER (ORDER BY recency_days ASC, o_custkey ASC) AS rrn,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey ASC) AS frn,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS mrn,
+             COUNT(*) OVER () AS n
+      FROM base),
+    coded AS (
+      SELECT cents,
+             CONCAT(1 + CAST(FLOOR(4.0 * (rrn - 1) / n) AS BIGINT),
+                    1 + CAST(FLOOR(4.0 * (frn - 1) / n) AS BIGINT),
+                    1 + CAST(FLOOR(4.0 * (mrn - 1) / n) AS BIGINT)) AS segment
+      FROM ranked)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) + 0.0 AS total_monetary
+    FROM coded GROUP BY segment ORDER BY segment
+    """,
+    survey_ref="extended: RFM segmentation (rank-quartile coding, distributed global rank)",
+    tags=("bench",),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM segmentation: recency/frequency/monetary quartile
+    codes per customer, rolled up to segment counts + revenue. Each
+    quartile is a GLOBAL-RANK bucket computed with
+    operators/sampling.distributed_row_number — range-partitioned
+    two-phase rank, so there is NO single-task global window anywhere
+    (the naive ``ntile(4) OVER (ORDER BY ...)`` plans an Exchange
+    SinglePartition — one task sorts every customer). Monetary rides
+    as exact integer cents; the customer count enters the bucket
+    formula as one bounded scalar probe. All orders-derived, one
+    custkey aggregation feeding three |customers|-row rank passes."""
+    from ..operators.sampling import distributed_row_number
+
+    t = tables_for(spark, sf_dir)
+    base = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("date"),
+                F.max("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .withColumn("neg_freq", -F.col("freq"))
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    n = base.count()  # bounded scalar probe: |customers|
+
+    def code(rank_col: str):
+        return (
+            1 + F.floor(4.0 * (F.col(rank_col) - 1) / F.lit(n))
+        ).cast("long")
+
+    r = distributed_row_number(
+        base.select("o_custkey", "recency_days"),
+        ("recency_days", "o_custkey"), "rrn",
+    ).select("o_custkey", "rrn")
+    f = distributed_row_number(
+        base.select("o_custkey", "neg_freq"), ("neg_freq", "o_custkey"), "frn"
+    ).select("o_custkey", "frn")
+    m = distributed_row_number(
+        base.select("o_custkey", "neg_cents", "cents"),
+        ("neg_cents", "o_custkey"), "mrn",
+    ).select("o_custkey", "cents", "mrn")
+    coded = (
+        r.join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .select(
+            F.concat(code("rrn"), code("frn"), code("mrn")).alias("segment"),
+            "cents",
+        )
+    )
+    return (
+        coded.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.round(F.sum("cents") / 100.0, 2) + 0.0).alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )

@@ -144,6 +144,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ewma_user_value",
     "value_outliers_mad",
     "revenue_trend_by_nation",
+    "rfm_segments",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -888,3 +888,26 @@ def test_revenue_trend_matches_numpy_polyfit(spark, sf_dir):
         xs, ys = zip(*sorted(pts))
         slope = np.polyfit(np.array(xs, dtype=float), np.array(ys, dtype=float), 1)[0]
         assert abs(got[nat] - slope) < max(1e-3, abs(slope) * 1e-5), nat
+
+
+def test_rfm_segments_partition_and_quartile_invariants(spark, sf_dir):
+    """RFM invariants: segments partition the customer base exactly
+    (Σ n_customers = |customers|), every code digit is 1..4, and the
+    result is identical under a different shuffle width (the
+    distributed global rank must not depend on range boundaries)."""
+    q = all_queries()["rfm_segments"].fn
+    out = q(spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert len(r.segment) == 3 and all(c in "1234" for c in r.segment), r
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        again = q(spark, sf_dir).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
