@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-market-basket-affinity": [
+        # brand co-occurrence pairs + lift: distinct-first projection,
+        # orderkey-bounded self-join fan-out, broadcast supports,
+        # fixed-order lift chain over exact counts (r8)
+        "query:brand_affinity_pairs",
+        "test:tests/test_extended_ops.py::test_brand_affinity_hand_baskets",
+    ],
     "analytics-rfm-segmentation": [
         # RFM quartile coding via the distributed two-phase global
         # rank (no Exchange SinglePartition), exact-cent monetary,

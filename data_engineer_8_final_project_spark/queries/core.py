@@ -2014,3 +2014,106 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "brand_affinity_pairs",
+    oracle="""
+    -- Market-basket affinity: brand pairs co-occurring in the same
+    -- order, with per-brand supports and lift. One distinct
+    -- (order, brand) projection feeds both the pair self-join and the
+    -- support counts; lift's arithmetic order is pinned left-to-right.
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    sup AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand)
+    SELECT p.brand_a, p.brand_b, p.n_pair,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(p.n_pair AS DOUBLE) * t.n_orders / sa.n / sb.n, 4) + 0.0
+             AS lift
+    FROM pairs p
+    JOIN sup sa ON p.brand_a = sa.brand
+    JOIN sup sb ON p.brand_b = sb.brand
+    CROSS JOIN tot t
+    ORDER BY p.n_pair DESC, p.brand_a ASC, p.brand_b ASC
+    LIMIT 15
+    """,
+    survey_ref="extended: market-basket brand affinity (bounded self-join co-occurrence + lift)",
+    tags=("bench",),
+)
+def q_brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased brand pairs with lift — the affinity-analysis
+    primitive behind recommendations and assortment planning. Scale
+    shape: the (order, brand) projection is DISTINCT first (collapses
+    repeat lines before any pair work), the pair self-join keys on
+    l_orderkey where fan-out is bounded by brands-per-order (≤ lines
+    per order, a single-digit constant) — linear in order count, never
+    the unbounded wedge of a raw item-pair join; brand supports are a
+    25-row broadcast and the order total is one bounded scalar probe.
+    Lift = pair·total/(nₐ·n_b) as one fixed-order double chain over
+    exact integer counts. Self-join sides are built from independent
+    subquery aliases (the Spark 4 self-join rewrite gotcha)."""
+    t = tables_for(spark, sf_dir)
+    return brand_affinity(t["lineitem"], t["part"], k=15)
+
+
+def brand_affinity(lineitem: DataFrame, part: DataFrame, k: int = 15) -> DataFrame:
+    """Shared body of ``brand_affinity_pairs`` (see its docstring) —
+    takes the two frames directly so pytest can drive hand baskets."""
+    ob = (
+        lineitem
+        .select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    total = ob.select("okey").distinct().count()  # bounded scalar probe
+    sup = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    sa = sup.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    sb = sup.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (
+                F.round(
+                    F.col("n_pair").cast("double")
+                    * F.lit(total)
+                    / F.col("n_a")
+                    / F.col("n_b"),
+                    4,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(k)
+    )

@@ -145,6 +145,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "value_outliers_mad",
     "revenue_trend_by_nation",
     "rfm_segments",
+    "brand_affinity_pairs",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

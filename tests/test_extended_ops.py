@@ -911,3 +911,32 @@ def test_rfm_segments_partition_and_quartile_invariants(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_brand_affinity_hand_baskets(spark):
+    """Hand baskets: {A,B}, {A,B}, {A,C} → pair (A,B) count 2 with
+    lift 3·2/(3·2)=1.0, (A,C) count 1 with lift 3·1/(3·1)=1.0; repeat
+    lines of one brand in an order must count once."""
+    from data_engineer_8_final_project_spark.queries.core import brand_affinity
+
+    li_rows = [
+        (1, 10), (1, 11), (1, 20),   # order 1: A (twice via 10,11), B
+        (2, 10), (2, 20),            # order 2: A, B
+        (3, 10), (3, 30),            # order 3: A, C
+    ]
+    lineitem = spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None) for o, p in li_rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(10, "A"), (11, "A"), (20, "B"), (30, "C")],
+        "p_partkey long, p_brand string",
+    )
+    out = {(r.brand_a, r.brand_b): r for r in brand_affinity(lineitem, part).collect()}
+    assert set(out) == {("A", "B"), ("A", "C")}
+    ab, ac = out[("A", "B")], out[("A", "C")]
+    assert (ab.n_pair, ab.n_a, ab.n_b, ab.lift) == (2, 3, 2, 1.0)
+    assert (ac.n_pair, ac.n_a, ac.n_b, ac.lift) == (1, 3, 1, 1.0)
