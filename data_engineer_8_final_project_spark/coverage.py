@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-conversion-latency": [
+        # view→purchase latency p50/p90 per first-touch channel:
+        # exact integer microseconds, NEAREST-RANK percentiles (one
+        # picked row, no interpolation) — engine-portable (r8)
+        "query:conversion_latency_stats",
+        "test:tests/test_extended_ops.py::test_conversion_latency_hand_cases",
+    ],
     "analytics-market-basket-affinity": [
         # brand co-occurrence pairs + lift: distinct-first projection,
         # orderkey-bounded self-join fan-out, broadcast supports,

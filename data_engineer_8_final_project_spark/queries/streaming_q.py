@@ -1350,3 +1350,108 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "conversion_latency_stats",
+    oracle="""
+    -- View→purchase conversion latency distribution per first-touch
+    -- channel. Latency is exact integer microseconds; p50/p90 use the
+    -- NEAREST-RANK definition (rank = ceil(p·n), one selected value,
+    -- no interpolation) so every engine picks the identical row.
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      FROM events GROUP BY user_id),
+    chan AS (
+      SELECT user_id, event_type AS first_channel FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t WHERE rn = 1),
+    lat AS (
+      SELECT c.first_channel, f.user_id,
+             CAST(f.p_us - f.v_us AS BIGINT) AS lat_us
+      FROM firsts f JOIN chan c USING (user_id)
+      WHERE f.v_us IS NOT NULL AND f.p_us IS NOT NULL AND f.p_us > f.v_us),
+    ranked AS (
+      SELECT first_channel, lat_us,
+             ROW_NUMBER() OVER (PARTITION BY first_channel
+                                ORDER BY lat_us, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY first_channel) AS n
+      FROM lat)
+    SELECT first_channel,
+           CAST(MIN(n) AS BIGINT) AS n_users,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                          THEN lat_us END) / 1000000.0, 3) + 0.0 AS p50_s,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                          THEN lat_us END) / 1000000.0, 3) + 0.0 AS p90_s
+    FROM ranked
+    GROUP BY first_channel ORDER BY first_channel
+    """,
+    survey_ref="extended: conversion latency percentiles (nearest-rank, per first-touch channel)",
+    tags=("bench",),
+)
+def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per first-touch channel, the p50
+    and p90 of first-view→first-purchase latency. Latencies are exact
+    integer microseconds end to end; percentiles are NEAREST-RANK
+    selections ((lat, user_id) tiebreak) — one picked row, zero
+    interpolation arithmetic, so the strict hash replays on any
+    engine. Scale shape: two user-keyed aggregations (firsts + first
+    event) joined on user_id, then one channel-keyed rank window over
+    the |converting users| frame — every shuffle key is user_id or the
+    low-cardinality channel; the documented 100 TB swap for the
+    channel window is approx_percentile."""
+    t = tables_for(spark, sf_dir)
+    e = t["events"].select("user_id", "ts", "event_id", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chan = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_channel"))
+    )
+    lat = (
+        firsts.join(chan, "user_id")
+        .filter(
+            F.col("v_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") > F.col("v_us"))
+        )
+        .select(
+            "first_channel",
+            "user_id",
+            (F.col("p_us") - F.col("v_us")).cast("long").alias("lat_us"),
+        )
+    )
+    wr = Window.partitionBy("first_channel").orderBy("lat_us", "user_id")
+    wn = Window.partitionBy("first_channel")
+    ranked = lat.select(
+        "first_channel",
+        "lat_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def near_rank(p: str):
+        sel = F.when(
+            F.col("rn") == F.ceil(F.lit(p).cast("double") * F.col("n")),
+            F.col("lat_us"),
+        )
+        return F.round(F.min(sel) / 1000000.0, 3) + 0.0
+
+    return (
+        ranked.groupBy("first_channel")
+        .agg(
+            F.min("n").cast("long").alias("n_users"),
+            near_rank("0.5").alias("p50_s"),
+            near_rank("0.9").alias("p90_s"),
+        )
+        .orderBy("first_channel")
+    )

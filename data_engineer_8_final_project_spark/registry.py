@@ -146,6 +146,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_trend_by_nation",
     "rfm_segments",
     "brand_affinity_pairs",
+    "conversion_latency_stats",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -940,3 +940,39 @@ def test_brand_affinity_hand_baskets(spark):
     ab, ac = out[("A", "B")], out[("A", "C")]
     assert (ab.n_pair, ab.n_a, ab.n_b, ab.lift) == (2, 3, 2, 1.0)
     assert (ac.n_pair, ac.n_a, ac.n_b, ac.lift) == (1, 3, 1, 1.0)
+
+
+def test_conversion_latency_hand_cases(spark, monkeypatch, tmp_path):
+    """Hand events: a clean view→purchase pair yields its exact
+    latency at p50=p90 (nearest-rank over one user); users who
+    purchased before any view, or never purchased, are excluded."""
+    import datetime as dt
+
+    from data_engineer_8_final_project_spark.queries.streaming_q import (
+        q_conversion_latency_stats,
+    )
+    from data_engineer_8_final_project_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=10), 2, "purchase", 5.0, "{}"),
+        (2, t0, 3, "purchase", 5.0, "{}"),   # purchase before any view
+        (2, t0 + dt.timedelta(seconds=5), 4, "view", 1.0, "{}"),
+        (3, t0, 5, "view", 1.0, "{}"),       # never purchases
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(
+        registry, "tables_for", lambda spark_, sf_dir_: {"events": df}
+    )
+    import data_engineer_8_final_project_spark.queries.streaming_q as sq
+
+    monkeypatch.setattr(sq, "tables_for", lambda spark_, sf_dir_: {"events": df})
+    out = q_conversion_latency_stats(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.first_channel, r.n_users, r.p50_s, r.p90_s) == ("view", 1, 10.0, 10.0)
