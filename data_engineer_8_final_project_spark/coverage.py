@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "stats-chi2-contingency": [
+        # lang×source chi-square cells: exact-integer margins, one
+        # double division per cell, per-ROW fixed-order contribution
+        # (no float sum across rows); pandas crosstab cross-check (r8)
+        "query:lang_source_contingency",
+        "test:tests/test_extended_ops.py::test_lang_source_contingency_matches_pandas_crosstab",
+    ],
     "analytics-conversion-latency": [
         # view→purchase latency p50/p90 per first-touch channel:
         # exact integer microseconds, NEAREST-RANK percentiles (one

@@ -504,3 +504,68 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@register(
+    "lang_source_contingency",
+    oracle="""
+    -- Chi-square contingency cells for lang x source: observed count,
+    -- expected under independence (row_total * col_total / N, exact
+    -- integer products then ONE double division), and the cell's
+    -- chi-square contribution (O-E)^2/E as a fixed-order expression.
+    -- Cells with zero observed docs are omitted (their contribution
+    -- is E itself; the margins reconstruct them) - both engines emit
+    -- exactly the observed cells.
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    rows_t AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS rt FROM documents GROUP BY lang),
+    cols_t AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS ct FROM documents GROUP BY source),
+    n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT c.lang, c.source, c.o,
+           ROUND(CAST(r.rt * ct.ct AS DOUBLE) / t.n, 4) + 0.0 AS expected,
+           ROUND(POWER(c.o - CAST(r.rt * ct.ct AS DOUBLE) / t.n, 2)
+                 / (CAST(r.rt * ct.ct AS DOUBLE) / t.n), 4) + 0.0 AS chi2_contrib
+    FROM cells c
+    JOIN rows_t r USING (lang)
+    JOIN cols_t ct USING (source)
+    CROSS JOIN n_t t
+    ORDER BY c.lang, c.source
+    """,
+    survey_ref="extended: chi-square contingency cells (categorical independence audit)",
+    tags=("bench",),
+)
+def q_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical independence audit of the corpus mix: per
+    (lang, source) cell, the observed doc count, the count expected
+    under independence, and the cell's chi-square contribution — the
+    residual table a curation pipeline reads to spot source/language
+    coupling before fixing sampling weights. Determinism: expected =
+    rt·ct/N where the product is an exact BIGINT and the division is
+    ONE double op; the contribution is a fixed-order expression per
+    ROW (never a float sum across rows). Scale shape: one (lang,
+    source) aggregation plus two margin aggregates broadcast back onto
+    the 100-cell frame; N enters as a bounded scalar probe."""
+    t = tables_for(spark, sf_dir)
+    docs = t["documents"].select("lang", "source")
+    n = docs.count()  # bounded scalar probe
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_t = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("rt"))
+    cols_t = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.lit(n)
+    return (
+        cells.join(F.broadcast(rows_t), "lang")
+        .join(F.broadcast(cols_t), "source")
+        .select(
+            "lang",
+            "source",
+            "o",
+            (F.round(e, 4) + 0.0).alias("expected"),
+            (F.round(F.pow(F.col("o") - e, 2) / e, 4) + 0.0).alias("chi2_contrib"),
+        )
+        .orderBy("lang", "source")
+    )

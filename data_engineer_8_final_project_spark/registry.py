@@ -147,6 +147,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rfm_segments",
     "brand_affinity_pairs",
     "conversion_latency_stats",
+    "lang_source_contingency",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

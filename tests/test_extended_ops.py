@@ -976,3 +976,30 @@ def test_conversion_latency_hand_cases(spark, monkeypatch, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.first_channel, r.n_users, r.p50_s, r.p90_s) == ("view", 1, 10.0, 10.0)
+
+
+def test_lang_source_contingency_matches_pandas_crosstab(spark, sf_dir):
+    """Independent pandas reimplementation: expected counts and
+    chi-square contributions from a crosstab must agree with the
+    engine's cells (to rounding); observed cells must cover every
+    nonzero crosstab cell exactly."""
+    out = all_queries()["lang_source_contingency"].fn(spark, sf_dir).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "source")
+        .toPandas()
+    )
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    n = ct.values.sum()
+    got = {(r.lang, r.source): r for r in out.itertuples()}
+    for lang in ct.index:
+        for src in ct.columns:
+            o = int(ct.loc[lang, src])
+            if o == 0:
+                assert (lang, src) not in got
+                continue
+            e = ct.loc[lang].sum() * ct[src].sum() / n
+            r = got[(lang, src)]
+            assert r.o == o
+            assert abs(r.expected - e) < 5e-4
+            assert abs(r.chi2_contrib - (o - e) ** 2 / e) < 5e-4
