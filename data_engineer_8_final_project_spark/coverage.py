@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "features-percentile-normalization": [
+        # percentile-rank normalization of a quality signal via the
+        # distributed two-phase global rank (no single-task window);
+        # permutation/monotonicity invariants pinned in pytest (r8)
+        "query:quality_percentile_norm",
+        "test:tests/test_extended_ops.py::test_quality_percentile_norm_is_uniform_and_monotone",
+    ],
     "stats-chi2-contingency": [
         # lang×source chi-square cells: exact-integer margins, one
         # double division per cell, per-ROW fixed-order contribution

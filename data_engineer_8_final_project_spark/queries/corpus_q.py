@@ -569,3 +569,64 @@ def q_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "quality_percentile_norm",
+    oracle=f"""
+    -- Percentile-rank normalization of a per-doc quality signal
+    -- (type/token ratio): rank over the tiebreak-complete
+    -- (ratio, doc_id) order, pct = (rn-1)/(n-1). The ratio is already
+    -- rounded to 4dp by the scoring contract, so the rank order is
+    -- engine-stable; the pct division is one double op over exact
+    -- integers.
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND(len(list_distinct({_DUCK_TOKENS}))
+                   / len({_DUCK_TOKENS}), 4) AS ttr
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, ttr,
+             ROW_NUMBER() OVER (ORDER BY ttr, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM scored)
+    SELECT doc_id, ttr, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6) + 0.0 AS pct_rank
+    FROM ranked ORDER BY doc_id
+    """,
+    survey_ref="extended: percentile-rank feature normalization (distributed global rank)",
+    tags=("bench",),
+)
+def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization for curation models: each document's
+    type/token ratio mapped to its global percentile rank — the
+    scale-free transform that makes a quality threshold mean the same
+    thing across corpus snapshots. The global rank is
+    operators/sampling.distributed_row_number (range-partitioned
+    two-phase rank — NO Exchange SinglePartition, the trap of a bare
+    ``row_number() OVER (ORDER BY …)``); the corpus count enters the
+    pct formula as one bounded scalar probe. The ranked signal is
+    pre-rounded to 4dp (the scoring contract), so rank order is
+    engine-stable and pct is one double division of exact integers."""
+    from ..operators.sampling import distributed_row_number
+
+    t = tables_for(spark, sf_dir)
+    scored = t["documents"].select(
+        "doc_id",
+        F.round(
+            text.distinct_token_count("text") / text.token_count("text"), 4
+        ).alias("ttr"),
+    )
+    n = scored.count()  # bounded scalar probe
+    return (
+        distributed_row_number(scored, ("ttr", "doc_id"), "rnk")
+        .select(
+            "doc_id",
+            "ttr",
+            "rnk",
+            (
+                F.round((F.col("rnk") - 1).cast("double") / F.lit(n - 1), 6) + 0.0
+            ).alias("pct_rank"),
+        )
+        .orderBy("doc_id")
+    )

@@ -148,6 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "brand_affinity_pairs",
     "conversion_latency_stats",
     "lang_source_contingency",
+    "quality_percentile_norm",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1003,3 +1003,21 @@ def test_lang_source_contingency_matches_pandas_crosstab(spark, sf_dir):
             assert r.o == o
             assert abs(r.expected - e) < 5e-4
             assert abs(r.chi2_contrib - (o - e) ** 2 / e) < 5e-4
+
+
+def test_quality_percentile_norm_is_uniform_and_monotone(spark, sf_dir):
+    """Percentile normalization invariants: ranks are a permutation of
+    1..n, pct spans [0, 1], and pct is monotone in the underlying
+    ratio (equal ratios may differ only via the doc_id tiebreak)."""
+    out = (
+        all_queries()["quality_percentile_norm"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    n = len(out)
+    assert sorted(r.rnk for r in out) == list(range(1, n + 1))
+    assert min(r.pct_rank for r in out) == 0.0
+    assert max(r.pct_rank for r in out) == 1.0
+    by_rank = sorted(out, key=lambda r: r.rnk)
+    ttrs = [r.ttr for r in by_rank]
+    assert ttrs == sorted(ttrs)
