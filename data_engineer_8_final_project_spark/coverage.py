@@ -218,6 +218,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "ann-pq-reconstruction-audit": [
+        # per-subspace PQ quantization error (SSE/MSE vs best
+        # codeword): integer fixed-point, map-side literal-matrix
+        # encode, one scan + 1-row agg + stack unpivot; exact numpy
+        # cross-check (r8)
+        "query:pq_reconstruction_error",
+        "test:tests/test_extended_ops.py::test_pq_reconstruction_error_matches_numpy",
+    ],
     "features-percentile-normalization": [
         # percentile-rank normalization of a quality signal via the
         # distributed two-phase global rank (no single-task window);

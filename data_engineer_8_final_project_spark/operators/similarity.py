@@ -1389,3 +1389,75 @@ def maxsim_topk(
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def pq_reconstruction_error(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Quantization-quality audit for the PQ tier → one row per
+    subspace: vector count, total and mean squared reconstruction
+    error against the best codeword (exact integers in fixed-point
+    units of ``scale⁻¹``). This is the codebook-health report a
+    serving stack watches — a subspace whose MSE balloons is the one
+    whose codebook needs retraining before ADC recall degrades.
+
+    Determinism: components are scaled to BIGINT; each subspace error
+    is ``min over codewords of Σ (x−c)²`` — every quantity an exact
+    integer (8 dims × (2·10⁶)² × 10⁹ vecs ≈ 3·10²² needs DECIMAL(38)
+    for the global SSE past ~10⁷ vectors per partition-sum; the
+    registered BIGINT form documents that swap). Codebooks follow the
+    seeded-medoid convention (codeword j of subspace m = the j-th
+    lowest-vec_id row's m-th subvector, one bounded collect).
+
+    Scale shape: the per-row encode is the SAME symbolic
+    literal-matrix array_min as :func:`pq_topk` (map-side, zero
+    joins); the rollup is one 8-column aggregate unpivoted via
+    ``stack`` — ONE scan, ONE 1-row aggregation, no shuffle of data
+    rows at all.
+    """
+    sub = dim // n_sub
+    sv = embeddings.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("s"),
+    )
+    seed_rows = sv.orderBy("vec_id").limit(n_codes).select("s").collect()
+    books = [
+        [[int(v) for v in r["s"][m * sub : (m + 1) * sub]] for r in seed_rows]
+        for m in range(n_sub)
+    ]
+
+    enc = sv
+    for m in range(n_sub):
+        cws = "array(" + ",".join(
+            "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in cw) + ")"
+            for cw in books[m]
+        ) + ")"
+        d2 = " + ".join(
+            f"(element_at(s, {m * sub + e + 1}) - element_at(cw, {e + 1}))"
+            f" * (element_at(s, {m * sub + e + 1}) - element_at(cw, {e + 1}))"
+            for e in range(sub)
+        )
+        enc = enc.withColumn(
+            f"_e{m}", F.expr(f"array_min(transform({cws}, cw -> {d2}))")
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_vecs")] + [
+        F.sum(f"_e{m}").cast("long").alias(f"sse_{m}") for m in range(n_sub)
+    ]
+    wide = enc.agg(*aggs)
+    stack_expr = "stack({}, {}) as (subspace, sse)".format(
+        n_sub,
+        ", ".join(f"CAST({m} AS BIGINT), sse_{m}" for m in range(n_sub)),
+    )
+    return wide.select("n_vecs", F.expr(stack_expr)).select(
+        "subspace",
+        "n_vecs",
+        "sse",
+        (F.round(F.col("sse") / F.col("n_vecs"), 4) + 0.0).alias("mse"),
+    ).orderBy("subspace")

@@ -2006,3 +2006,65 @@ def q_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"1.0 / (1.0 + exp(-ROUND({m}, 6)))"), 6).alias("score"),
         (F.round(F.expr(m), 6) >= 0.0).alias("keep"),
     ).orderBy("doc_id")
+
+
+def _pq_recon_oracle(dim: int, n_sub: int, n_codes: int, scale: int) -> str:
+    """Replays the fixed-point PQ reconstruction audit: same BIGINT
+    projection, same seeded-medoid codebooks, per subspace the exact
+    integer min-d2 over codewords (via a bounded sv×cb cross join),
+    then the same SSE/MSE rollup unpivoted one branch per subspace."""
+    sub = dim // n_sub
+
+    def d2(m: int) -> str:
+        a, b = m * sub + 1, (m + 1) * sub
+        return (
+            f"CAST(list_sum(list_transform(list_zip(sv.s[{a}:{b}], "
+            f"cb.s[{a}:{b}]), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    mins = ",\n             ".join(
+        f"MIN({d2(m)}) AS e{m}" for m in range(n_sub)
+    )
+    branches = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({m} AS BIGINT) AS subspace, n_vecs, s{m} AS sse FROM wide"
+        for m in range(n_sub)
+    )
+    sums = ", ".join(f"CAST(SUM(e{m}) AS BIGINT) AS s{m}" for m in range(n_sub))
+    return f"""
+    WITH sv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*{scale}.0) AS BIGINT)) AS s
+      FROM embeddings),
+    cb AS (SELECT s FROM sv ORDER BY vec_id LIMIT {n_codes}),
+    per_vec AS (
+      SELECT sv.vec_id,
+             {mins}
+      FROM sv CROSS JOIN cb
+      GROUP BY sv.vec_id),
+    wide AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, {sums} FROM per_vec),
+    unp AS (
+      {branches})
+    SELECT subspace, n_vecs, sse, ROUND(sse / n_vecs, 4) + 0.0 AS mse
+    FROM unp ORDER BY subspace
+    """
+
+
+@register(
+    "pq_reconstruction_error",
+    oracle=_pq_recon_oracle(dim=64, n_sub=8, n_codes=16, scale=10**6),
+    survey_ref="extended: PQ codebook reconstruction-error audit (per-subspace SSE/MSE)",
+    tags=("bench",),
+)
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-health audit for the PQ family: per-subspace total and
+    mean squared reconstruction error against the best codeword
+    (operators/similarity.pq_reconstruction_error) — integer
+    fixed-point, map-side literal-matrix encode, one scan + one 1-row
+    aggregate unpivoted via stack. The report a serving stack watches
+    to know WHICH subspace's codebook to retrain."""
+    t = tables_for(spark, sf_dir)
+    return similarity.pq_reconstruction_error(
+        t["embeddings"], dim=64, n_sub=8, n_codes=16
+    ).orderBy("subspace")

@@ -149,6 +149,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "conversion_latency_stats",
     "lang_source_contingency",
     "quality_percentile_norm",
+    "pq_reconstruction_error",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1021,3 +1021,30 @@ def test_quality_percentile_norm_is_uniform_and_monotone(spark, sf_dir):
     by_rank = sorted(out, key=lambda r: r.rnk)
     ttrs = [r.ttr for r in by_rank]
     assert ttrs == sorted(ttrs)
+
+
+def test_pq_reconstruction_error_matches_numpy(spark, sf_dir):
+    """Independent numpy reimplementation of the fixed-point PQ audit:
+    scaled-int subvectors, seeded-medoid codebooks, per-subspace
+    min-d2 — SSE must match the engine exactly (integers, no
+    tolerance); codebook rows themselves must reconstruct at 0 error."""
+    from data_engineer_8_final_project_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {r.subspace: r for r in pq_reconstruction_error(emb, n_codes=16).collect()}
+    rows = sorted(
+        (r.vec_id, np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    mat = np.stack([s for _, s in rows])
+    books = mat[:16]
+    n_sub, sub = 8, 8
+    for m in range(n_sub):
+        seg = mat[:, m * sub : (m + 1) * sub]
+        cb = books[:, m * sub : (m + 1) * sub]
+        d2 = ((seg[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        assert int(d2.sum()) == out[m].sse, m
+        assert (d2[:16] == 0).all()  # codebook rows reconstruct exactly
+        assert out[m].n_vecs == mat.shape[0]
