@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-session-bounce": [
+        # session bounce/engagement rollup by entry type: shared
+        # sessionization shuffle, min-struct entry pick, exact-integer
+        # durations, one double division per mean (r8)
+        "query:session_bounce_stats",
+        "test:tests/test_extended_ops.py::test_session_bounce_hand_sessions",
+    ],
     "ann-pq-reconstruction-audit": [
         # per-subspace PQ quantization error (SSE/MSE vs best
         # codeword): integer fixed-point, map-side literal-matrix

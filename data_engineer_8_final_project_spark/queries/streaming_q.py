@@ -1455,3 +1455,102 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_channel")
     )
+
+
+@register(
+    "session_bounce_stats",
+    oracle="""
+    -- Session engagement rollup keyed by the session's ENTRY event
+    -- type: bounce rate (single-event sessions), mean events/session,
+    -- mean duration. The same 30-min lag/running-sum sessionization as
+    -- event_sessions; duration is exact integer microseconds; each
+    -- mean is ONE double division of two exact integers.
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(CASE WHEN prev_us IS NULL
+                        OR epoch_us(ts) - prev_us > 30*60*1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events) t),
+    sessions AS (
+      SELECT user_id, session_no,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS dur_us,
+             (MIN(struct_pack(ts := ts, event_id := event_id,
+                              event_type := event_type))).event_type
+               AS entry_type
+      FROM numbered
+      GROUP BY user_id, session_no)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) + 0.0 AS bounce_rate,
+           ROUND(CAST(SUM(n_events) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
+             + 0.0 AS avg_events,
+           ROUND(CAST(SUM(dur_us) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                 / 1000000.0, 3) + 0.0 AS avg_duration_s
+    FROM sessions
+    GROUP BY entry_type ORDER BY entry_type
+    """,
+    survey_ref="extended: session bounce/engagement rollup by entry event type",
+    tags=("bench",),
+)
+def q_session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement rollup per session ENTRY type: bounce rate
+    (single-event sessions), mean events per session, mean duration —
+    the landing-page health report of web analytics. Reuses
+    operators/sessions.assign_sessions (one user_id shuffle shared by
+    lag + numbering); the entry type is a min-struct over the unique
+    (ts, event_id) key, durations are exact integer microseconds, and
+    every mean is one double division of exact integer sums — nothing
+    float crosses a shuffle. Final rollup keys on the low-cardinality
+    entry type."""
+    from ..operators import sessions
+
+    t = tables_for(spark, sf_dir)
+    numbered = sessions.assign_sessions(
+        t["events"].select("user_id", "event_id", "ts", "event_type")
+    )
+    us = F.unix_micros(F.col("ts"))
+    sess = numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(us) - F.min(us)).cast("long").alias("dur_us"),
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            (
+                F.round(bounce.cast("double") / F.count(F.lit(1)), 4) + 0.0
+            ).alias("bounce_rate"),
+            (
+                F.round(
+                    F.sum("n_events").cast("long")
+                    / F.count(F.lit(1)).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("avg_events"),
+            (
+                F.round(
+                    F.sum("dur_us").cast("long")
+                    / F.count(F.lit(1)).cast("double")
+                    / 1000000.0,
+                    3,
+                )
+                + 0.0
+            ).alias("avg_duration_s"),
+        )
+        .orderBy("entry_type")
+    )

@@ -150,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_source_contingency",
     "quality_percentile_norm",
     "pq_reconstruction_error",
+    "session_bounce_stats",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1048,3 +1048,36 @@ def test_pq_reconstruction_error_matches_numpy(spark, sf_dir):
         assert int(d2.sum()) == out[m].sse, m
         assert (d2[:16] == 0).all()  # codebook rows reconstruct exactly
         assert out[m].n_vecs == mat.shape[0]
+
+
+def test_session_bounce_hand_sessions(spark, monkeypatch, tmp_path):
+    """Hand sessions: user 1 has a 2-event session entered via 'view'
+    (duration 60 s) and, after a >30 min gap, a 1-event bounce entered
+    via 'click'; user 2 has a 1-event 'view' bounce. Entry-type keyed
+    rollup must report each exactly."""
+    import datetime as dt
+
+    import data_engineer_8_final_project_spark.queries.streaming_q as sq
+    from data_engineer_8_final_project_spark.queries.streaming_q import (
+        q_session_bounce_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=60), 2, "purchase", 2.0, "{}"),
+        (1, t0 + dt.timedelta(hours=2), 3, "click", 1.0, "{}"),
+        (2, t0, 4, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(sq, "tables_for", lambda s_, d_: {"events": df})
+    out = {r.entry_type: r for r in q_session_bounce_stats(spark, str(tmp_path)).collect()}
+    v = out["view"]
+    assert (v.n_sessions, v.n_bounces, v.bounce_rate) == (2, 1, 0.5)
+    assert v.avg_events == 1.5 and v.avg_duration_s == 30.0
+    c = out["click"]
+    assert (c.n_sessions, c.n_bounces, c.bounce_rate, c.avg_duration_s) == (1, 1, 1.0, 0.0)
