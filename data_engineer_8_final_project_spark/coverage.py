@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "graph-kcore-peeling": [
+        # fixed-round k-core peel: per round one degree agg + two
+        # edge semi-joins, generations checkpointed (linear lineage),
+        # all integers; chain-vs-clique hand pytest (r8)
+        "query:knn_kcore",
+        "test:tests/test_extended_ops.py::test_kcore_peels_chain_keeps_clique",
+    ],
     "analytics-session-bounce": [
         # session bounce/engagement rollup by entry type: shared
         # sessionization shuffle, min-struct entry pick, exact-integer

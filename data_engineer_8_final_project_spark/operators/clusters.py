@@ -516,3 +516,59 @@ def bfs_hops_fixed(
             .localCheckpoint(eager=True)
         )
     return dist.select("id", F.coalesce("d", F.lit(-1)).cast("long").alias("hops"))
+
+
+def kcore_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    core_k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected graph →
+    (vec_id, in_core, core_deg): repeatedly drop vertices of degree
+    < ``core_k`` with their incident edges; after ``rounds`` passes,
+    a vertex is in-core iff it still carries an edge. The
+    density-skeleton primitive of graph curation (the k-core is where
+    communities, spam rings and near-dup hubs live; the periphery is
+    what a sampler can safely thin).
+
+    ``rounds`` is FIXED so the plan is static and a SQL oracle unrolls
+    it; the true fixpoint needs ≤ diameter rounds — a converged variant
+    would reuse the integer edge-count probe of
+    :func:`pagerank_fixed_point` (stop when no edge is dropped).
+
+    Scale shape: per round ONE degree aggregation (key = vertex id) and
+    two semi-joins filtering the edge list on its own keys — the edge
+    frame shrinks monotonically, each generation localCheckpointed (the
+    parquet-staging point of a cluster run) so the lineage stays
+    linear, exactly like the CC / LPA / PageRank iterations. Every
+    quantity is an exact integer.
+    """
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = both.distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= core_k)
+            .select("src")
+        )
+        und = (
+            und.join(keep, "src", "semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+    deg_f = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    return (
+        vertices.join(deg_f, vertices["id"] == deg_f["src"], "left")
+        .select(
+            vertices["id"].alias("vec_id"),
+            F.when(F.col("core_deg").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_core"),
+            F.coalesce("core_deg", F.lit(0)).cast("long").alias("core_deg"),
+        )
+    )

@@ -2068,3 +2068,63 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_reconstruction_error(
         t["embeddings"], dim=64, n_sub=8, n_codes=16
     ).orderBy("subspace")
+
+
+def _knn_kcore_oracle(n_cells: int, k: int, core_k: int, rounds: int) -> str:
+    """Unrolls the fixed-round peel: shared seeded-medoid k-NN CTEs →
+    undirected edges, per round a degree filter applied to both edge
+    endpoints; in-core = still carries an edge after the last round."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    its = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"""k{i} AS (
+      SELECT src FROM (SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src) d
+      WHERE deg >= {core_k}),
+    e{i} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN k{i} a ON e.src = a.src
+      JOIN k{i} b ON e.dst = b.src)"""
+        )
+        prev = f"e{i}"
+    rounds_sql = ",\n    ".join(its)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+    knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
+    e0 AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    {rounds_sql},
+    df AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS core_deg
+           FROM {prev} GROUP BY src)
+    SELECT emb.vec_id,
+           CAST(CASE WHEN d.core_deg IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS in_core,
+           CAST(COALESCE(d.core_deg, 0) AS BIGINT) AS core_deg
+    FROM emb LEFT JOIN df d ON emb.vec_id = d.src
+    ORDER BY emb.vec_id
+    """
+
+
+@register(
+    "knn_kcore",
+    oracle=_knn_kcore_oracle(n_cells=16, k=3, core_k=3, rounds=3),
+    survey_ref="extended: fixed-round k-core peeling over the k-NN graph",
+    tags=("bench",),
+)
+def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density skeleton of the similarity graph: 3 peel rounds at
+    core_k=3 over the k-NN graph (operators/clusters.kcore_fixed) —
+    rounds out the graph family (CC / PageRank / LPA / triangles /
+    label-vote / BFS / k-core). Per round one degree aggregation + two
+    edge semi-joins; edge generations localCheckpointed so the plan
+    stays linear; all integers, oracle unrolls the rounds."""
+    from ..operators import clusters
+
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"]
+    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return clusters.kcore_fixed(nodes, g, core_k=3, rounds=3).orderBy("vec_id")

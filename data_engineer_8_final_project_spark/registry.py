@@ -151,6 +151,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_percentile_norm",
     "pq_reconstruction_error",
     "session_bounce_stats",
+    "knn_kcore",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

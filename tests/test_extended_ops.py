@@ -1081,3 +1081,29 @@ def test_session_bounce_hand_sessions(spark, monkeypatch, tmp_path):
     assert v.avg_events == 1.5 and v.avg_duration_s == 30.0
     c = out["click"]
     assert (c.n_sessions, c.n_bounces, c.bounce_rate, c.avg_duration_s) == (1, 1, 1.0, 0.0)
+
+
+def test_kcore_peels_chain_keeps_clique(spark):
+    """Hand graph: a 6-node path has empty 2-core (each peel round
+    removes both endpoints; 3 rounds empty it), while a triangle is
+    its own 2-core with every degree exactly 2; a pendant vertex
+    hanging off the triangle is peeled in round one."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators.clusters import kcore_fixed
+
+    # path 0-1-2-3-4-5, triangle 10-11-12, pendant 13 on 10
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12), (10, 13)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 5, 10, 11, 12, 13]], "id long"
+    )
+    out = {r.vec_id: (r.in_core, r.core_deg)
+           for r in kcore_fixed(nodes, edges, core_k=2, rounds=3).collect()}
+    for v in [0, 1, 2, 3, 4, 5, 13]:
+        assert out[v] == (0, 0), v
+    for v in [10, 11, 12]:
+        assert out[v] == (1, 2), v
