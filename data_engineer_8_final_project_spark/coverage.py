@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-markov-transitions": [
+        # first-order Markov transition matrix over user streams: one
+        # lag window, |types|² count, broadcast row totals, one double
+        # division per cell; row-stochastic invariant pinned (r8)
+        "query:event_transition_matrix",
+        "test:tests/test_extended_ops.py::test_event_transition_matrix_rows_sum_to_one",
+    ],
     "graph-kcore-peeling": [
         # fixed-round k-core peel: per round one degree agg + two
         # edge semi-joins, generations checkpointed (linear lineage),

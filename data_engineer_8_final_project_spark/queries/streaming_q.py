@@ -1554,3 +1554,67 @@ def q_session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    -- First-order Markov transition counts over each user's event
+    -- stream ((ts, event_id) order), row-normalized to probabilities:
+    -- one lag window + one (prev, next) count + a per-prev total
+    -- broadcast back; prob is ONE double division of exact integers.
+    WITH seq AS (
+      SELECT user_id, event_type AS next_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type),
+    totals AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n
+      FROM trans GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / tt.row_n, 6) + 0.0 AS prob
+    FROM trans t JOIN totals tt USING (prev_type)
+    ORDER BY t.prev_type, t.next_type
+    """,
+    survey_ref="extended: first-order Markov transition matrix over user event streams",
+    tags=("bench",),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: P(next event type | previous) per
+    user stream — the first-order Markov model behind next-action
+    prediction and anomalous-flow detection. ONE user-keyed lag window
+    ((ts, event_id) tiebreak), one (prev, next) count whose key space
+    is |types|², and a |types|-row totals broadcast; the probability
+    is one double division of exact integer counts, so the matrix is
+    width-invariant and oracle-exact. At 100 TB nothing after the lag
+    window sees data volume."""
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (
+                F.round(F.col("n").cast("double") / F.col("row_n"), 6) + 0.0
+            ).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

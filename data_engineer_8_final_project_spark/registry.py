@@ -152,6 +152,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pq_reconstruction_error",
     "session_bounce_stats",
     "knn_kcore",
+    "event_transition_matrix",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

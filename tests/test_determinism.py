@@ -25,7 +25,7 @@ DRIVER_WINDOW = 50
 
 
 def _window_names() -> list[str]:
-    # +21: the round-8 additions parked just past the boundary
+    # +22: the round-8 additions parked just past the boundary
     # (event_type_drift, scd2_point_in_time_join, kmeans_clusters,
     # bm25_doc_ranking, table_profile, knn_bfs_hops,
     # quality_model_filter, cluster_balanced_sample,
@@ -33,9 +33,10 @@ def _window_names() -> list[str]:
     # ewma_user_value, value_outliers_mad, revenue_trend_by_nation,
     # rfm_segments, brand_affinity_pairs, conversion_latency_stats,
     # lang_source_contingency, quality_percentile_norm,
-    # pq_reconstruction_error, session_bounce_stats, knn_kcore) head
-    # the r9 window and must already hold the same invariant
-    return list(registry.all_queries())[: DRIVER_WINDOW + 21]
+    # pq_reconstruction_error, session_bounce_stats, knn_kcore,
+    # event_transition_matrix) head the r9 window and must already
+    # hold the same invariant
+    return list(registry.all_queries())[: DRIVER_WINDOW + 22]
 
 
 @pytest.mark.parametrize("name", _window_names())

@@ -1107,3 +1107,19 @@ def test_kcore_peels_chain_keeps_clique(spark):
         assert out[v] == (0, 0), v
     for v in [10, 11, 12]:
         assert out[v] == (1, 2), v
+
+
+def test_event_transition_matrix_rows_sum_to_one(spark, sf_dir):
+    """Markov invariants: per prev_type the counts sum to that row's
+    transitions and probs sum to ~1; total transitions = total events
+    minus one per user (each user stream contributes n-1 lags)."""
+    from pyspark.sql import functions as F
+
+    out = all_queries()["event_transition_matrix"].fn(spark, sf_dir).toPandas()
+    by_prev = out.groupby("prev_type")
+    for prev, g in by_prev:
+        assert abs(g["prob"].sum() - 1.0) < 1e-4, prev
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert out["n"].sum() == n_events - n_users
