@@ -421,19 +421,29 @@ def kmeans_fixed_point(
     }
 
     def choose(model: dict[int, list[int]]):
-        def dist_to(c: list[int]):
-            lit = F.array(*[F.lit(v).cast("long") for v in c])
-            return F.aggregate(
-                F.zip_with(F.col("s"), lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        return F.least(
-            *[
-                F.struct(dist_to(c).alias("d"), F.lit(cid).cast("long").alias("c"))
-                for cid, c in sorted(model.items())
-            ]
+        # Symbolic literal-matrix argmin — the pq_topk encode shape
+        # (similarity.py): the centroid matrix rides in as ONE array
+        # literal, each centroid's d2 is a FLAT unrolled integer sum
+        # inside the per-centroid lambda (one interpreter dispatch per
+        # centroid, not per element — the zip_with/aggregate HOF form
+        # this replaced measured ~1.9x wall on the sf0.1 bench), and
+        # array_min over (d, c) structs is the same lowest-cid
+        # tie-break as least-of-structs. Exact integers throughout, so
+        # the rewrite is bit-identical to the oracle's replay.
+        cents_sorted = sorted(model.items())
+        dim_ = len(cents_sorted[0][1])
+        cws = "array(" + ",".join(
+            "array(" + ",".join(f"CAST({v} AS BIGINT)" for v in c) + ")"
+            for _, c in cents_sorted
+        ) + ")"
+        d2 = " + ".join(
+            f"(element_at(s, {e + 1}) - element_at(cw, {e + 1}))"
+            f" * (element_at(s, {e + 1}) - element_at(cw, {e + 1}))"
+            for e in range(dim_)
+        )
+        return F.expr(
+            f"array_min(transform({cws}, (cw, i) -> "
+            f"named_struct('d', {d2}, 'c', CAST(i AS BIGINT))))"
         )
 
     for _ in range(rounds - 1):
