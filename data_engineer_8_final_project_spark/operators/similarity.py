@@ -1368,20 +1368,22 @@ def maxsim_topk(
         for i in range(n_tokens)
     ]
 
-    def dot_lit(doc_tok: Column, q: list[int]) -> Column:
-        lit = F.array(*[F.lit(v).cast("long") for v in q])
-        return F.aggregate(
-            F.zip_with(doc_tok, lit, lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    # Flat unrolled integer dots (the pq_topk / kmeans encode shape —
+    # whole-stage-codegen arithmetic, no interpreted HOF lambdas; the
+    # zip_with/aggregate form this replaced measured ~1.6x wall at
+    # sf0.1). Exact integers, so the rewrite is oracle-identical.
+    def dot_lit(tok_idx: int, q: list[int]) -> Column:
+        base = tok_idx * dim_per
+        return F.expr(
+            " + ".join(
+                f"element_at(s, {base + e + 1}) * CAST({q[e]} AS BIGINT)"
+                for e in range(dim_per)
+            )
         )
 
-    doc_toks = [
-        F.slice(F.col("s"), 1 + i * dim_per, dim_per) for i in range(n_tokens)
-    ]
     score = None
     for q in qtoks:
-        best = F.greatest(*[dot_lit(t, q) for t in doc_toks])
+        best = F.greatest(*[dot_lit(t, q) for t in range(n_tokens)])
         score = best if score is None else score + best
     return (
         sv.filter(F.col("vec_id") != query_vec_id)
