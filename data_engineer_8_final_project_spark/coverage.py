@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-time-weighted-average": [
+        # TWAP-shape time-weighted mean over irregular event times:
+        # exact cents×µs integer weights, one double division per
+        # user; hand-segment pytest (r8)
+        "query:time_weighted_value",
+        "test:tests/test_extended_ops.py::test_time_weighted_value_hand_segments",
+    ],
     "analytics-markov-transitions": [
         # first-order Markov transition matrix over user streams: one
         # lag window, |types|² count, broadcast row totals, one double

@@ -1618,3 +1618,83 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "time_weighted_value",
+    oracle="""
+    -- Time-weighted average of each user's value signal over their
+    -- irregular event times (the TWAP / time-weighted-state primitive
+    -- of sensor and finance pipelines): each value holds from its
+    -- event until the next one. All weights are exact integers
+    -- (cents x microseconds); the average is ONE double division.
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events),
+    seg AS (
+      SELECT user_id,
+             CAST(SUM(cents * (next_us - us)) AS BIGINT) AS wsum,
+             CAST(SUM(next_us - us) AS BIGINT) AS span_us,
+             CAST(COUNT(*) AS BIGINT) AS n_segments
+      FROM seq WHERE next_us IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n_segments,
+           ROUND(CAST(span_us AS DOUBLE) / 1000000.0, 3) + 0.0 AS span_s,
+           ROUND(CAST(wsum AS DOUBLE) / span_us / 100.0, 4) + 0.0 AS twa_value
+    FROM seg
+    WHERE span_us > 0
+    ORDER BY user_id
+    """,
+    survey_ref="extended: time-weighted average over irregular event times (TWAP shape)",
+    tags=("bench",),
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value: each observation holds
+    until the next (step-function integral / total span) — the right
+    mean for irregularly-sampled state, where the plain average
+    over-weights bursts. One user-keyed lead window, then exact
+    integer cents×µs weights summed per user; the average is one
+    double division of two exact BIGINTs (headroom: 10⁴ cents × 10¹²
+    µs spans ≈ 10¹⁶ ≪ 2⁶³; DECIMAL(38) documented past that). One
+    shuffle on user_id end to end."""
+    t = tables_for(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = t["events"].select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    seg = (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * (F.col("next_us") - F.col("us")))
+            .cast("long")
+            .alias("wsum"),
+            F.sum(F.col("next_us") - F.col("us")).cast("long").alias("span_us"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+        )
+    )
+    return (
+        seg.filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            (
+                F.round(F.col("span_us").cast("double") / 1000000.0, 3) + 0.0
+            ).alias("span_s"),
+            (
+                F.round(
+                    F.col("wsum").cast("double") / F.col("span_us") / 100.0, 4
+                )
+                + 0.0
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )

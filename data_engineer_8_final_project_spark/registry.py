@@ -153,6 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "session_bounce_stats",
     "knn_kcore",
     "event_transition_matrix",
+    "time_weighted_value",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

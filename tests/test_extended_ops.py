@@ -1123,3 +1123,33 @@ def test_event_transition_matrix_rows_sum_to_one(spark, sf_dir):
     n_events = events.count()
     n_users = events.select("user_id").distinct().count()
     assert out["n"].sum() == n_events - n_users
+
+
+def test_time_weighted_value_hand_segments(spark, monkeypatch, tmp_path):
+    """Hand series: value 10 held for 30 s then 20 for 10 s →
+    TWA = (10·30 + 20·10)/40 = 12.5 (≠ the plain mean 15); a
+    single-event user has no span and is excluded."""
+    import datetime as dt
+
+    import data_engineer_8_final_project_spark.queries.streaming_q as sq
+    from data_engineer_8_final_project_spark.queries.streaming_q import (
+        q_time_weighted_value,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 10.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=30), 2, "view", 20.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=40), 3, "view", 99.0, "{}"),
+        (2, t0, 4, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(sq, "tables_for", lambda s_, d_: {"events": df})
+    out = {r.user_id: r for r in q_time_weighted_value(spark, str(tmp_path)).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r.n_segments, r.span_s, r.twa_value) == (2, 40.0, 12.5)
