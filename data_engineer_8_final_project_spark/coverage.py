@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-pareto-concentration": [
+        # Lorenz/Pareto revenue deciles: distributed global rank, 10-row
+        # decile collapse before the cumulative window, exact-cent
+        # shares; monotone-share invariants pinned (r8)
+        "query:revenue_pareto_deciles",
+        "test:tests/test_extended_ops.py::test_revenue_pareto_deciles_lorenz_invariants",
+    ],
     "analytics-time-weighted-average": [
         # TWAP-shape time-weighted mean over irregular event times:
         # exact cents×µs integer weights, one double division per

@@ -2117,3 +2117,101 @@ def brand_affinity(lineitem: DataFrame, part: DataFrame, k: int = 15) -> DataFra
         .orderBy(F.desc("n_pair"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(k)
     )
+
+
+@register(
+    "revenue_pareto_deciles",
+    oracle="""
+    -- Revenue concentration (Lorenz/Pareto): customers ranked by
+    -- revenue DESC into 10 global-rank deciles; per decile the
+    -- customer count, exact-cent revenue, share and cumulative share.
+    -- Shares are single double divisions of exact BIGINTs; the
+    -- cumulative sum runs over the 10-row decile frame only.
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn,
+             COUNT(*) OVER () AS n
+      FROM per_cust),
+    dec AS (
+      SELECT 1 + CAST(FLOOR(10.0 * (rn - 1) / n) AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS dec_cents
+      FROM ranked GROUP BY 1),
+    tot AS (SELECT CAST(SUM(dec_cents) AS BIGINT) AS total_cents FROM dec)
+    SELECT d.decile, d.n_customers,
+           ROUND(d.dec_cents / 100.0, 2) + 0.0 AS revenue,
+           ROUND(CAST(d.dec_cents AS DOUBLE) / t.total_cents, 6) + 0.0 AS share,
+           ROUND(CAST(SUM(d.dec_cents) OVER (ORDER BY d.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / t.total_cents, 6) + 0.0 AS cum_share
+    FROM dec d CROSS JOIN tot t
+    ORDER BY d.decile
+    """,
+    survey_ref="extended: revenue concentration deciles (Lorenz/Pareto, distributed rank)",
+    tags=("bench",),
+)
+def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: customers ranked into deciles by
+    revenue (decile 1 = top spenders), each decile's share and the
+    Lorenz cumulative share — the who-pays-the-bills table of every
+    revenue review. The global rank is the distributed two-phase rank
+    (no single-task window over customers); decile totals collapse to
+    10 rows before the cumulative window (tiny_global_window — a
+    metadata-sized frame by construction); the grand total enters as
+    one bounded scalar probe; every share is one double division of
+    exact integer cents."""
+    from ..operators.sampling import distributed_row_number, tiny_global_window
+
+    t = tables_for(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    n = per_cust.count()  # bounded scalar probe: |customers|
+    ranked = distributed_row_number(
+        per_cust.select("o_custkey", "cents", "neg_cents"),
+        ("neg_cents", "o_custkey"),
+        "rn",
+    )
+    dec = (
+        ranked.groupBy(
+            (1 + F.floor(10.0 * (F.col("rn") - 1) / F.lit(n)))
+            .cast("long")
+            .alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("dec_cents"),
+        )
+    )
+    w_cum = (
+        tiny_global_window(F.col("decile"))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = per_cust.agg(F.sum("cents").cast("long")).collect()[0][0]  # scalar
+    return dec.select(
+        "decile",
+        "n_customers",
+        (F.round(F.col("dec_cents") / 100.0, 2) + 0.0).alias("revenue"),
+        (
+            F.round(F.col("dec_cents").cast("double") / F.lit(total), 6) + 0.0
+        ).alias("share"),
+        (
+            F.round(
+                F.sum("dec_cents").over(w_cum).cast("double") / F.lit(total), 6
+            )
+            + 0.0
+        ).alias("cum_share"),
+    ).orderBy("decile")

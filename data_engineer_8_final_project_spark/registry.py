@@ -154,6 +154,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_kcore",
     "event_transition_matrix",
     "time_weighted_value",
+    "revenue_pareto_deciles",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

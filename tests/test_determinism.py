@@ -25,7 +25,7 @@ DRIVER_WINDOW = 50
 
 
 def _window_names() -> list[str]:
-    # +23: the round-8 additions parked just past the boundary
+    # +24: the round-8 additions parked just past the boundary
     # (event_type_drift, scd2_point_in_time_join, kmeans_clusters,
     # bm25_doc_ranking, table_profile, knn_bfs_hops,
     # quality_model_filter, cluster_balanced_sample,
@@ -34,9 +34,10 @@ def _window_names() -> list[str]:
     # rfm_segments, brand_affinity_pairs, conversion_latency_stats,
     # lang_source_contingency, quality_percentile_norm,
     # pq_reconstruction_error, session_bounce_stats, knn_kcore,
-    # event_transition_matrix, time_weighted_value) head the r9
-    # window and must already hold the same invariant
-    return list(registry.all_queries())[: DRIVER_WINDOW + 23]
+    # event_transition_matrix, time_weighted_value,
+    # revenue_pareto_deciles) head the r9 window and must already hold
+    # the same invariant
+    return list(registry.all_queries())[: DRIVER_WINDOW + 24]
 
 
 @pytest.mark.parametrize("name", _window_names())

@@ -1153,3 +1153,23 @@ def test_time_weighted_value_hand_segments(spark, monkeypatch, tmp_path):
     assert set(out) == {1}
     r = out[1]
     assert (r.n_segments, r.span_s, r.twa_value) == (2, 40.0, 12.5)
+
+
+def test_revenue_pareto_deciles_lorenz_invariants(spark, sf_dir):
+    """Lorenz invariants: 10 deciles partition the customer base,
+    shares sum to ~1 with cum_share ending at 1.0, decile 1 (top
+    spenders) has the largest share, and shares are non-increasing."""
+    out = sorted(
+        all_queries()["revenue_pareto_deciles"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    shares = [r.share for r in out]
+    assert abs(sum(shares) - 1.0) < 1e-4
+    assert abs(out[-1].cum_share - 1.0) < 1e-6
+    assert shares == sorted(shares, reverse=True)
