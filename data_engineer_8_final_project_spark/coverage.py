@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "sessionization-native-session-window": [
+        # Spark's built-in session_window in BATCH mode, proven
+        # equivalent to the portable lag/running-sum construction
+        # (driver hash gate + direct pytest comparison) (r8)
+        "query:event_sessions_native",
+        "test:tests/test_extended_ops.py::test_native_session_window_matches_lag_construction",
+    ],
     "analytics-pareto-concentration": [
         # Lorenz/Pareto revenue deciles: distributed global rank, 10-row
         # decile collapse before the cumulative window, exact-cent

@@ -1698,3 +1698,57 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "event_sessions_native",
+    oracle="""
+    -- Oracle replays Spark's native session_window semantics with the
+    -- portable lag/running-sum construction: identical 30-min-gap
+    -- session membership, so session_start = MIN(ts) and n_events
+    -- match; only the native form's gap-padded end column is omitted
+    -- (derivable as MAX(ts) + the gap).
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    survey_ref="extended: native session_window batch sessionization (engine-operator twin)",
+    tags=("bench",),
+)
+def q_event_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` run in batch mode — the
+    engine-native twin of the lag/running-sum sessionization
+    (event_sessions). Same 30-minute-gap semantics, one user_id-keyed
+    aggregation with the session merge done inside the operator (no
+    explicit window pass at all) — the form to prefer when the
+    engine's session operator exists; the lag construction remains the
+    portable oracle. Cross-engine equivalence of the two constructions
+    is exactly what this query's driver row proves."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

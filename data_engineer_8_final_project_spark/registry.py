@@ -155,6 +155,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_transition_matrix",
     "time_weighted_value",
     "revenue_pareto_deciles",
+    "event_sessions_native",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

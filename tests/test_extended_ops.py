@@ -1173,3 +1173,25 @@ def test_revenue_pareto_deciles_lorenz_invariants(spark, sf_dir):
     assert abs(sum(shares) - 1.0) < 1e-4
     assert abs(out[-1].cum_share - 1.0) < 1e-6
     assert shares == sorted(shares, reverse=True)
+
+
+def test_native_session_window_matches_lag_construction(spark, sf_dir):
+    """The engine-native session_window and the portable lag/running-sum
+    sessionization must produce the identical session set: same
+    (user, session_start, n_events) triples across the full fixture."""
+    from data_engineer_8_final_project_spark.operators.sessions import sessionize
+
+    native = (
+        all_queries()["event_sessions_native"].fn(spark, sf_dir).toPandas()
+    )
+    from data_engineer_8_final_project_spark import catalog
+
+    lag_based = (
+        sessionize(catalog.load(spark, sf_dir)["events"], gap_minutes=30)
+        .select("user_id", "session_start", "n_events")
+        .toPandas()
+    )
+    a = native.sort_values(["user_id", "session_start"], ignore_index=True)
+    b = lag_based.sort_values(["user_id", "session_start"], ignore_index=True)
+    b["n_events"] = b["n_events"].astype(a["n_events"].dtype)
+    pd.testing.assert_frame_equal(a, b)
