@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "agg-grouping-sets": [
+        # explicit GROUPING SETS (cube/rollup's general form): one
+        # Expand + one aggregate pass for three granularities;
+        # cross-granularity consistency pinned in pytest (r8)
+        "query:grouping_sets_revenue",
+        "test:tests/test_extended_ops.py::test_grouping_sets_consistency",
+    ],
     "sessionization-native-session-window": [
         # Spark's built-in session_window in BATCH mode, proven
         # equivalent to the portable lag/running-sum construction

@@ -2215,3 +2215,68 @@ def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("cum_share"),
     ).orderBy("decile")
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    -- Explicit GROUPING SETS (the general form behind cube/rollup):
+    -- per-nation totals, per-year totals, and the grand total in ONE
+    -- aggregation pass; revenue as exact integer cents.
+    WITH j AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT nation, yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) + 0.0 AS revenue
+    FROM j
+    GROUP BY GROUPING SETS ((nation), (yr), ())
+    ORDER BY nation NULLS FIRST, yr NULLS FIRST
+    """,
+    survey_ref="§2.4 widening: explicit GROUPING SETS (cube/rollup's general form)",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general multi-granularity
+    aggregation cube/rollup specialize: per-nation totals, per-year
+    totals and the grand total computed in ONE pass (Spark plans one
+    Expand + one aggregate — each input row fans to its grouping-set
+    rows with map-side partial aggregation, instead of three scans
+    unioned). Dims broadcast onto the orders scan; revenue rides as
+    exact integer cents."""
+    t = tables_for(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    j.createOrReplaceTempView("__gs_revenue_input")
+    return spark.sql(
+        """
+        SELECT nation, yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               -- Spark SQL parses bare decimal literals as DECIMAL:
+               -- without the DOUBLE cast the whole chain stays decimal
+               -- and renders trailing zeros ('…328.50') that the
+               -- strict string hash rejects against DuckDB's DOUBLE
+               ROUND(SUM(cents) / CAST(100.0 AS DOUBLE), 2)
+                 + CAST(0.0 AS DOUBLE) AS revenue
+        FROM __gs_revenue_input
+        GROUP BY GROUPING SETS ((nation), (yr), ())
+        ORDER BY nation ASC NULLS FIRST, yr ASC NULLS FIRST
+        """
+    )

@@ -156,6 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "time_weighted_value",
     "revenue_pareto_deciles",
     "event_sessions_native",
+    "grouping_sets_revenue",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

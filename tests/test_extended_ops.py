@@ -1195,3 +1195,26 @@ def test_native_session_window_matches_lag_construction(spark, sf_dir):
     b = lag_based.sort_values(["user_id", "session_start"], ignore_index=True)
     b["n_events"] = b["n_events"].astype(a["n_events"].dtype)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouping_sets_consistency(spark, sf_dir):
+    """The three granularities must be mutually consistent: nation
+    rows, year rows and the grand-total row each sum to the same
+    order count and revenue."""
+    out = all_queries()["grouping_sets_revenue"].fn(spark, sf_dir).toPandas()
+    nations = out[out["nation"].notna()]
+    years = out[out["yr"].notna()]
+    grand = out[out["nation"].isna() & out["yr"].isna()]
+    assert len(grand) == 1
+    g = grand.iloc[0]
+    assert nations["n_orders"].sum() == g["n_orders"] == years["n_orders"].sum()
+    assert abs(nations["revenue"].sum() - g["revenue"]) < 0.01
+    assert abs(years["revenue"].sum() - g["revenue"]) < 0.01
+    # one Expand-based pass, not three unioned scans
+    plan = (
+        all_queries()["grouping_sets_revenue"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") <= 3  # orders + 2 dims, once each
