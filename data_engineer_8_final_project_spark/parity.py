@@ -56,6 +56,21 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _strict_hash(df: pd.DataFrame) -> str:
+    """The driver's value hash: column-name-sorted, everything rendered
+    via astype(str), row-sorted, md5 of the csv. Stricter than the
+    tolerant compare below — a DECIMAL column rendering '…328.50'
+    against a DOUBLE's '…328.5' is numerically equal but hash-distinct
+    (round-8 lesson: Spark SQL parses bare decimal literals as
+    DECIMAL; the tolerant compare passed while the driver hash would
+    not have)."""
+    import hashlib
+
+    out = df[sorted(df.columns)].astype(str)
+    out = out.sort_values(by=sorted(out.columns), ignore_index=True)
+    return hashlib.md5(out.to_csv(index=False).encode()).hexdigest()
+
+
 def compare(spark_df: DataFrame, oracle_df: pd.DataFrame) -> ParityResult:
     """Compare a Spark result against the oracle frame, driver-style."""
     got = spark_df.toPandas()
@@ -91,6 +106,13 @@ def compare(spark_df: DataFrame, oracle_df: pd.DataFrame) -> ParityResult:
                 except (TypeError, ValueError):
                     pass
                 return ParityResult(False, f"value mismatch col={c} row={i}: {x!r} != {y!r}")
+    if _strict_hash(got) != _strict_hash(oracle_df):
+        return ParityResult(
+            False,
+            "strict-hash mismatch (values numerically equal but render "
+            "differently — check for DECIMAL-vs-DOUBLE literals, "
+            "trailing zeros, or -0.0)",
+        )
     return ParityResult(True, f"ok rows={len(got)} cols={len(a.columns)}")
 
 
