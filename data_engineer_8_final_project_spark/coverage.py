@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "monitoring-volume-spikes": [
+        # hour-over-hour count-ratio spike monitor: metadata-sized
+        # hourly frame, rank on the ROUNDED ratio with tiebreak-complete
+        # order; ranking invariants pinned (r8)
+        "query:hourly_volume_spikes",
+        "test:tests/test_extended_ops.py::test_hourly_volume_spikes_ranked_by_deviation",
+    ],
     "agg-grouping-sets": [
         # explicit GROUPING SETS (cube/rollup's general form): one
         # Expand + one aggregate pass for three granularities;

@@ -1752,3 +1752,59 @@ def q_event_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "hourly_volume_spikes",
+    oracle="""
+    -- Volume-spike monitor: hour-over-hour count ratio per event
+    -- type, top 10 spikes. Counts are exact integers; the ratio is
+    -- ONE double division, ranked on its ROUNDED value with a
+    -- tiebreak-complete order so the cut replays on any engine.
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    with_prev AS (
+      SELECT event_type, hr, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY hr) AS prev_n
+      FROM hourly)
+    SELECT event_type, hr, n, prev_n,
+           ROUND(CAST(n AS DOUBLE) / prev_n, 4) + 0.0 AS ratio
+    FROM with_prev
+    WHERE prev_n IS NOT NULL AND prev_n >= 2
+    ORDER BY ABS(ROUND(CAST(n AS DOUBLE) / prev_n, 4) - 1.0) DESC,
+             event_type ASC, hr ASC
+    LIMIT 10
+    """,
+    survey_ref="extended: hour-over-hour volume spike monitor (rounded-ratio rank)",
+    tags=("bench",),
+)
+def q_hourly_volume_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health monitor: the 10 largest hour-over-hour volume
+    swings per event type (ratio furthest from 1.0, floor of 2 events
+    so empty-hour noise can't dominate). One (type, hour) count, one
+    per-type lag window over the tiny hourly frame, rank on the
+    ROUNDED ratio with (type, hour) tiebreak — every rank boundary
+    replays bit-exact. At 100 TB the hourly frame is |types|·|hours|
+    rows — metadata-sized — so everything after the first count is
+    free."""
+    t = tables_for(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    ratio = F.round(F.col("n").cast("double") / F.col("prev_n"), 4) + 0.0
+    return (
+        hourly.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n").isNotNull() & (F.col("prev_n") >= 2))
+        .select("event_type", "hr", "n", "prev_n", ratio.alias("ratio"))
+        .orderBy(
+            F.abs(F.col("ratio") - 1.0).desc(),
+            F.asc("event_type"),
+            F.asc("hr"),
+        )
+        .limit(10)
+    )

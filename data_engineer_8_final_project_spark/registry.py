@@ -157,6 +157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_pareto_deciles",
     "event_sessions_native",
     "grouping_sets_revenue",
+    "hourly_volume_spikes",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1218,3 +1218,17 @@ def test_grouping_sets_consistency(spark, sf_dir):
     )
     assert plan.count("Expand") >= 1
     assert plan.count("Scan parquet") <= 3  # orders + 2 dims, once each
+
+
+def test_hourly_volume_spikes_ranked_by_deviation(spark, sf_dir):
+    """Spike monitor invariants: at most 10 rows, every row has
+    prev_n >= 2 and ratio = round(n/prev_n, 4), and rows come back in
+    non-increasing |ratio - 1| order."""
+    out = all_queries()["hourly_volume_spikes"].fn(spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    devs = []
+    for r in out:
+        assert r.prev_n >= 2
+        assert abs(r.ratio - round(r.n / r.prev_n, 4)) < 1e-9
+        devs.append(abs(r.ratio - 1.0))
+    assert devs == sorted(devs, reverse=True)
