@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "profiling-fd-audit": [
+        # functional-dependency violation audit over 4 candidate FDs:
+        # one distinct-count agg per FD collapsing to 1 row; PK-holds /
+        # varying-pair-violates pinned in pytest (r8)
+        "query:fd_violation_audit",
+        "test:tests/test_extended_ops.py::test_fd_audit_pk_holds_and_varying_pairs_violate",
+    ],
     "monitoring-volume-spikes": [
         # hour-over-hour count-ratio spike monitor: metadata-sized
         # hourly frame, rank on the ROUNDED ratio with tiebreak-complete

@@ -2280,3 +2280,84 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation ASC NULLS FIRST, yr ASC NULLS FIRST
         """
     )
+
+
+@register(
+    "fd_violation_audit",
+    oracle="""
+    -- Functional-dependency audit: for each candidate FD (lhs -> rhs)
+    -- count the distinct LHS values and how many of them map to more
+    -- than one RHS value. Pure integer aggregates; the discovery
+    -- primitive behind key inference and denormalization checks.
+    SELECT 'documents.source->lang' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating
+    FROM (SELECT source, COUNT(DISTINCT lang) AS n_rhs
+          FROM documents GROUP BY source) t
+    UNION ALL
+    SELECT 'lineitem.l_partkey->l_suppkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_rhs
+          FROM lineitem GROUP BY l_partkey) t
+    UNION ALL
+    SELECT 'customer.c_custkey->c_nationkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM (SELECT c_custkey, COUNT(DISTINCT c_nationkey) AS n_rhs
+          FROM customer GROUP BY c_custkey) t
+    UNION ALL
+    SELECT 'events.user_id->event_type',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_rhs
+          FROM events GROUP BY user_id) t
+    ORDER BY fd
+    """,
+    survey_ref="extended: functional-dependency violation audit (key/FD discovery)",
+)
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-discovery audit: does each candidate lhs → rhs hold?
+    (c_custkey → c_nationkey must, as a PK dependency; source → lang
+    and user_id → event_type must NOT — a violated 'FD' here means
+    the column pair genuinely varies). One distinct-count aggregation
+    per FD collapsing to a 1-row summary — four bounded branches
+    unioned, each map-side-partial, nothing downstream sees data
+    volume. The profiling primitive behind key inference,
+    denormalization and join-safety checks."""
+    t = tables_for(spark, sf_dir)
+
+    def fd(name: str, df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        )
+
+    return (
+        fd("documents.source->lang", t["documents"], "source", "lang")
+        .unionAll(
+            fd(
+                "lineitem.l_partkey->l_suppkey",
+                t["lineitem"],
+                "l_partkey",
+                "l_suppkey",
+            )
+        )
+        .unionAll(
+            fd(
+                "customer.c_custkey->c_nationkey",
+                t["customer"],
+                "c_custkey",
+                "c_nationkey",
+            )
+        )
+        .unionAll(
+            fd("events.user_id->event_type", t["events"], "user_id", "event_type")
+        )
+        .orderBy("fd")
+    )

@@ -158,6 +158,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_sessions_native",
     "grouping_sets_revenue",
     "hourly_volume_spikes",
+    "fd_violation_audit",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

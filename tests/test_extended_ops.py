@@ -1232,3 +1232,14 @@ def test_hourly_volume_spikes_ranked_by_deviation(spark, sf_dir):
         assert abs(r.ratio - round(r.n / r.prev_n, 4)) < 1e-9
         devs.append(abs(r.ratio - 1.0))
     assert devs == sorted(devs, reverse=True)
+
+
+def test_fd_audit_pk_holds_and_varying_pairs_violate(spark, sf_dir):
+    """The PK dependency (c_custkey → c_nationkey) must report zero
+    violations; user_id → event_type must report violations on any
+    realistic event stream (users emit multiple types)."""
+    out = {r.fd: r for r in all_queries()["fd_violation_audit"].fn(spark, sf_dir).collect()}
+    assert out["customer.c_custkey->c_nationkey"].n_violating == 0
+    assert out["events.user_id->event_type"].n_violating > 0
+    for r in out.values():
+        assert 0 <= r.n_violating <= r.n_lhs
