@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-theilsen-robust-trend": [
+        # Theil-Sen robust slope: bounded per-nation pair join, rank-
+        # exact median of identical IEEE pair slopes; numpy median
+        # cross-check (r8)
+        "query:revenue_trend_theilsen",
+        "test:tests/test_extended_ops.py::test_theilsen_matches_numpy_median_of_pair_slopes",
+    ],
     "profiling-fd-audit": [
         # functional-dependency violation audit over 4 candidate FDs:
         # one distinct-count agg per FD collapsing to 1 row; PK-holds /

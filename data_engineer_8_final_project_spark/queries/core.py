@@ -2361,3 +2361,108 @@ def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd")
     )
+
+
+@register(
+    "revenue_trend_theilsen",
+    oracle="""
+    -- Theil-Sen robust trend: median over all year-pair slopes per
+    -- nation. Pair slopes are identical IEEE divisions of exact
+    -- integers on both engines; the median is an EXPLICIT rank
+    -- selection ((slope, yr_a, yr_b) tiebreak, middle one-or-two
+    -- averaged) so no engine quantile interpolation is involved.
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)),
+    pairs AS (
+      SELECT a.nation, a.yr AS yr_a, b.yr AS yr_b,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.yr - a.yr) AS slope
+      FROM yearly a JOIN yearly b
+        ON a.nation = b.nation AND a.yr < b.yr),
+    ranked AS (
+      SELECT nation, slope,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY slope, yr_a, yr_b) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM pairs)
+    SELECT nation,
+           CAST(MIN(n) AS BIGINT) AS n_pairs,
+           ROUND(AVG(CASE WHEN rn = CAST(FLOOR((n+1)/2) AS BIGINT)
+                            OR rn = CAST(FLOOR((n+2)/2) AS BIGINT)
+                          THEN slope END) / 100.0, 4) + 0.0
+             AS theilsen_slope
+    FROM ranked
+    GROUP BY nation ORDER BY nation
+    """,
+    survey_ref="extended: Theil-Sen robust trend (rank-median of pair slopes)",
+)
+def q_revenue_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust twin of revenue_trend_by_nation: the Theil–Sen slope
+    (median of all year-pair slopes) shrugs off a single anomalous
+    year that would swing least squares. The pair join is per-nation
+    with ≤ years² fan-out (a bounded constant); slopes are identical
+    IEEE divisions of exact integer cents; the median is the explicit
+    rank selection (no quantile interpolation). AVG over the 1–2
+    middle rows is commutative-exact."""
+    t = tables_for(spark, sf_dir)
+    yearly = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = yearly.alias("a")
+    b = yearly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nation") == F.col("b.nation")) & (F.col("a.yr") < F.col("b.yr")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.col("a.yr").alias("yr_a"),
+        F.col("b.yr").alias("yr_b"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.yr") - F.col("a.yr"))
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("nation").orderBy("slope", "yr_a", "yr_b")
+    wn = Window.partitionBy("nation")
+    ranked = pairs.select(
+        "nation",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.min("n").cast("long").alias("n_pairs"),
+            (
+                F.round(F.avg(F.when(mid, F.col("slope"))) / 100.0, 4) + 0.0
+            ).alias("theilsen_slope"),
+        )
+        .orderBy("nation")
+    )

@@ -159,6 +159,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "hourly_volume_spikes",
     "fd_violation_audit",
+    "revenue_trend_theilsen",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1243,3 +1243,40 @@ def test_fd_audit_pk_holds_and_varying_pairs_violate(spark, sf_dir):
     assert out["events.user_id->event_type"].n_violating > 0
     for r in out.values():
         assert 0 <= r.n_violating <= r.n_lhs
+
+
+def test_theilsen_matches_numpy_median_of_pair_slopes(spark, sf_dir):
+    """Independent numpy reimplementation: for each nation the median
+    of all year-pair slopes (in dollars/year) must match to rounding;
+    n_pairs must equal C(n_years, 2)."""
+    got = {
+        r.nation: r
+        for r in all_queries()["revenue_trend_theilsen"].fn(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .collect()
+    )
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in yearly:
+        series.setdefault(r.n_name, []).append((r.yr, r.cents))
+    for nat, pts in series.items():
+        pts = sorted(pts)
+        slopes = [
+            (cb - ca) / (yb - ya)
+            for i, (ya, ca) in enumerate(pts)
+            for (yb, cb) in pts[i + 1 :]
+        ]
+        if not slopes or nat not in got:
+            continue
+        assert got[nat].n_pairs == len(slopes)
+        expect = float(np.median(sorted(slopes))) / 100.0
+        assert abs(got[nat].theilsen_slope - expect) < 1e-3, nat
