@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "forensics-benford-audit": [
+        # Benford first-digit screen over exact integer cents: string-
+        # safe digit extraction from BIGINT rendering, Python-literal
+        # expectations (no engine log10); pandas cross-check (r8)
+        "query:benford_first_digit",
+        "test:tests/test_extended_ops.py::test_benford_digits_partition_and_expectations_sum",
+    ],
     "analytics-theilsen-robust-trend": [
         # Theil-Sen robust slope: bounded per-nation pair join, rank-
         # exact median of identical IEEE pair slopes; numpy median

@@ -2466,3 +2466,71 @@ def q_revenue_trend_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+#: Benford expected first-digit shares log10(1+1/d), embedded as full-
+#: precision literals so Spark and DuckDB hold the identical doubles
+#: (computed once in Python — no engine log10 in the plan).
+_BENFORD = {1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992, 4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322, 7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514}
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    -- Benford's-law forensic audit of order totals: observed share of
+    -- each leading digit of the exact integer cents (BIGINT decimal
+    -- rendering is engine-identical, so the digit extraction is
+    -- string-safe) vs the Benford expectation (literal doubles).
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) + 0.0 AS pct,
+           ROUND(CASE c.digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END, 6) + 0.0 AS benford_pct,
+           ROUND(ROUND(CAST(c.n AS DOUBLE) / t.total, 6)
+                 - ROUND(CASE c.digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END, 6), 6) + 0.0
+             AS excess
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.digit
+    """,
+    survey_ref="extended: Benford first-digit forensic audit (literal-expectation compare)",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic data-quality screen: the leading-digit distribution of
+    order totals against Benford's law — the classic fabricated-data
+    detector. The digit comes from the BIGINT cents' decimal string
+    (engine-identical rendering; no float formatting, no log10 in the
+    plan — expectations are Python-computed literals). One 9-key
+    count; everything after is metadata-sized; each share is one
+    double division."""
+    t = tables_for(spark, sf_dir)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long")).collect()[0][0]  # bounded scalar
+    ben_col = F.lit(None).cast("double")
+    for dd in sorted(_BENFORD, reverse=True):
+        ben_col = F.when(F.col("digit") == dd, F.lit(_BENFORD[dd])).otherwise(ben_col)
+    pct = F.round(F.col("n").cast("double") / F.lit(total), 6) + 0.0
+    benp = F.round(ben_col, 6) + 0.0
+    return (
+        counts.select(
+            "digit",
+            "n",
+            pct.alias("pct"),
+            benp.alias("benford_pct"),
+            (F.round(pct - benp, 6) + 0.0).alias("excess"),
+        )
+        .orderBy("digit")
+    )

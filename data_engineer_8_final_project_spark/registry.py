@@ -160,6 +160,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hourly_volume_spikes",
     "fd_violation_audit",
     "revenue_trend_theilsen",
+    "benford_first_digit",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

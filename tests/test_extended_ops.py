@@ -1280,3 +1280,21 @@ def test_theilsen_matches_numpy_median_of_pair_slopes(spark, sf_dir):
         assert got[nat].n_pairs == len(slopes)
         expect = float(np.median(sorted(slopes))) / 100.0
         assert abs(got[nat].theilsen_slope - expect) < 1e-3, nat
+
+
+def test_benford_digits_partition_and_expectations_sum(spark, sf_dir):
+    """Benford audit invariants: all 9 digits present, observed shares
+    sum to 1, expectations sum to 1 (log10 telescoping), and counts
+    match an independent pandas digit extraction."""
+    out = {r.digit: r for r in all_queries()["benford_first_digit"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(range(1, 10))
+    assert abs(sum(r.pct for r in out.values()) - 1.0) < 1e-4
+    assert abs(sum(r.benford_pct for r in out.values()) - 1.0) < 1e-4
+    prices = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice").toPandas()["o_totalprice"]
+    )
+    cents = (prices[prices > 0] * 100).round().astype("int64").astype(str)
+    expect = cents.str[0].astype(int).value_counts().to_dict()
+    for d, r in out.items():
+        assert r.n == expect.get(d, 0), d
