@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-gini-inequality": [
+        # Gini scalar via the rank-moment formula: exact BIGINT
+        # Σi·x / Σx over the distributed rank, one pinned-order double
+        # expression; numpy cross-check (r8)
+        "query:revenue_gini",
+        "test:tests/test_extended_ops.py::test_gini_matches_numpy_and_bounds",
+    ],
     "forensics-benford-audit": [
         # Benford first-digit screen over exact integer cents: string-
         # safe digit extraction from BIGINT rendering, Python-literal

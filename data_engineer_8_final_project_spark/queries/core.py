@@ -2534,3 +2534,72 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "revenue_gini",
+    oracle="""
+    -- Gini coefficient of customer revenue via the rank formula
+    -- G = (2*SUM(i*x_i))/(n*SUM(x)) - (n+1)/n over ascending-sorted
+    -- exact cents: every moment an exact BIGINT (headroom to ~10^5
+    -- customers at 10^11 cents each; DECIMAL(38) documented past
+    -- that), then ONE double expression in pinned order.
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+      FROM per_cust),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(i * cents) AS BIGINT) AS six
+      FROM ranked)
+    SELECT n AS n_customers,
+           ROUND(sx / 100.0, 2) + 0.0 AS total_revenue,
+           ROUND(2.0 * six / (CAST(n AS DOUBLE) * sx)
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 6) + 0.0 AS gini
+    FROM m
+    """,
+    survey_ref="extended: Gini coefficient (inequality scalar, rank-moment formula)",
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scalar inequality measure to go with the Pareto deciles:
+    the Gini coefficient of per-customer revenue by the rank-moment
+    formula — Σi·xᵢ and Σx are exact BIGINT sums over the distributed
+    two-phase rank (no single-task sort), the final G is one pinned-
+    order double expression. 0 = perfectly equal, →1 = one customer
+    pays everything."""
+    from ..operators.sampling import distributed_row_number
+
+    t = tables_for(spark, sf_dir)
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = distributed_row_number(per_cust, ("cents", "o_custkey"), "i")
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("six"),
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        (F.round(F.col("sx") / 100.0, 2) + 0.0).alias("total_revenue"),
+        (
+            F.round(
+                2.0 * F.col("six") / (F.col("n").cast("double") * F.col("sx"))
+                - (F.col("n").cast("double") + 1.0) / F.col("n"),
+                6,
+            )
+            + 0.0
+        ).alias("gini"),
+    )

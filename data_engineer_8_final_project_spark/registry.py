@@ -161,6 +161,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fd_violation_audit",
     "revenue_trend_theilsen",
     "benford_first_digit",
+    "revenue_gini",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1298,3 +1298,26 @@ def test_benford_digits_partition_and_expectations_sum(spark, sf_dir):
     expect = cents.str[0].astype(int).value_counts().to_dict()
     for d, r in out.items():
         assert r.n == expect.get(d, 0), d
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    """Gini invariants: value in [0, 1) and equal (to rounding) to an
+    independent numpy rank-formula computation over the same cents."""
+    r = all_queries()["revenue_gini"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    from pyspark.sql import functions as F
+
+    cents = np.sort(
+        np.array(
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_custkey")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+            .toPandas()["c"],
+            dtype=np.int64,
+        )
+    )
+    n = len(cents)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    gini = 2.0 * float((i * cents).sum()) / (n * float(cents.sum())) - (n + 1.0) / n
+    assert abs(r.gini - gini) < 1e-5
+    assert r.n_customers == n
