@@ -218,6 +218,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "search-prefix-completions": [
+        # autocomplete index: top-3 completions per prefix, map-side
+        # Partial WindowGroupLimit plan-pinned on a text workload (r8)
+        "query:token_prefix_completions",
+        "test:tests/test_extended_ops.py::test_prefix_completions_rank_limit_plan_and_consistency",
+    ],
     "analytics-gini-inequality": [
         # Gini scalar via the rank-moment formula: exact BIGINT
         # Σi·x / Σx over the distributed rank, one pinned-order double

@@ -630,3 +630,53 @@ def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "token_prefix_completions",
+    oracle=f"""
+    -- Autocomplete index: top-3 completions per 3-char prefix by
+    -- corpus frequency ((n DESC, token ASC) tiebreak-complete rank).
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (
+      SELECT substr(token, 1, 3) AS prefix, token,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok WHERE length(token) >= 4
+      GROUP BY substr(token, 1, 3), token),
+    ranked AS (
+      SELECT prefix, token, n,
+             ROW_NUMBER() OVER (PARTITION BY prefix
+                                ORDER BY n DESC, token ASC) AS rnk
+      FROM counts)
+    SELECT prefix, CAST(rnk AS BIGINT) AS rnk, token, n
+    FROM ranked WHERE rnk <= 3
+    ORDER BY prefix, rnk
+    """,
+    survey_ref="extended: prefix-completion index (search/autocomplete top-k per prefix)",
+)
+def q_token_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-autocomplete index build: the 3 most frequent
+    completions for every 3-character token prefix. One explode +
+    (prefix, token) count, then ONE window whose ``row_number() <= 3``
+    compiles to a map-side Partial WindowGroupLimit
+    (InferWindowGroupLimit) — each partition ships at most 3 rows per
+    prefix into the exchange, so a hot prefix's shuffle input is
+    bounded by 3×partitions, never by its token count. The same
+    rank-limit shape as per_key_cap, exercised on a text workload."""
+    t = tables_for(spark, sf_dir)
+    tok = t["documents"].select(F.explode(text.tokens("text")).alias("token"))
+    counts = (
+        tok.filter(F.length("token") >= 4)
+        .groupBy(F.substring("token", 1, 3).alias("prefix"), "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("prefix").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("prefix", "rnk", "token", "n")
+        .orderBy("prefix", "rnk")
+    )

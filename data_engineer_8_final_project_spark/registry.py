@@ -162,6 +162,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_trend_theilsen",
     "benford_first_digit",
     "revenue_gini",
+    "token_prefix_completions",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

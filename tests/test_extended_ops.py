@@ -1321,3 +1321,24 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
     gini = 2.0 * float((i * cents).sum()) / (n * float(cents.sum())) - (n + 1.0) / n
     assert abs(r.gini - gini) < 1e-5
     assert r.n_customers == n
+
+
+def test_prefix_completions_rank_limit_plan_and_consistency(spark, sf_dir):
+    """Every completion starts with its prefix, ranks are dense 1..k≤3
+    per prefix with non-increasing counts, and the physical plan
+    carries the map-side Partial WindowGroupLimit (the rank-limit
+    pushdown this operator is designed around)."""
+    df = all_queries()["token_prefix_completions"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    by_prefix: dict[str, list] = {}
+    for r in rows:
+        assert r.token.startswith(r.prefix)
+        by_prefix.setdefault(r.prefix, []).append(r)
+    for p, rs in by_prefix.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1)) and len(rs) <= 3
+        ns = [r.n for r in rs]
+        assert ns == sorted(ns, reverse=True), p
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
