@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "profiling-boxplot-summary": [
+        # per-brand five-number summary via nearest-rank picks over
+        # exact cents (engine-portable quantiles); exact numpy
+        # cross-check + monotonicity (r8)
+        "query:part_price_boxplot",
+        "test:tests/test_extended_ops.py::test_boxplot_matches_numpy_nearest_rank",
+    ],
     "search-prefix-completions": [
         # autocomplete index: top-3 completions per prefix, map-side
         # Partial WindowGroupLimit plan-pinned on a text workload (r8)

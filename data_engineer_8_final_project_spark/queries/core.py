@@ -2603,3 +2603,79 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("gini"),
     )
+
+
+@register(
+    "part_price_boxplot",
+    oracle="""
+    -- Five-number summary (box plot) of part retail price per brand,
+    -- every quantile a NEAREST-RANK selection over exact cents
+    -- ((cents, p_partkey) tiebreak) — one picked row per statistic,
+    -- no interpolation, so the summary replays on any engine.
+    WITH p AS (
+      SELECT p_brand, p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part),
+    ranked AS (
+      SELECT p_brand, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY cents, p_partkey) AS rn,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n
+      FROM p)
+    SELECT p_brand,
+           CAST(MIN(n) AS BIGINT) AS n_parts,
+           ROUND(MIN(cents) / 100.0, 2) + 0.0 AS min_price,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                          THEN cents END) / 100.0, 2) + 0.0 AS q1,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                          THEN cents END) / 100.0, 2) + 0.0 AS median,
+           ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                          THEN cents END) / 100.0, 2) + 0.0 AS q3,
+           ROUND(MAX(cents) / 100.0, 2) + 0.0 AS max_price
+    FROM ranked
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    survey_ref="extended: per-brand five-number summary (nearest-rank box plot)",
+)
+def q_part_price_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE-style box-plot table: min/q1/median/q3/max of part
+    price per brand, every quantile a nearest-rank pick over exact
+    integer cents (the engine-portable alternative to interpolating
+    percentile functions — round-8 rule). One brand-keyed rank window
+    + one rollup; at 100 TB swap the rank window for approx_percentile
+    per brand (documented, tests/test_approx.py covers the sketch
+    path)."""
+    t = tables_for(spark, sf_dir)
+    p = t["part"].select(
+        "p_brand",
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("p_brand").orderBy("cents", "p_partkey")
+    wn = Window.partitionBy("p_brand")
+    ranked = p.select(
+        "p_brand",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def near(pq: str):
+        sel = F.when(
+            F.col("rn") == F.ceil(F.lit(pq).cast("double") * F.col("n")),
+            F.col("cents"),
+        )
+        return F.round(F.min(sel) / 100.0, 2) + 0.0
+
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.min("n").cast("long").alias("n_parts"),
+            (F.round(F.min("cents") / 100.0, 2) + 0.0).alias("min_price"),
+            near("0.25").alias("q1"),
+            near("0.5").alias("median"),
+            near("0.75").alias("q3"),
+            (F.round(F.max("cents") / 100.0, 2) + 0.0).alias("max_price"),
+        )
+        .orderBy("p_brand")
+    )

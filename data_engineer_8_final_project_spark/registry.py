@@ -163,6 +163,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "benford_first_digit",
     "revenue_gini",
     "token_prefix_completions",
+    "part_price_boxplot",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1342,3 +1342,29 @@ def test_prefix_completions_rank_limit_plan_and_consistency(spark, sf_dir):
         assert ns == sorted(ns, reverse=True), p
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_boxplot_matches_numpy_nearest_rank(spark, sf_dir):
+    """Independent numpy nearest-rank quantiles over the same cents
+    must agree exactly for each brand; the five numbers must be
+    monotone min ≤ q1 ≤ median ≤ q3 ≤ max."""
+    from pyspark.sql import functions as F
+
+    out = {r.p_brand: r for r in all_queries()["part_price_boxplot"].fn(spark, sf_dir).collect()}
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_brand", F.round(F.col("p_retailprice") * 100).cast("long").alias("c"))
+        .toPandas()
+    )
+    for brand, g in parts.groupby("p_brand"):
+        cents = np.sort(g["c"].to_numpy())
+        n = len(cents)
+        r = out[brand]
+        assert r.n_parts == n
+        def near(p):
+            return round(cents[int(np.ceil(p * n)) - 1] / 100.0, 2)
+        assert (r.min_price, r.q1, r.median, r.q3, r.max_price) == (
+            round(cents[0] / 100.0, 2), near(0.25), near(0.5), near(0.75),
+            round(cents[-1] / 100.0, 2),
+        ), brand
+        assert r.min_price <= r.q1 <= r.median <= r.q3 <= r.max_price
