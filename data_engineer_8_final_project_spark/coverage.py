@@ -218,6 +218,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-cohort-ltv": [
+        # weekly-cohort LTV curve: stream collapses to a metadata-
+        # sized (cohort, offset) frame, exact-cent cumulative window,
+        # pinned-order per-user division; monotonicity + total-
+        # recovery pinned (r8)
+        "query:cohort_ltv",
+        "test:tests/test_extended_ops.py::test_cohort_ltv_cumulative_and_consistent_with_totals",
+    ],
     "profiling-boxplot-summary": [
         # per-brand five-number summary via nearest-rank picks over
         # exact cents (engine-portable quantiles); exact numpy

@@ -1808,3 +1808,100 @@ def q_hourly_volume_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@register(
+    "cohort_ltv",
+    oracle="""
+    -- Cohort lifetime-value curve: weekly cohorts (Monday-truncated
+    -- first-event week), purchase revenue per week offset, cumulative
+    -- LTV per cohort user. Revenue rides as exact integer cents; the
+    -- cumulative sum runs over the tiny (cohort, offset) frame; each
+    -- LTV is ONE double division chain in pinned order.
+    WITH first_week AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM first_week GROUP BY cohort_week),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) // 7 AS BIGINT)
+               AS week_offset,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN first_week f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2)
+    SELECT r.cohort_week, r.week_offset, s.cohort_users,
+           ROUND(r.cents / 100.0, 2) + 0.0 AS revenue,
+           ROUND(CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week
+                      ORDER BY r.week_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / s.cohort_users / 100.0, 4) + 0.0
+             AS cum_ltv_per_user
+    FROM rev r JOIN sizes s USING (cohort_week)
+    ORDER BY r.cohort_week, r.week_offset
+    """,
+    survey_ref="extended: cohort lifetime-value curve (cumulative revenue per cohort user)",
+    tags=("bench",),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curve per weekly cohort: purchase revenue by week offset
+    and the cumulative value per cohort user — the payback-period
+    table next to the retention matrix (same cohort definition as
+    retention_cohorts). Two user-keyed aggregations joined on
+    user_id collapse the stream to |cohorts|·|weeks| rows; the
+    cumulative window and the per-user division run over that
+    metadata-sized frame with exact integer cents."""
+    t = tables_for(spark, sf_dir)
+    e = t["events"].select("user_id", "ts", "event_type", "value")
+    first_week = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = first_week.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            (F.round(F.col("cents") / 100.0, 2) + 0.0).alias("revenue"),
+            (
+                F.round(
+                    F.sum("cents").over(w).cast("double")
+                    / F.col("cohort_users")
+                    / 100.0,
+                    4,
+                )
+                + 0.0
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -164,6 +164,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_gini",
     "token_prefix_completions",
     "part_price_boxplot",
+    "cohort_ltv",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1368,3 +1368,27 @@ def test_boxplot_matches_numpy_nearest_rank(spark, sf_dir):
             round(cents[-1] / 100.0, 2),
         ), brand
         assert r.min_price <= r.q1 <= r.median <= r.q3 <= r.max_price
+
+
+def test_cohort_ltv_cumulative_and_consistent_with_totals(spark, sf_dir):
+    """LTV invariants: cum_ltv_per_user is non-decreasing within each
+    cohort; the final cumulative value × cohort size recovers the
+    cohort's total purchase revenue (to cent rounding)."""
+    from pyspark.sql import functions as F
+    from data_engineer_8_final_project_spark import catalog
+
+    rows = sorted(
+        all_queries()["cohort_ltv"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r.cohort_week, r.week_offset),
+    )
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    events = catalog.load(spark, sf_dir)["events"]
+    for cohort, rs in by_cohort.items():
+        ltvs = [r.cum_ltv_per_user for r in rs]
+        assert ltvs == sorted(ltvs), cohort
+        total_rev = sum(r.revenue for r in rs)
+        final = rs[-1]
+        assert abs(final.cum_ltv_per_user * final.cohort_users - total_rev) < 0.01 * final.cohort_users
