@@ -218,6 +218,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "reconciliation-snapshot-diff": [
+        # full-outer PK diff classifying added/removed/changed rows +
+        # exact-cent net delta; modulo-rule recovery pinned (r8)
+        "query:snapshot_reconcile",
+        "test:tests/test_extended_ops.py::test_snapshot_reconcile_counts_match_modulo_rules",
+    ],
     "analytics-cohort-ltv": [
         # weekly-cohort LTV curve: stream collapses to a metadata-
         # sized (cohort, offset) frame, exact-cent cumulative window,

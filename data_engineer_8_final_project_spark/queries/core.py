@@ -2679,3 +2679,86 @@ def q_part_price_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "snapshot_reconcile",
+    oracle="""
+    -- Snapshot reconciliation: classify rows between snapshot A
+    -- (orders) and a deterministically-derived snapshot B (drop
+    -- okey%97=0, +1 cent on okey%89=0, clone okey%83=0 with a
+    -- shifted key) via ONE full-outer join on the PK -> per-class
+    -- row counts and the net value delta in exact cents.
+    WITH a AS (
+      SELECT o_orderkey AS okey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    b AS (
+      SELECT okey,
+             CASE WHEN okey % 89 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM a WHERE okey % 97 <> 0
+      UNION ALL
+      SELECT okey + 1000000000 AS okey, cents FROM a WHERE okey % 83 = 0),
+    j AS (
+      SELECT CASE WHEN a.okey IS NULL THEN 'added'
+                  WHEN b.okey IS NULL THEN 'removed'
+                  WHEN a.cents <> b.cents THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS delta
+      FROM a FULL OUTER JOIN b ON a.okey = b.okey)
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(delta) AS BIGINT) / 100.0, 2) + 0.0 AS net_delta
+    FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    survey_ref="extended: snapshot reconciliation (full-outer PK diff, added/removed/changed)",
+)
+def q_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-reconciliation primitive: diff two table snapshots by
+    primary key (ONE full-outer equi-join) and classify every row as
+    added / removed / changed / unchanged with the net value delta —
+    the audit every ingestion or backfill runs before swapping a
+    published table. Snapshot B is derived deterministically from A
+    (modulo drop / +1-cent change / shifted-key clone) so the oracle
+    replays the classification exactly; the same code path diffs two
+    real snapshot directories. Exact integer cents throughout; the
+    join shuffles once on the PK and the rollup key is 4 values."""
+    t = tables_for(spark, sf_dir)
+    a = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = (
+        a.filter(F.col("okey") % 97 != 0)
+        .select(
+            "okey",
+            F.when(F.col("okey") % 89 == 0, F.col("cents") + 1)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionAll(
+            a.filter(F.col("okey") % 83 == 0).select(
+                (F.col("okey") + 1_000_000_000).alias("okey"), "cents"
+            )
+        )
+    )
+    sa, sb = a.alias("sa"), b.alias("sb")
+    j = sa.join(sb, F.col("sa.okey") == F.col("sb.okey"), "full_outer").select(
+        F.when(F.col("sa.okey").isNull(), "added")
+        .when(F.col("sb.okey").isNull(), "removed")
+        .when(F.col("sa.cents") != F.col("sb.cents"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce(F.col("sb.cents"), F.lit(0))
+            - F.coalesce(F.col("sa.cents"), F.lit(0))
+        ).alias("delta"),
+    )
+    return (
+        j.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.round(F.sum("delta") / 100.0, 2) + 0.0).alias("net_delta"),
+        )
+        .orderBy("change_type")
+    )

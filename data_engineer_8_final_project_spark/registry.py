@@ -165,6 +165,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_prefix_completions",
     "part_price_boxplot",
     "cohort_ltv",
+    "snapshot_reconcile",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

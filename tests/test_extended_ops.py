@@ -1392,3 +1392,26 @@ def test_cohort_ltv_cumulative_and_consistent_with_totals(spark, sf_dir):
         total_rev = sum(r.revenue for r in rs)
         final = rs[-1]
         assert abs(final.cum_ltv_per_user * final.cohort_users - total_rev) < 0.01 * final.cohort_users
+
+
+def test_snapshot_reconcile_counts_match_modulo_rules(spark, sf_dir):
+    """The classification must recover the synthetic derivation rules:
+    removed = okeys % 97 == 0, added = okeys % 83 == 0 (shifted
+    clones), changed = % 89 == 0 survivors, and net_delta of 'changed'
+    is exactly +0.01 per changed row."""
+    from pyspark.sql import functions as F
+
+    out = {r.change_type: r for r in all_queries()["snapshot_reconcile"].fn(spark, sf_dir).collect()}
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey").toPandas()["o_orderkey"]
+    )
+    removed = int((keys % 97 == 0).sum())
+    added = int((keys % 83 == 0).sum())
+    changed = int(((keys % 89 == 0) & (keys % 97 != 0)).sum())
+    assert out["removed"].n_rows == removed
+    assert out["added"].n_rows == added
+    assert out["changed"].n_rows == changed
+    assert abs(out["changed"].net_delta - changed * 0.01) < 1e-6
+    assert out["unchanged"].n_rows == len(keys) - removed - changed
+    assert out["unchanged"].net_delta == 0.0
