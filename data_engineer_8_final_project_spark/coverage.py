@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "experimentation-ab-significance": [
+        # two-proportion A/B z² (sqrt/log-free significance): md5-arm
+        # assignment, exact-count statistic in pinned order; pandas
+        # reference cross-check (r8)
+        "query:ab_test_conversion",
+        "test:tests/test_extended_ops.py::test_ab_test_matches_scipy_free_reference",
+    ],
     "reconciliation-snapshot-diff": [
         # full-outer PK diff classifying added/removed/changed rows +
         # exact-cent net delta; modulo-rule recovery pinned (r8)

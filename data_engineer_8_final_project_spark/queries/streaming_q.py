@@ -1905,3 +1905,98 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "ab_test_conversion",
+    oracle="""
+    -- Two-proportion A/B test on conversion (user has >=1 purchase
+    -- above $150 — the high-value threshold keeps both arms'
+    -- rates strictly inside (0,1) at every fixture SF),
+    -- arms assigned by the portable md5 bucket of user_id. The test
+    -- statistic is z^2 (the chi-square-equivalent form): built from
+    -- exact integer counts with +-*/ only — no sqrt/log, so the
+    -- doubles are bit-identical on both engines.
+    WITH users AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+               AS c_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS c_b
+      FROM users)
+    SELECT n_a, c_a, n_b, c_b,
+           ROUND(CAST(c_a AS DOUBLE) / n_a, 6) + 0.0 AS rate_a,
+           ROUND(CAST(c_b AS DOUBLE) / n_b, 6) + 0.0 AS rate_b,
+           ROUND(
+             (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / ((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)), 4) + 0.0 AS z_squared
+    FROM arms
+    """,
+    survey_ref="extended: two-proportion A/B significance (z-squared, sqrt-free)",
+)
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation primitive: split users into two arms by the
+    stable md5 bucket (the same portable-hash idiom as hash_split, so
+    assignment is reproducible anywhere), compare conversion
+    (≥1 purchase above $150) and report the pooled two-proportion z² statistic —
+    algebraically z², so z² > 3.84 ≈ p < 0.05 without any sqrt/log in
+    the plan (engine-identical doubles by construction). One user
+    aggregation collapsing to a 1-row arm summary; the statistic is a
+    pinned-order expression over exact integers."""
+    from ..operators.sampling import _hash60
+
+    t = tables_for(spark, sf_dir)
+    users = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            (_hash60(F.col("user_id").cast("string")) % 2).alias("arm"),
+            "converted",
+        )
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z2 = (ra - rb) * (ra - rb) / (
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        (F.round(ra, 6) + 0.0).alias("rate_a"),
+        (F.round(rb, 6) + 0.0).alias("rate_b"),
+        (F.round(z2, 4) + 0.0).alias("z_squared"),
+    )

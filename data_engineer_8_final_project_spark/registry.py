@@ -166,6 +166,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "part_price_boxplot",
     "cohort_ltv",
     "snapshot_reconcile",
+    "ab_test_conversion",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -25,7 +25,7 @@ DRIVER_WINDOW = 50
 
 
 def _window_names() -> list[str]:
-    # +35: the round-8 additions parked just past the boundary
+    # +36: the round-8 additions parked just past the boundary
     # (event_type_drift, scd2_point_in_time_join, kmeans_clusters,
     # bm25_doc_ranking, table_profile, knn_bfs_hops,
     # quality_model_filter, cluster_balanced_sample,
@@ -39,9 +39,10 @@ def _window_names() -> list[str]:
     # grouping_sets_revenue, hourly_volume_spikes,
     # fd_violation_audit, revenue_trend_theilsen,
     # benford_first_digit, revenue_gini, token_prefix_completions,
-    # part_price_boxplot, cohort_ltv, snapshot_reconcile) head the
-    # r9 window and must already hold the same invariant
-    return list(registry.all_queries())[: DRIVER_WINDOW + 35]
+    # part_price_boxplot, cohort_ltv, snapshot_reconcile,
+    # ab_test_conversion) head the r9 window and must already hold
+    # the same invariant
+    return list(registry.all_queries())[: DRIVER_WINDOW + 36]
 
 
 @pytest.mark.parametrize("name", _window_names())

@@ -1415,3 +1415,33 @@ def test_snapshot_reconcile_counts_match_modulo_rules(spark, sf_dir):
     assert abs(out["changed"].net_delta - changed * 0.01) < 1e-6
     assert out["unchanged"].n_rows == len(keys) - removed - changed
     assert out["unchanged"].net_delta == 0.0
+
+
+def test_ab_test_matches_scipy_free_reference(spark, sf_dir):
+    """Independent pandas reimplementation of arm assignment (md5
+    bucket), conversion and the pooled z² — must agree with the
+    engine; arms must partition users and z² ≥ 0."""
+    import hashlib
+
+    from data_engineer_8_final_project_spark import catalog
+
+    r = all_queries()["ab_test_conversion"].fn(spark, sf_dir).collect()[0]
+    ev = catalog.load(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+    conv = (
+        ev.assign(c=((ev.event_type == "purchase") & (ev.value > 150)).astype(int))
+        .groupby("user_id")["c"].max()
+    )
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+    arms = {uid: arm(uid) for uid in conv.index}
+    n_a = sum(1 for v in arms.values() if v == 0)
+    n_b = len(arms) - n_a
+    c_a = sum(int(conv[u]) for u, v in arms.items() if v == 0)
+    c_b = sum(int(conv[u]) for u, v in arms.items() if v == 1)
+    assert (r.n_a, r.c_a, r.n_b, r.c_b) == (n_a, c_a, n_b, c_b)
+    pool = (c_a + c_b) / (n_a + n_b)
+    z2 = ((c_a / n_a - c_b / n_b) ** 2) / (pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    assert abs(r.z_squared - z2) < 1e-3
+    assert r.z_squared >= 0
