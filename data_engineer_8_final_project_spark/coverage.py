@@ -218,6 +218,18 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-activity-heatmap": [
+        # weekday x hour usage matrix: 168-cell calendar-key count,
+        # engine-aligned isodow convention; partition pinned (r8)
+        "query:activity_heatmap",
+        "test:tests/test_extended_ops.py::test_activity_heatmap_covers_all_events",
+    ],
+    "analytics-mom-growth": [
+        # MoM revenue growth: exact-cent monthly totals, lag ratio
+        # over the metadata-sized month frame; ratio recovery pinned
+        "query:revenue_mom_growth",
+        "test:tests/test_extended_ops.py::test_mom_growth_recovers_monthly_ratios",
+    ],
     "experimentation-ab-significance": [
         # two-proportion A/B z² (sqrt/log-free significance): md5-arm
         # assignment, exact-count statistic in pinned order; pandas

@@ -2000,3 +2000,96 @@ def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(rb, 6) + 0.0).alias("rate_b"),
         (F.round(z2, 4) + 0.0).alias("z_squared"),
     )
+
+
+@register(
+    "activity_heatmap",
+    oracle="""
+    -- Usage heatmap: event counts by ISO weekday x hour-of-day — the
+    -- |7x24|-cell matrix behind load planning and anomaly eyeballing.
+    -- Pure integer counts on calendar keys both engines derive
+    -- identically (isodow 1=Monday, 24h hours, UTC session).
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY isodow(ts), EXTRACT(hour FROM ts)
+    ORDER BY dow, hod
+    """,
+    survey_ref="extended: weekday x hour activity heatmap (calendar-key matrix)",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour usage matrix: one aggregation whose key space is
+    at most 168 cells — map-side partials collapse everything before
+    the exchange regardless of corpus size. Spark's ``weekday()``
+    (0=Monday) + 1 equals DuckDB's ``isodow`` exactly, avoiding the
+    engines' conflicting ``dayofweek`` conventions (Spark 1=Sunday,
+    DuckDB 0=Sunday)."""
+    t = tables_for(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("dow", "hod")
+    )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    -- Month-over-month revenue growth: the KPI table every revenue
+    -- review starts from. Monthly totals in exact cents; growth is
+    -- ONE double division of two exact BIGINTs per row.
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    w AS (
+      SELECT month, cents,
+             LAG(cents) OVER (ORDER BY month) AS prev_cents
+      FROM monthly)
+    SELECT month,
+           ROUND(cents / 100.0, 2) + 0.0 AS revenue,
+           ROUND(CASE WHEN prev_cents IS NOT NULL
+                      THEN (CAST(cents AS DOUBLE) - prev_cents) / prev_cents
+                 END, 6) + 0.0 AS mom_growth
+    FROM w ORDER BY month
+    """,
+    survey_ref="extended: month-over-month revenue growth (lag-ratio KPI)",
+)
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoM revenue growth: monthly totals (exact integer cents, one
+    date-keyed aggregation collapsing to |months| rows) and the
+    lag-ratio growth over that metadata-sized frame
+    (tiny_global_window — a by-design bounded window, never data
+    rows). First month's growth is NULL on both engines."""
+    from ..operators.sampling import tiny_global_window
+
+    t = tables_for(spark, sf_dir)
+    monthly = (
+        t["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = tiny_global_window(F.col("cents")).orderBy("month")
+    growth = F.when(
+        F.col("prev_cents").isNotNull(),
+        (F.col("cents").cast("double") - F.col("prev_cents")) / F.col("prev_cents"),
+    )
+    return (
+        monthly.withColumn("prev_cents", F.lag("cents").over(w))
+        .select(
+            "month",
+            (F.round(F.col("cents") / 100.0, 2) + 0.0).alias("revenue"),
+            (F.round(growth, 6) + 0.0).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )

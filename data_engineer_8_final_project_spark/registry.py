@@ -167,6 +167,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cohort_ltv",
     "snapshot_reconcile",
     "ab_test_conversion",
+    "activity_heatmap",
+    "revenue_mom_growth",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1445,3 +1445,28 @@ def test_ab_test_matches_scipy_free_reference(spark, sf_dir):
     z2 = ((c_a / n_a - c_b / n_b) ** 2) / (pool * (1 - pool) * (1 / n_a + 1 / n_b))
     assert abs(r.z_squared - z2) < 1e-3
     assert r.z_squared >= 0
+
+
+def test_activity_heatmap_covers_all_events(spark, sf_dir):
+    """Heatmap cells partition the event stream exactly and keys stay
+    inside their calendar domains (isodow 1..7, hour 0..23)."""
+    from data_engineer_8_final_project_spark import catalog
+
+    out = all_queries()["activity_heatmap"].fn(spark, sf_dir).collect()
+    assert sum(r.n_events for r in out) == catalog.load(spark, sf_dir)["events"].count()
+    for r in out:
+        assert 1 <= r.dow <= 7 and 0 <= r.hod <= 23
+
+
+def test_mom_growth_recovers_monthly_ratios(spark, sf_dir):
+    """Growth must equal the ratio of consecutive monthly revenues
+    (first month NULL), reconstructed independently from the output's
+    own revenue column."""
+    rows = sorted(
+        all_queries()["revenue_mom_growth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    assert rows[0].mom_growth is None
+    for prev, cur in zip(rows, rows[1:]):
+        expect = (cur.revenue - prev.revenue) / prev.revenue
+        assert abs(cur.mom_growth - expect) < 5e-5, cur.month
