@@ -218,6 +218,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "quality-embedding-norm-outliers": [
+        # vector-QA screen: per-label rank-exact MAD over exact
+        # integer squared norms; injected-corruption detection pinned
+        "query:embedding_norm_outliers",
+        "test:tests/test_extended_ops.py::test_embedding_norm_outliers_flags_injected_corruption",
+    ],
     "analytics-activity-heatmap": [
         # weekday x hour usage matrix: 168-cell calendar-key count,
         # engine-aligned isodow convention; partition pinned (r8)

@@ -1463,3 +1463,88 @@ def pq_reconstruction_error(
         "sse",
         (F.round(F.col("sse") / F.col("n_vecs"), 4) + 0.0).alias("mse"),
     ).orderBy("subspace")
+
+
+def embedding_norm_outliers(
+    embeddings: DataFrame,
+    k_mad: str = "4.4478",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Vector-QA screen → one row per label: median / MAD of the
+    squared embedding norm (exact integers in fixed-point units) and
+    the count of vectors beyond ``k_mad``·MAD — the corrupted-vector
+    detector of an embedding pipeline (a truncated, zeroed, or
+    double-scaled vector shows up as a norm outlier long before it
+    poisons ANN recall).
+
+    Same determinism recipe as the MAD event screen
+    (operators/profiling.mad_outlier_stats): norms are exact BIGINT
+    sums of squared scaled components, medians are EXPLICIT rank
+    selections, the threshold comparison multiplies the same literal
+    on both engines. One label-keyed rank window over |vectors| rows;
+    the 100 TB swap is approx_percentile per label.
+    """
+    from pyspark.sql import Window
+
+    sv = embeddings.select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * scale).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2"),
+    )
+    wv = Window.partitionBy("label").orderBy("norm2", "vec_id")
+    wn = Window.partitionBy("label")
+    ranked = sv.select(
+        "label",
+        "vec_id",
+        "norm2",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("label")
+        .agg(F.avg("norm2").alias("med"))
+    )
+    dev = sv.join(F.broadcast(med), "label").withColumn(
+        "ad", F.abs(F.col("norm2") - F.col("med"))
+    )
+    wa = Window.partitionBy("label").orderBy("ad", "vec_id")
+    dranked = dev.select(
+        "label",
+        "ad",
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = (
+        dranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("label")
+        .agg(F.avg("ad").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.round(F.min("med"), 4) + 0.0).alias("med_norm2"),
+            (F.round(F.min("mad"), 4) + 0.0).alias("mad_norm2"),
+            F.sum(
+                F.when(F.col("ad") > F.expr(f"{k_mad} * mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

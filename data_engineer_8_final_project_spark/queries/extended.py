@@ -2128,3 +2128,64 @@ def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
     nodes = emb.select(F.col("vec_id").alias("id"))
     return clusters.kcore_fixed(nodes, g, core_k=3, rounds=3).orderBy("vec_id")
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    -- Vector-QA screen: per-label median/MAD of the exact-integer
+    -- squared norm and the count beyond 4.4478*MAD — rank-exact
+    -- medians, identical to the event MAD screen's recipe.
+    WITH sv AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(ROUND(x*1000000.0) AS BIGINT)
+                       * CAST(ROUND(x*1000000.0) AS BIGINT))) AS BIGINT)
+               AS norm2
+      FROM embeddings),
+    ranked AS (
+      SELECT label, norm2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY norm2, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM sv),
+    med AS (
+      SELECT label, AVG(norm2) AS med
+      FROM ranked
+      WHERE rn = CAST(FLOOR((n+1)/2) AS BIGINT)
+         OR rn = CAST(FLOOR((n+2)/2) AS BIGINT)
+      GROUP BY label),
+    dev AS (
+      SELECT s.label, s.vec_id, ABS(s.norm2 - m.med) AS ad, m.med
+      FROM sv s JOIN med m USING (label)),
+    dranked AS (
+      SELECT label, ad,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY ad, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM dev),
+    mad AS (
+      SELECT label, AVG(ad) AS mad
+      FROM dranked
+      WHERE rn = CAST(FLOOR((n+1)/2) AS BIGINT)
+         OR rn = CAST(FLOOR((n+2)/2) AS BIGINT)
+      GROUP BY label)
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(MIN(d.med), 4) + 0.0 AS med_norm2,
+           ROUND(MIN(m.mad), 4) + 0.0 AS mad_norm2,
+           CAST(SUM(CASE WHEN d.ad > 4.4478 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (label)
+    GROUP BY d.label ORDER BY d.label
+    """,
+    survey_ref="extended: embedding-norm outlier screen (vector QA, rank-exact MAD)",
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupted-vector detector: per-label robust screen over the
+    exact-integer squared norm
+    (operators/similarity.embedding_norm_outliers) — catches zeroed /
+    truncated / double-scaled vectors before they poison ANN recall.
+    Rank-exact medians (no engine quantile interpolation), broadcast
+    per-label stats, integer norms."""
+    t = tables_for(spark, sf_dir)
+    return similarity.embedding_norm_outliers(t["embeddings"]).orderBy("label")

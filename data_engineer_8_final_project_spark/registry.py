@@ -169,6 +169,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ab_test_conversion",
     "activity_heatmap",
     "revenue_mom_growth",
+    "embedding_norm_outliers",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1470,3 +1470,32 @@ def test_mom_growth_recovers_monthly_ratios(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         expect = (cur.revenue - prev.revenue) / prev.revenue
         assert abs(cur.mom_growth - expect) < 5e-5, cur.month
+
+
+def test_embedding_norm_outliers_flags_injected_corruption(spark, sf_dir):
+    """Inject a zeroed vector and a 10x-scaled vector into one label:
+    both must be flagged as norm outliers; the clean fixture corpus
+    itself flags (near-)none."""
+    from pyspark.sql import functions as F
+    from data_engineer_8_final_project_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clean = {r.label: r.n_outliers for r in embedding_norm_outliers(emb).collect()}
+    base = emb.filter(F.col("label") == 0)
+    zeroed = base.limit(1).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 0.0).alias("embedding"),
+        "label",
+    )
+    scaled = base.limit(1).select(
+        (F.col("vec_id") + 900001).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 10.0).alias("embedding"),
+        "label",
+    )
+    corrupted = emb.select("vec_id", "embedding", "label").unionByName(
+        zeroed.unionByName(scaled)
+    )
+    after = {r.label: r.n_outliers for r in embedding_norm_outliers(corrupted).collect()}
+    assert after[0] >= clean.get(0, 0) + 2
