@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-rolling-wau": [
+        # exact rolling-7-day actives via bounded 7x window-end
+        # fan-out + per-end distinct (rolling-SUM double-count trap
+        # avoided); pandas window cross-check; HLL swap documented
+        "query:rolling_wau",
+        "test:tests/test_extended_ops.py::test_rolling_wau_exact_vs_pandas_window",
+    ],
     "quality-embedding-norm-outliers": [
         # vector-QA screen: per-label rank-exact MAD over exact
         # integer squared norms; injected-corruption detection pinned

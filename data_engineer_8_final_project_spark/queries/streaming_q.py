@@ -2093,3 +2093,64 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "rolling_wau",
+    oracle="""
+    -- DAU and EXACT rolling 7-day active users: each (user, day)
+    -- contributes to the 7 daily windows ending on day..day+6, so a
+    -- distinct count per window end gives true WAU (a rolling SUM of
+    -- DAU would double-count multi-day users). Bounded 7x fan-out;
+    -- windows past the last active day are clipped to observed days.
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT ud.user_id, ud.d + CAST(x.o AS INTEGER) AS win_end
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) x),
+    wau AS (
+      SELECT win_end, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY win_end),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d)
+    SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, w.wau
+    FROM dau JOIN wau w ON w.win_end = dau.d
+    ORDER BY day
+    """,
+    survey_ref="extended: exact rolling 7-day active users (bounded fan-out distinct)",
+    tags=("bench",),
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-metrics pair every product dashboard opens with:
+    daily actives and TRUE rolling-7-day actives. Exact WAU needs a
+    distinct over each window — the honest distributed form explodes
+    every (user, day) into the ≤7 window-ends it belongs to (bounded
+    fan-out, unlike a rolling SUM of DAU which double-counts
+    multi-day users) and distinct-counts per window end. Two
+    user/day-keyed aggregations; at 100 TB the documented swap for
+    the per-window distinct is an HLL sketch per day merged across
+    the window (mergeable, one pass — tests/test_approx.py covers the
+    sketch accuracy path)."""
+    t = tables_for(spark, sf_dir)
+    ud = (
+        t["events"]
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .distinct()
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("win_end"),
+    )
+    wau = contrib.groupBy("win_end").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        dau.join(wau, dau["d"] == wau["win_end"])
+        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )

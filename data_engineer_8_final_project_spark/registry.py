@@ -170,6 +170,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "activity_heatmap",
     "revenue_mom_growth",
     "embedding_norm_outliers",
+    "rolling_wau",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

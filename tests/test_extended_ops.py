@@ -1499,3 +1499,28 @@ def test_embedding_norm_outliers_flags_injected_corruption(spark, sf_dir):
     )
     after = {r.label: r.n_outliers for r in embedding_norm_outliers(corrupted).collect()}
     assert after[0] >= clean.get(0, 0) + 2
+
+
+def test_rolling_wau_exact_vs_pandas_window(spark, sf_dir):
+    """Exact-WAU property: for each day, wau = |distinct users active
+    in the 7-day window ending that day|, recomputed independently in
+    pandas; and wau >= dau always."""
+    from data_engineer_8_final_project_spark import catalog
+
+    out = {r.day.date(): r for r in all_queries()["rolling_wau"].fn(spark, sf_dir).collect()}
+    ud = (
+        catalog.load(spark, sf_dir)["events"]
+        .selectExpr("user_id", "CAST(date_trunc('day', ts) AS DATE) AS d")
+        .distinct()
+        .toPandas()
+    )
+    import datetime as dt
+
+    by_day = ud.groupby("d")["user_id"].apply(set).to_dict()
+    for day, r in out.items():
+        assert r.wau >= r.dau
+        window_users = set()
+        for off in range(7):
+            window_users |= by_day.get(day - dt.timedelta(days=off), set())
+        assert r.wau == len(window_users), day
+        assert r.dau == len(by_day[day])
