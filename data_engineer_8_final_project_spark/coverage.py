@@ -218,6 +218,12 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-weekday-seasonality": [
+        # ISO-weekday revenue index (share x 7): 7-key aggregate +
+        # bounded scalar total, no float mean; sum-to-7 pinned (r8)
+        "query:weekday_seasonality",
+        "test:tests/test_extended_ops.py::test_weekday_seasonality_indices_average_to_one",
+    ],
     "analytics-rolling-wau": [
         # exact rolling-7-day actives via bounded 7x window-end
         # fan-out + per-end distinct (rolling-SUM double-count trap

@@ -2762,3 +2762,54 @@ def q_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "weekday_seasonality",
+    oracle="""
+    -- Weekday seasonality index of order revenue: a day's index is
+    -- its revenue share x 7 (1.0 = flat). Exact-cent sums; the index
+    -- is one double expression over two exact BIGINTs per row
+    -- (7*wd/total — no float average in the denominator).
+    WITH wd AS (
+      SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY isodow(o_orderdate)),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM wd)
+    SELECT wd.dow, wd.n_orders,
+           ROUND(wd.cents / 100.0, 2) + 0.0 AS revenue,
+           ROUND(7.0 * wd.cents / t.total, 4) + 0.0 AS seasonality_index
+    FROM wd CROSS JOIN tot t
+    ORDER BY wd.dow
+    """,
+    survey_ref="extended: weekday seasonality index (share-normalized calendar profile)",
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile: each ISO weekday's revenue index
+    (share × 7, so 1.0 = flat week). One 7-key aggregation — map-side
+    partials absorb the scan — and a bounded scalar total; the index
+    is 7·wd/total over exact integer cents, avoiding any float mean.
+    Spark weekday()+1 ≡ DuckDB isodow (the engine-aligned convention
+    from activity_heatmap)."""
+    t = tables_for(spark, sf_dir)
+    wd = (
+        t["orders"]
+        .groupBy((F.weekday("o_orderdate") + 1).cast("long").alias("dow"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    total = wd.agg(F.sum("cents").cast("long")).collect()[0][0]  # bounded scalar
+    return wd.select(
+        "dow",
+        "n_orders",
+        (F.round(F.col("cents") / 100.0, 2) + 0.0).alias("revenue"),
+        (F.round(7.0 * F.col("cents") / F.lit(total), 4) + 0.0).alias(
+            "seasonality_index"
+        ),
+    ).orderBy("dow")

@@ -171,6 +171,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_mom_growth",
     "embedding_norm_outliers",
     "rolling_wau",
+    "weekday_seasonality",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

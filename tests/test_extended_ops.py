@@ -1524,3 +1524,15 @@ def test_rolling_wau_exact_vs_pandas_window(spark, sf_dir):
             window_users |= by_day.get(day - dt.timedelta(days=off), set())
         assert r.wau == len(window_users), day
         assert r.dau == len(by_day[day])
+
+
+def test_weekday_seasonality_indices_average_to_one(spark, sf_dir):
+    """Index invariants: revenue-weighted mean of the 7 indices is
+    exactly 7·Σshare/7 = 1; all 7 ISO weekdays present."""
+    out = all_queries()["weekday_seasonality"].fn(spark, sf_dir).collect()
+    assert sorted(r.dow for r in out) == list(range(1, 8))
+    total = sum(r.revenue for r in out)
+    # per-index rounding is 4dp, so tolerances are O(7 * 5e-5)
+    weighted = sum(r.seasonality_index * r.revenue / total for r in out)
+    assert abs(weighted - sum((r.revenue / total) ** 2 * 7 for r in out)) < 1e-3
+    assert abs(sum(r.seasonality_index for r in out) - 7.0) < 1e-3
