@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-churn-rate": [
+        # horizon-relative churn by acquisition channel: two
+        # user-keyed passes, bounded max-ts probe, one division of
+        # exact counts; hand-case pinned (r8)
+        "query:user_churn_rate",
+        "test:tests/test_extended_ops.py::test_user_churn_rate_hand_cases",
+    ],
     "analytics-weekday-seasonality": [
         # ISO-weekday revenue index (share x 7): 7-key aggregate +
         # bounded scalar total, no float mean; sum-to-7 pinned (r8)

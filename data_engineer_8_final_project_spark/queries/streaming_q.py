@@ -2154,3 +2154,77 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau")
         .orderBy("day")
     )
+
+
+@register(
+    "user_churn_rate",
+    oracle="""
+    -- Churn by acquisition channel: a user is churned iff their last
+    -- event precedes the corpus horizon (max ts) by more than 14
+    -- days. The horizon is data-derived (deterministic per fixture);
+    -- first-touch channel is the rn=1 pick on the total order; the
+    -- rate is ONE double division of exact counts.
+    WITH horizon AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+    lasts AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events
+      GROUP BY user_id),
+    chan AS (
+      SELECT user_id, event_type AS first_channel FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t WHERE rn = 1),
+    flags AS (
+      SELECT c.first_channel,
+             CASE WHEN l.last_us < h.h - CAST(14*86400 AS BIGINT)*1000000
+                  THEN 1 ELSE 0 END AS churned
+      FROM lasts l JOIN chan c USING (user_id) CROSS JOIN horizon h)
+    SELECT first_channel,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(churned) AS BIGINT) AS n_churned,
+           ROUND(CAST(SUM(churned) AS DOUBLE) / COUNT(*), 4) + 0.0
+             AS churn_rate
+    FROM flags GROUP BY first_channel ORDER BY first_channel
+    """,
+    survey_ref="extended: churn rate by acquisition channel (horizon-relative inactivity)",
+    tags=("bench",),
+)
+def q_user_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn table by acquisition channel: users whose last activity
+    trails the corpus horizon by >14 days. The horizon is one bounded
+    scalar probe (max ts — deterministic per dataset, the standard
+    as-of-snapshot convention); last-activity and first-channel are
+    two user-keyed passes joined on user_id; the rate is one double
+    division of exact counts. At 100 TB everything after the user
+    collapse is |channels| rows."""
+    t = tables_for(spark, sf_dir)
+    e = t["events"].select("user_id", "ts", "event_id", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    horizon = e.agg(F.max(us)).collect()[0][0]  # bounded scalar probe
+    lasts = e.groupBy("user_id").agg(F.max(us).alias("last_us"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chan = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_channel"))
+    )
+    flags = lasts.join(chan, "user_id").select(
+        "first_channel",
+        F.when(
+            F.col("last_us") < F.lit(horizon - 14 * 86400 * 1_000_000), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    return (
+        flags.groupBy("first_channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("churned").cast("long").alias("n_churned"),
+            (
+                F.round(F.sum("churned").cast("double") / F.count(F.lit(1)), 4)
+                + 0.0
+            ).alias("churn_rate"),
+        )
+        .orderBy("first_channel")
+    )

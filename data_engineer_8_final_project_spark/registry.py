@@ -172,6 +172,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_norm_outliers",
     "rolling_wau",
     "weekday_seasonality",
+    "user_churn_rate",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

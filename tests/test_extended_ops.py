@@ -1536,3 +1536,32 @@ def test_weekday_seasonality_indices_average_to_one(spark, sf_dir):
     weighted = sum(r.seasonality_index * r.revenue / total for r in out)
     assert abs(weighted - sum((r.revenue / total) ** 2 * 7 for r in out)) < 1e-3
     assert abs(sum(r.seasonality_index for r in out) - 7.0) < 1e-3
+
+
+def test_user_churn_rate_hand_cases(spark, monkeypatch, tmp_path):
+    """Hand users against a known horizon: one active at the horizon
+    (not churned), one last seen 20 days before (churned), both
+    first-touched via 'view' → churn_rate 0.5."""
+    import datetime as dt
+
+    import data_engineer_8_final_project_spark.queries.streaming_q as sq
+    from data_engineer_8_final_project_spark.queries.streaming_q import (
+        q_user_churn_rate,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, t0 - dt.timedelta(days=30), 1, "view", 1.0, "{}"),
+        (1, t0, 2, "purchase", 1.0, "{}"),                 # active at horizon
+        (2, t0 - dt.timedelta(days=25), 3, "view", 1.0, "{}"),
+        (2, t0 - dt.timedelta(days=20), 4, "click", 1.0, "{}"),  # churned
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    monkeypatch.setattr(sq, "tables_for", lambda s_, d_: {"events": df})
+    out = {r.first_channel: r for r in q_user_churn_rate(spark, str(tmp_path)).collect()}
+    v = out["view"]
+    assert (v.n_users, v.n_churned, v.churn_rate) == (2, 1, 0.5)
