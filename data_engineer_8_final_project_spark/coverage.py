@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-hhi-concentration": [
+        # HHI per year: 9dp-rounded shares cast to DECIMAL before the
+        # cross-row square-sum — exact order-invariant aggregation, the
+        # engine-portable float-sum pattern; pandas + width checks (r8)
+        "query:brand_hhi_by_year",
+        "test:tests/test_extended_ops.py::test_hhi_bounds_and_matches_pandas",
+    ],
     "analytics-churn-rate": [
         # horizon-relative churn by acquisition channel: two
         # user-keyed passes, bounded max-ts probe, one division of

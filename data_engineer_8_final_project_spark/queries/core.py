@@ -2813,3 +2813,84 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_index"
         ),
     ).orderBy("dow")
+
+
+@register(
+    "brand_hhi_by_year",
+    oracle="""
+    -- Herfindahl-Hirschman concentration of lineitem revenue across
+    -- brands, per order year. Determinism pattern: each brand share
+    -- is ROUNDED to 9dp and cast to DECIMAL(12,9) BEFORE squaring and
+    -- summing — decimal arithmetic is exact and order-invariant, so
+    -- the cross-row SUM never depends on shuffle layout (the one
+    -- place a float sum would); the final cast to DOUBLE rounds the
+    -- identical exact rational on both engines.
+    WITH by_brand AS (
+      SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS yr,
+             p.p_brand,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY EXTRACT(year FROM l.l_shipdate), p.p_brand),
+    tot AS (
+      SELECT yr, CAST(SUM(cents) AS BIGINT) AS total FROM by_brand
+      GROUP BY yr),
+    shares AS (
+      SELECT b.yr,
+             CAST(ROUND(CAST(b.cents AS DOUBLE) / t.total, 9)
+                  AS DECIMAL(12,9)) AS share
+      FROM by_brand b JOIN tot t USING (yr))
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           ROUND(CAST(SUM(share * share) AS DOUBLE), 6) + 0.0 AS hhi
+    FROM shares GROUP BY yr ORDER BY yr
+    """,
+    survey_ref="extended: HHI market concentration (order-invariant decimal share sum)",
+)
+def q_brand_hhi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration index per year: HHI = Σ share² across
+    brands (1/25 = perfectly even over 25 brands, 1.0 = monopoly).
+    The cross-row Σ share² is the one aggregate here a float could
+    not carry deterministically — so shares are rounded to 9dp and
+    cast to DECIMAL before squaring: decimal sums are EXACT and
+    order-invariant, the engine-portable way to sum small floats
+    across a shuffle (new pattern beside integer cents and rank
+    selection). Everything upstream is the usual exact-cent integer
+    aggregation with a broadcast part dim."""
+    t = tables_for(spark, sf_dir)
+    by_brand = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            "p_brand",
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = by_brand.groupBy("yr").agg(F.sum("cents").cast("long").alias("total"))
+    shares = by_brand.join(F.broadcast(tot), "yr").select(
+        "yr",
+        F.round(F.col("cents").cast("double") / F.col("total"), 9)
+        .cast("decimal(12,9)")
+        .alias("share"),
+    )
+    return (
+        shares.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            (
+                F.round(
+                    F.sum(F.col("share") * F.col("share")).cast("double"), 6
+                )
+                + 0.0
+            ).alias("hhi"),
+        )
+        .orderBy("yr")
+    )

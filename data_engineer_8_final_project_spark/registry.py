@@ -173,6 +173,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rolling_wau",
     "weekday_seasonality",
     "user_churn_rate",
+    "brand_hhi_by_year",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

@@ -1565,3 +1565,37 @@ def test_user_churn_rate_hand_cases(spark, monkeypatch, tmp_path):
     out = {r.first_channel: r for r in q_user_churn_rate(spark, str(tmp_path)).collect()}
     v = out["view"]
     assert (v.n_users, v.n_churned, v.churn_rate) == (2, 1, 0.5)
+
+
+def test_hhi_bounds_and_matches_pandas(spark, sf_dir):
+    """HHI invariants: 1/n_brands ≤ hhi ≤ 1; matches an independent
+    pandas share-squared sum (to rounding) per year; width-invariant
+    by construction (decimal sum) — rechecked at a different shuffle
+    width."""
+    from pyspark.sql import functions as F
+
+    q = all_queries()["brand_hhi_by_year"].fn
+    out = {r.yr: r for r in q(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", F.year("l_shipdate").alias("yr")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    pdf = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("yr", "p_brand")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"))
+        .toPandas()
+    )
+    for yr, g in pdf.groupby("yr"):
+        shares = g["c"] / g["c"].sum()
+        hhi = float((shares**2).sum())
+        r = out[yr]
+        assert 1.0 / r.n_brands - 1e-9 <= r.hhi <= 1.0
+        assert abs(r.hhi - hhi) < 1e-5, yr
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {r.yr: r.hhi for r in q(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert again == {yr: r.hhi for yr, r in out.items()}
