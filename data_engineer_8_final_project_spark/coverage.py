@@ -218,6 +218,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:table_profile",
         "test:tests/test_plans.py::test_table_profile_is_single_scan",
     ],
+    "analytics-supplier-latency-league": [
+        # slowest-suppliers league: exact-integer day deltas, rounded-
+        # mean rank with tiebreak, >=20-line floor; pandas top-row
+        # cross-check (r8)
+        "query:supplier_latency_league",
+        "test:tests/test_extended_ops.py::test_supplier_latency_league_floor_and_order",
+    ],
     "analytics-hhi-concentration": [
         # HHI per year: 9dp-rounded shares cast to DECIMAL before the
         # cross-row square-sum — exact order-invariant aggregation, the

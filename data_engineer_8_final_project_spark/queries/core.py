@@ -2894,3 +2894,80 @@ def q_brand_hhi_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "supplier_latency_league",
+    oracle="""
+    -- Supplier fulfillment league: mean ship delay (days between
+    -- order date and line ship date) per supplier, slowest 10 with a
+    -- >= 20-line floor. Day differences are exact integers; the mean
+    -- is ONE double division, and the cut ranks on the ROUNDED mean
+    -- with (supplier) tiebreak so the boundary replays.
+    WITH d AS (
+      SELECT l.l_suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    agg AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(delay_days) AS BIGINT) AS total_days
+      FROM d GROUP BY l_suppkey
+      HAVING COUNT(*) >= 20)
+    SELECT a.l_suppkey, s.s_name, a.n_lines,
+           ROUND(CAST(a.total_days AS DOUBLE) / a.n_lines, 4) + 0.0
+             AS avg_delay_days
+    FROM agg a JOIN supplier s ON a.l_suppkey = s.s_suppkey
+    ORDER BY ROUND(CAST(a.total_days AS DOUBLE) / a.n_lines, 4) DESC,
+             a.l_suppkey ASC
+    LIMIT 10
+    """,
+    survey_ref="extended: supplier fulfillment-latency league (exact-integer day deltas)",
+)
+def q_supplier_latency_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operations league table: the 10 slowest suppliers by mean
+    order→ship delay (≥20 lines so small-sample noise can't top the
+    board). Day deltas are exact integers summed per supplier (one
+    orderkey equi-join + one suppkey aggregate); the mean is one
+    double division and the cut ranks on the ROUNDED mean with a
+    suppkey tiebreak. Supplier names broadcast onto the 10-row-bound
+    result path."""
+    t = tables_for(spark, sf_dir)
+    d = (
+        t["lineitem"]
+        .select("l_suppkey", "l_orderkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("delay_days"),
+        )
+    )
+    agg = (
+        d.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("delay_days").cast("long").alias("total_days"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
+    mean = F.round(F.col("total_days").cast("double") / F.col("n_lines"), 4)
+    return (
+        agg.join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "l_suppkey",
+            "s_name",
+            "n_lines",
+            (mean + 0.0).alias("avg_delay_days"),
+        )
+        .orderBy(F.desc("avg_delay_days"), F.asc("l_suppkey"))
+        .limit(10)
+    )

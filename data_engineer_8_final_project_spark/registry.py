@@ -174,6 +174,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "weekday_seasonality",
     "user_churn_rate",
     "brand_hhi_by_year",
+    "supplier_latency_league",
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",

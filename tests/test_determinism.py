@@ -25,7 +25,7 @@ DRIVER_WINDOW = 50
 
 
 def _window_names() -> list[str]:
-    # +43: the round-8 additions parked just past the boundary
+    # +44: the round-8 additions parked just past the boundary
     # (event_type_drift, scd2_point_in_time_join, kmeans_clusters,
     # bm25_doc_ranking, table_profile, knn_bfs_hops,
     # quality_model_filter, cluster_balanced_sample,
@@ -42,9 +42,9 @@ def _window_names() -> list[str]:
     # part_price_boxplot, cohort_ltv, snapshot_reconcile,
     # ab_test_conversion, activity_heatmap, revenue_mom_growth,
     # embedding_norm_outliers, rolling_wau, weekday_seasonality,
-    # user_churn_rate, brand_hhi_by_year) head the r9 window and must
-    # already hold the same invariant
-    return list(registry.all_queries())[: DRIVER_WINDOW + 43]
+    # user_churn_rate, brand_hhi_by_year, supplier_latency_league)
+    # head the r9 window and must already hold the same invariant
+    return list(registry.all_queries())[: DRIVER_WINDOW + 44]
 
 
 @pytest.mark.parametrize("name", _window_names())

@@ -1599,3 +1599,31 @@ def test_hhi_bounds_and_matches_pandas(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert again == {yr: r.hhi for yr, r in out.items()}
+
+
+def test_supplier_latency_league_floor_and_order(spark, sf_dir):
+    """League invariants: 10 rows, every row has ≥20 lines, delays
+    sorted non-increasing, and the top row's mean matches an
+    independent pandas recomputation."""
+    from pyspark.sql import functions as F
+
+    out = all_queries()["supplier_latency_league"].fn(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert all(r.n_lines >= 20 for r in out)
+    means = [r.avg_delay_days for r in out]
+    assert means == sorted(means, reverse=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    top = out[0]
+    pdf = (
+        li.filter(F.col("l_suppkey") == top.l_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")).alias("d"))
+        .toPandas()
+    )
+    assert abs(top.avg_delay_days - round(pdf["d"].mean(), 4)) < 1e-6
