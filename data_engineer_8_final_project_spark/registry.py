@@ -58,81 +58,19 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-8 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r7 items 2 and 7): the r7 window went 50/50
-    # green and rotates to the tail. Head: the 3 round-7 additions that
-    # landed after the r7 window was pinned (locally strict-verified
-    # twice -- by the builder and by the judge -- but never
-    # driver-verified), then the 38 queries whose newest green is r5
-    # (the whole remaining r5 cohort: post-r8, no registered query's
-    # newest green is older than r6), then the oldest r6 greens to
-    # fill the window. The 9 earliest round-8 queries take the very
-    # head, displacing the r6-green refreshes (freshest remaining
-    # evidence); the 10th (event_type_drift) landed after the window
-    # filled and waits just past the boundary — see boundary note.
-    # -- new in round 8: never verified anywhere but locally --
-    "ivfpq_ann_topk",
-    "source_shingle_kmv",
-    "incremental_ingest_dedup",
-    "leakage_safe_split",
-    "hard_negative_mining",
-    "token_budget_pack",
-    "source_overlap_matrix",
-    "source_minhash_similarity",
-    "near_dup_rate_by_source",
-    # -- never driver-verified (late r7) (3) --
-    "ivf2_ann_topk",
-    "knn_pagerank",
-    "knn_communities",
-    # -- newest green row is r5 -> refresh evidence (38) --
-    "events_sliding",
-    "events_hourly_gapfill",
-    "latest_event_snapshot",
-    "events_trailing_hour_window",
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "events_session_stream",
-    "events_time_rollup",
-    "event_sessions",
-    "purchases_in_sessions",
-    "clicks_last_error",
-    "user_totals_stateful",
-    "view_click_stream_join",
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "standings_stream",
-    "embedding_near_dup_pairs",
-    "text_stats_by_lang",
-    "doc_quality_scores",
-    "token_topk",
-    "bpe_token_topk",
-    "lang_id_heuristic",
-    "doc_winnow_fingerprints",
-    "corpus_clean_pipeline",
-    "doc_repetition_scores",
-    "stratified_sample",
-    "media_manifest",
-    "media_features",
-    "media_frame_sample",
-    "pricing_summary",
-    "shipping_priority",
-    "customers_without_orders",
-    "high_value_customers_semi",
-    "top_customers_per_nation",
-    "rollup_region_nation",
-    "distinct_customers_salted",
-    "returned_items",
-    # ---- driver window boundary (50): 9 new-r8 + 3 late-r7 + 38
-    # r5-stale refreshes fill it exactly (the judge's item-7 refresh
-    # contract is pinned by MUST_BE_IN_WINDOW). These two landed after
-    # the window filled — locally strict-verified at both SFs; they
-    # must HEAD the r9 window ----
+    # ---- Round-9 window (first 50; the driver verifies only these). ----
+    # Rotation (VERDICT r8 items 1 and 6): the r8 window went 50/50
+    # green and rotates to the tail. Head: the 44 queries that have
+    # NEVER had a driver CORRECTNESS row (the late-r8 analytics/DQ/
+    # kmeans/BM25/profile extensions -- all judge-verified at sf0.01
+    # in the r8 audit, so this is pure evidence work), then 6 of the
+    # r6-green cohort (flagship + core: the oldest evidence in the
+    # repo) to fill the window exactly. The remaining 44 r6 greens
+    # queue right behind for the r10 window, then the r7 cohort, then
+    # the freshly-green r8 cohort at the tail.
+    # -- never driver-verified (late r8) (44) --
     "event_type_drift",
     "scd2_point_in_time_join",
-    # -- late round-8 additions (kmeans/BM25/profile/BFS): locally
-    # strict-verified at sf0.01 + width-swept; r9-window head with the
-    # two above --
     "kmeans_clusters",
     "bm25_doc_ranking",
     "table_profile",
@@ -175,6 +113,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_churn_rate",
     "brand_hhi_by_year",
     "supplier_latency_league",
+    # -- oldest greens (r6): flagship + core refresh (6) --
+    "standings",
+    "matches_clean",
+    "reference_standings",
+    "group_count",
+    "group_sum_multi",
+    "top_orders",
+    # ---- driver window boundary (50) ----
+    # -- remaining r6 greens: the r10 window head (44) --
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",
@@ -184,12 +131,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_normalize",
     "doc_fingerprints",
     "cube_flag_status",
-    # -- r6 greens awaiting their next refresh --
     "part_price_rank",
     "order_gaps_lag",
-    "group_count",
-    "group_sum_multi",
-    "top_orders",
     "custkey_set_ops",
     "orders_by_month",
     "day_name_dimension",
@@ -219,14 +162,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_build",
     "tfidf_topk_terms",
     "lang_mixture_weights",
-    "standings",
     "revenue_by_nation",
     "simhash_near_dup",
     "minhash_native_pairs",
     "ivf_ann_topk",
-    "reference_standings",
-    "matches_clean",
-    # -- r7 window, 50/50 green: freshest evidence in the repo --
+    # -- r7 greens --
     "dup_cluster_representatives",
     "semantic_dedup",
     "doc_chunks",
@@ -277,6 +217,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_topk",
     "label_centroids",
     "events_hourly",
+    # -- r8 greens: freshest evidence in the repo --
+    "ivfpq_ann_topk",
+    "source_shingle_kmv",
+    "incremental_ingest_dedup",
+    "leakage_safe_split",
+    "hard_negative_mining",
+    "token_budget_pack",
+    "source_overlap_matrix",
+    "source_minhash_similarity",
+    "near_dup_rate_by_source",
+    "ivf2_ann_topk",
+    "knn_pagerank",
+    "knn_communities",
+    "events_sliding",
+    "events_hourly_gapfill",
+    "latest_event_snapshot",
+    "events_trailing_hour_window",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "events_session_stream",
+    "events_time_rollup",
+    "event_sessions",
+    "purchases_in_sessions",
+    "clicks_last_error",
+    "user_totals_stateful",
+    "view_click_stream_join",
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
+    "standings_stream",
+    "embedding_near_dup_pairs",
+    "text_stats_by_lang",
+    "doc_quality_scores",
+    "token_topk",
+    "bpe_token_topk",
+    "lang_id_heuristic",
+    "doc_winnow_fingerprints",
+    "corpus_clean_pipeline",
+    "doc_repetition_scores",
+    "stratified_sample",
+    "media_manifest",
+    "media_features",
+    "media_frame_sample",
+    "pricing_summary",
+    "shipping_priority",
+    "customers_without_orders",
+    "high_value_customers_semi",
+    "top_customers_per_nation",
+    "rollup_region_nation",
+    "distinct_customers_salted",
+    "returned_items",
 )
 
 def all_queries() -> dict[str, Query]:

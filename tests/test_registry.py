@@ -14,54 +14,66 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-8 rotation (VERDICT r7 items 2+7): the 3 round-7 additions
-#: that have never had a driver CORRECTNESS row, plus the 38 queries
-#: whose newest green is still r5 (the oldest evidence in the repo --
-#: post-r8, no registered query's newest green is older than r6).
+#: Round-9 rotation (VERDICT r8 items 1+6): the 44 late-r8 queries
+#: that have never had a driver CORRECTNESS row, plus 6 of the
+#: r6-green cohort (the oldest evidence in the repo -- post-r9, no
+#: registered query's newest green should be older than r6, and the
+#: remaining r6 greens head the r10 window).
 MUST_BE_IN_WINDOW = {
-    # never driver-verified (late r7)
-    "ivf2_ann_topk",
-    "knn_pagerank",
-    "knn_communities",
-    # newest green row is r5
-    "events_sliding",
-    "events_hourly_gapfill",
-    "latest_event_snapshot",
-    "events_trailing_hour_window",
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "events_session_stream",
-    "events_time_rollup",
-    "event_sessions",
-    "purchases_in_sessions",
-    "clicks_last_error",
-    "user_totals_stateful",
-    "view_click_stream_join",
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "standings_stream",
-    "embedding_near_dup_pairs",
-    "text_stats_by_lang",
-    "doc_quality_scores",
-    "token_topk",
-    "bpe_token_topk",
-    "lang_id_heuristic",
-    "doc_winnow_fingerprints",
-    "corpus_clean_pipeline",
-    "doc_repetition_scores",
-    "stratified_sample",
-    "media_manifest",
-    "media_features",
-    "media_frame_sample",
-    "pricing_summary",
-    "shipping_priority",
-    "customers_without_orders",
-    "high_value_customers_semi",
-    "top_customers_per_nation",
-    "rollup_region_nation",
-    "distinct_customers_salted",
-    "returned_items",
+    # never driver-verified (late r8) -- the whole point of the r9
+    # rotation (VERDICT r8 item 1): all 44 must get their first driver
+    # CORRECTNESS row this round
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "table_profile",
+    "knn_bfs_hops",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "maxsim_multivector_topk",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "event_sessions_native",
+    "grouping_sets_revenue",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "snapshot_reconcile",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "revenue_mom_growth",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "weekday_seasonality",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    # oldest greens (r6): flagship + core refresh
+    "standings",
+    "matches_clean",
+    "reference_standings",
+    "group_count",
+    "group_sum_multi",
+    "top_orders",
 }
 
 
