@@ -28,11 +28,21 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def newest_bench_medians() -> dict[str, float]:
-    """Per-query medians from the newest parseable BENCH_r*.json.
+    """Per-query medians: bench_spread.json first, BENCH_r*.json fallback.
 
-    Driver records carry the JSON line under 'parsed' (or a raw tail);
-    fall back through rounds until one parses.
+    Since round 9 the bench line printed for the driver is bounded
+    (no per-query map — it overflowed the driver's tail buffer twice)
+    and the medians live in bench_spread.json; older rounds carried
+    them inline under 'parsed'.
     """
+    spread_path = os.path.join(ROOT, "bench_spread.json")
+    if os.path.exists(spread_path):
+        try:
+            rec = json.load(open(spread_path))
+            if isinstance(rec.get("medians"), dict) and rec["medians"]:
+                return rec["medians"]
+        except ValueError:
+            pass
     paths = sorted(
         glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
