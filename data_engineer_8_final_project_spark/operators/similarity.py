@@ -23,6 +23,51 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Derived-cell policy for the corpus-wide knn family (VERDICT r8
+#: item 3: "make the benched shape the production shape"). With cells
+#: PINNED, within-cell pair volume grows as n²/cells — SCALE_r08
+#: measured knn_graph at 13.9× wall for 8× data. Scaling cells
+#: LINEARLY with corpus size keeps the average cell near CELL_TARGET
+#: vectors, so pair volume stays ~n·CELL_TARGET (linear) and per-task
+#: work is bounded by CELL_TARGET². The floor keeps tiny fixtures on
+#: the exact shape every green driver row was recorded against: all
+#: three fixture SFs (500 / 500 / 2000 vectors) derive 16 cells, so
+#: registered-query VALUES are unchanged at every oracle-checked
+#: scale, while the 8×/64× scale runs (16k/128k vectors) derive
+#: 125/1000 cells — the production shape is now what gets benched.
+CELL_TARGET = 128
+CELL_FLOOR = 16
+#: Above this cell count the flat argmin's n_cells·dim per-row
+#: assignment cost dominates and knn_graph switches to hierarchical
+#: routing ((n_parents + group)·dim per row; scripts/knn_routing_ab.py
+#: measured 1.76× at edge agreement 1.0 on 8×/256 cells). Routing is
+#: approximate ONLY near cell boundaries — same leaf set, and it can
+#: never fire at an oracle-checked scale (all fixtures derive
+#: CELL_FLOOR cells), so strict-hash replay is preserved where it is
+#: enforced.
+ROUTING_MIN_CELLS = 64
+
+
+def derived_n_cells(n_rows: int) -> int:
+    """Corpus-size-derived cell count: ``max(CELL_FLOOR, n // CELL_TARGET)``.
+
+    Replayed verbatim by every knn-family oracle as
+    ``GREATEST(16, CAST(COUNT(*) // 128 AS BIGINT))`` — both sides
+    floor-divide nonnegative integers, so the derivation is bit-exact.
+    """
+    return max(CELL_FLOOR, n_rows // CELL_TARGET)
+
+
+def routing_parents(n_cells: int) -> int | None:
+    """Hierarchical-routing parent count for knn_graph: ``isqrt(n_cells)``
+    once the cell count clears ROUTING_MIN_CELLS, else None (flat
+    argmin). √cells parents × √cells leaves per group minimizes the
+    (n_parents + group)·dim assignment term."""
+    import math
+
+    return math.isqrt(n_cells) if n_cells >= ROUTING_MIN_CELLS else None
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -38,6 +83,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def dot_sql_str(a: str, b: str, dim: int) -> str:
+    """Flat left-associated dot-product SQL over two named array
+    columns — the codegen-friendly unrolled form shared by
+    :func:`cosine_sql` and the prenormalized pair paths."""
+    return " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+
+
 def cosine_sql(a: str, b: str, dim: int) -> Column:
     """:func:`cosine` over NAMED array columns, unrolled to flat
     arithmetic for a known ``dim``.
@@ -50,15 +104,9 @@ def cosine_sql(a: str, b: str, dim: int) -> Column:
     interpreted form dominated the query: measured ~10× end-to-end on
     the banded-LSH near-dup verify at sf0.1.
     """
-    dot = " + ".join(
-        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
-    )
-    na = " + ".join(
-        f"element_at({a}, {i}) * element_at({a}, {i})" for i in range(1, dim + 1)
-    )
-    nb = " + ".join(
-        f"element_at({b}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
-    )
+    dot = dot_sql_str(a, b, dim)
+    na = dot_sql_str(a, a, dim)
+    nb = dot_sql_str(b, b, dim)
     return F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))")
 
 
@@ -1022,7 +1070,12 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     return df
 
 
-def _cell_self_join(assigned: DataFrame, a_names: list[str], b_names: list[str]) -> DataFrame:
+def _cell_self_join(
+    assigned: DataFrame,
+    a_names: list[str],
+    b_names: list[str],
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
     """Cell-keyed self-join of the ``(vec_id, v, cell)`` assignment
     frame, built the ONE way that survives Spark 4's attribute-rewrite
     bug: ``df.alias("a").join(df.alias("b"), a.cell == b.cell)`` with
@@ -1042,19 +1095,27 @@ def _cell_self_join(assigned: DataFrame, a_names: list[str], b_names: list[str])
     must accept any legal frame.
 
     ``a_names``/``b_names`` rename ``(vec_id, v)`` per side; ``cell``
-    is kept once. Each side re-evaluates the assignment expression —
-    the same cost shape the r7 driver-green plans had; at cluster
-    scale the staging point is writing the assigned table to parquet
-    and self-joining THAT, not an in-plan checkpoint.
+    is kept once; any ``extra`` columns ride along per side with
+    ``_a``/``_b`` suffixes. NOTE: measured at the 8× scale leg, extra
+    columns riding the join cost more than they save (the pruned
+    4-column join beat a norms-carrying variant ~1.5×) — prefer
+    recomputing per-pair over carrying per-row. Callers pass a STAGED
+    frame
+    (localCheckpoint locally; written-to-parquet at cluster scale) so
+    the assignment expression is evaluated once, not once per side.
     """
     a, b = assigned.alias("a"), assigned.alias("b")
-    return a.join(b, F.col("a.cell") == F.col("b.cell")).select(
+    cols = [
         F.col("a.cell").alias("cell"),
         F.col("a.vec_id").alias(a_names[0]),
         F.col("a.v").alias(a_names[1]),
         F.col("b.vec_id").alias(b_names[0]),
         F.col("b.v").alias(b_names[1]),
-    )
+    ]
+    for name in extra:
+        cols.append(F.col(f"a.{name}").alias(f"{name}_a"))
+        cols.append(F.col(f"b.{name}").alias(f"{name}_b"))
+    return a.join(b, F.col("a.cell") == F.col("b.cell")).select(*cols)
 
 
 def seeded_medoid_cells(emb: DataFrame, n_cells: int) -> tuple[list, str]:
@@ -1130,15 +1191,49 @@ def knn_graph(
         cell_expr = two_level_assignment_sql(cents, n_parents)
     else:
         cell_expr = f"array_min({structs_sql}).cell"
-    assigned = _spread_if_undersplit(emb).withColumn(
-        "cell", F.expr(cell_expr).cast("long")
+    # Stage the assignment ONCE (localCheckpoint locally; at cluster
+    # scale the staging point is writing the assigned table to parquet
+    # and self-joining THAT): the self-join reads the staged rows from
+    # both sides instead of re-evaluating the quantizer per side —
+    # measured ~1.3× on the 8× leg.
+    assigned = (
+        _spread_if_undersplit(emb)
+        .withColumn("cell", F.expr(cell_expr).cast("long"))
+        .localCheckpoint(eager=True)
     )
+    # Cosine is evaluated on each UNORDERED pair once (src < dst) and
+    # mirrored, halving the dominant cost (the unrolled 3·dim-term
+    # expression is too large for JIT-friendly codegen, so pair-stage
+    # arithmetic, not the shuffle, bounds this operator — measured
+    # ~2× on the 8× leg). Bit-exact by construction: per-term products
+    # commute and the left-associated i=1..dim sum order is IDENTICAL
+    # for (a,b) and (b,a), so the mirrored cosine is the same double
+    # the directed evaluation would have produced. The mirror is an
+    # explode of the two orientations INSIDE the pair stage — one
+    # generator, cosine evaluated once per unordered pair, no second
+    # plan branch re-running the join (a union of two selects over
+    # ``half`` would re-evaluate it per branch).
+    half = (
+        _cell_self_join(assigned, ["src", "va"], ["dst", "vb"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_sql("va", "vb", dim), decimals).alias("cosine"),
+        )
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"), "cosine")
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
-        _cell_self_join(assigned, ["src", "va"], ["dst", "vb"])
-        .filter(F.col("src") != F.col("dst"))
-        .withColumn("cosine", F.round(cosine_sql("va", "vb", dim), decimals))
-        .withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        pairs.withColumn("nn_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("nn_rank") <= k)
         .select("src", "nn_rank", "dst", "cosine")
     )
@@ -1252,6 +1347,7 @@ def knn_triangle_stats(
     n_cells: int = 16,
     k: int = 3,
     decimals: int = 4,
+    n_parents: int | None = None,
 ) -> DataFrame:
     """Per-vector triangle participation + local clustering coefficient
     over the undirected k-NN graph — the neighborhood-density signal
@@ -1269,7 +1365,7 @@ def knn_triangle_stats(
     unbounded wedge explosion of a power-law graph (the knn builder
     caps exactly what a raw co-occurrence graph cannot).
     """
-    g = knn_graph(embeddings, n_cells=n_cells, k=k)
+    g = knn_graph(embeddings, n_cells=n_cells, k=k, n_parents=n_parents)
     # Materialize the undirected edge list ONCE: four plan branches
     # read it (degree + all three triangle-join sides), and without
     # truncation each branch recomputes the full knn-graph lineage

@@ -857,7 +857,7 @@ def _semantic_dedup_oracle(n_cells: int, threshold: float) -> str:
     """
 
 
-def _knn_graph_oracle(n_cells: int, k: int) -> str:
+def _knn_graph_oracle(k: int) -> str:
     """Replays knn_graph exactly: same seeded-medoid cells as the
     semantic-dedup oracle, directed within-cell pairs, ROW_NUMBER on
     the ROUNDED cosine (DESC, dst ASC) — ranking on the rounded value
@@ -867,17 +867,24 @@ def _knn_graph_oracle(n_cells: int, k: int) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)}
+{_knn_ctes(d2)}
     SELECT src, CAST(rnk AS BIGINT) AS nn_rank, dst, cosine FROM ranked
     WHERE rnk <= {k}
     ORDER BY src, nn_rank
     """
 
 
-#: shared CTE block: seeded-medoid assignment → within-cell pairs →
-#: per-src rank on rounded cosine (composed by the knn-graph and
-#: label-vote oracles)
-_KNN_CTES = """    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+#: shared CTE block: derived cell count → seeded-medoid assignment →
+#: within-cell pairs → per-src rank on rounded cosine (composed by
+#: every knn-family oracle). The cell count is DERIVED from the corpus
+#: size inside the SQL — GREATEST(floor, n // target) — replaying
+#: operators/similarity.derived_n_cells verbatim, so the oracle tracks
+#: the production shape at any scale instead of pinning the fixture's.
+_KNN_CTES = """    params AS (
+      SELECT GREATEST({floor}, CAST(COUNT(*) // {target} AS BIGINT)) AS n_cells
+      FROM emb),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id
+              LIMIT (SELECT n_cells FROM params)),
     asg AS (
       SELECT vec_id, v, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
@@ -901,7 +908,30 @@ _KNN_CTES = """    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY ve
     )"""
 
 
-def _knn_label_vote_oracle(n_cells: int, k: int) -> str:
+def _knn_ctes(d2: str) -> str:
+    """Format the shared knn CTE block with the engine's derived-cell
+    constants (similarity.CELL_FLOOR / CELL_TARGET) — ONE source of
+    truth for the derivation on both engines."""
+    return _KNN_CTES.format(
+        floor=similarity.CELL_FLOOR, target=similarity.CELL_TARGET, d2=d2
+    )
+
+
+def _knn_cells(sf_dir: str) -> tuple[int, int | None]:
+    """(n_cells, n_parents) for the knn family at this fixture: cell
+    count derived from the embeddings row count (parquet footer — no
+    Spark job), hierarchical routing once the count clears
+    ROUTING_MIN_CELLS. All fixture SFs derive the floor (16, flat) —
+    identical values to every recorded green row; scale-script
+    replicas derive proportionally more cells, so the benched shape
+    IS the production shape (VERDICT r8 item 3)."""
+    n = parquet_row_count(os.path.join(sf_dir, "embeddings.parquet"))
+    nc = similarity.derived_n_cells(n)
+    return nc, similarity.routing_parents(nc)
+
+
+
+def _knn_label_vote_oracle(k: int) -> str:
     """Composes the knn-graph CTEs with a majority vote: predicted
     label = the neighbor label with the highest count, tie → lowest
     label (the same total order the Spark max-struct encodes)."""
@@ -910,7 +940,7 @@ def _knn_label_vote_oracle(n_cells: int, k: int) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+{_knn_ctes(d2)},
     knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
     votes AS (
       SELECT knn.src, e.label AS n_label, COUNT(*) AS n
@@ -933,7 +963,7 @@ def _knn_label_vote_oracle(n_cells: int, k: int) -> str:
 
 @register(
     "knn_label_vote",
-    oracle=_knn_label_vote_oracle(n_cells=16, k=3),
+    oracle=_knn_label_vote_oracle(k=3),
     survey_ref="extended: k-NN majority-vote label prediction (graph consumption)",
 )
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,7 +978,8 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     not model quality."""
     t = tables_for(spark, sf_dir)
     emb = t["embeddings"]
-    g = similarity.knn_graph(emb, n_cells=16, k=3)
+    nc, npar = _knn_cells(sf_dir)
+    g = similarity.knn_graph(emb, n_cells=nc, k=3, n_parents=npar)
     votes = (
         g.join(
             emb.select(F.col("vec_id").alias("dst"), F.col("label").alias("n_label")),
@@ -978,7 +1009,7 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_graph",
-    oracle=_knn_graph_oracle(n_cells=16, k=3),
+    oracle=_knn_graph_oracle(k=3),
     survey_ref="extended: batch k-NN graph (cell-blocked all-vector neighbors)",
     tags=("bench",),
 )
@@ -987,12 +1018,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors) — the batch build step clustering / SemDeDup / label
     propagation consume, vs the single-query ANN tiers."""
     t = tables_for(spark, sf_dir)
-    return similarity.knn_graph(t["embeddings"], n_cells=16, k=3).orderBy(
-        "src", "nn_rank"
-    )
+    nc, npar = _knn_cells(sf_dir)
+    return similarity.knn_graph(
+        t["embeddings"], n_cells=nc, k=3, n_parents=npar
+    ).orderBy("src", "nn_rank")
 
 
-def _knn_pagerank_oracle(n_cells: int, k: int, iters: int = 3) -> str:
+def _knn_pagerank_oracle(k: int, iters: int = 3) -> str:
     """Replays the integer fixed-point PageRank bit-exact: the shared
     seeded-medoid k-NN CTEs produce the edge list, then each iteration
     is an integer-only round — contribution = rank // outdeg, next
@@ -1021,7 +1053,7 @@ def _knn_pagerank_oracle(n_cells: int, k: int, iters: int = 3) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+{_knn_ctes(d2)},
     edges AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
     deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
     r0 AS (SELECT vec_id AS id, CAST({scale} AS BIGINT) AS r FROM emb),
@@ -1031,7 +1063,7 @@ def _knn_pagerank_oracle(n_cells: int, k: int, iters: int = 3) -> str:
     """
 
 
-def _knn_communities_oracle(n_cells: int, k: int, iters: int = 3) -> str:
+def _knn_communities_oracle(k: int, iters: int = 3) -> str:
     """Replays the deterministic LPA bit-exact: undirected edges via
     UNION (dedup), per round most-frequent neighbor label with tie →
     smallest (ROW_NUMBER n DESC, lbl ASC), isolated vertices keep
@@ -1064,7 +1096,7 @@ def _knn_communities_oracle(n_cells: int, k: int, iters: int = 3) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+{_knn_ctes(d2)},
     knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
     und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
     l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM emb),
@@ -1076,7 +1108,7 @@ def _knn_communities_oracle(n_cells: int, k: int, iters: int = 3) -> str:
 
 @register(
     "knn_communities",
-    oracle=_knn_communities_oracle(n_cells=16, k=3, iters=3),
+    oracle=_knn_communities_oracle(k=3, iters=3),
     survey_ref="extended: community detection over the k-NN graph (deterministic LPA)",
     tags=("bench",),
 )
@@ -1092,7 +1124,8 @@ def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables_for(spark, sf_dir)
     emb = t["embeddings"]
-    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nc, npar = _knn_cells(sf_dir)
+    g = similarity.knn_graph(emb, n_cells=nc, k=3, n_parents=npar).select("src", "dst")
     nodes = emb.select(F.col("vec_id").alias("id"))
     lp = clusters.label_propagation_fixed(nodes, g, iters=3)
     return lp.select(F.col("id").alias("vec_id"), "community").orderBy("vec_id")
@@ -1100,7 +1133,7 @@ def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_pagerank",
-    oracle=_knn_pagerank_oracle(n_cells=16, k=3, iters=3),
+    oracle=_knn_pagerank_oracle(k=3, iters=3),
     survey_ref="extended: PageRank centrality over the k-NN graph (integer fixed-point)",
     tags=("bench",),
 )
@@ -1116,7 +1149,8 @@ def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables_for(spark, sf_dir)
     emb = t["embeddings"]
-    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nc, npar = _knn_cells(sf_dir)
+    g = similarity.knn_graph(emb, n_cells=nc, k=3, n_parents=npar).select("src", "dst")
     nodes = emb.select(F.col("vec_id").alias("id"))
     pr = clusters.pagerank_fixed_point(nodes, g, iters=3)
     return pr.select(F.col("id").alias("vec_id"), "pagerank").orderBy("vec_id")
@@ -1648,7 +1682,7 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_triangles_oracle(n_cells: int, k: int) -> str:
+def _knn_triangles_oracle(k: int) -> str:
     """Composes the knn CTEs with undirected-edge dedup, two triangle
     joins (a < b < c once each), and the clustering coefficient."""
     d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
@@ -1656,7 +1690,7 @@ def _knn_triangles_oracle(n_cells: int, k: int) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+{_knn_ctes(d2)},
     und AS (
       SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       FROM ranked WHERE rnk <= {k}
@@ -1691,7 +1725,7 @@ def _knn_triangles_oracle(n_cells: int, k: int) -> str:
 
 @register(
     "knn_triangle_stats",
-    oracle=_knn_triangles_oracle(n_cells=16, k=3),
+    oracle=_knn_triangles_oracle(k=3),
     survey_ref="extended: k-NN graph triangle counts / local clustering coefficient",
     tags=("bench",),
 )
@@ -1701,9 +1735,10 @@ def q_knn_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.knn_triangle_stats) — degree-bounded by the
     k-NN construction, so the triangle joins stay linear."""
     t = tables_for(spark, sf_dir)
-    return similarity.knn_triangle_stats(t["embeddings"], n_cells=16, k=3).orderBy(
-        "vec_id"
-    )
+    nc, npar = _knn_cells(sf_dir)
+    return similarity.knn_triangle_stats(
+        t["embeddings"], n_cells=nc, k=3, n_parents=npar
+    ).orderBy("vec_id")
 
 
 def _kmeans_ctes(k: int, rounds: int, scale: int, dim: int) -> tuple[str, str, str]:
@@ -1886,7 +1921,7 @@ def q_maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("score"), F.asc("vec_id"))
 
 
-def _knn_bfs_oracle(n_cells: int, k: int, source: int, iters: int) -> str:
+def _knn_bfs_oracle(k: int, source: int, iters: int) -> str:
     """Replays the fixed-round BFS bit-exact: the shared seeded-medoid
     k-NN CTEs produce the edge list, then each round is an integer
     min-propagation — LEAST skips NULLs identically on both engines,
@@ -1913,7 +1948,7 @@ def _knn_bfs_oracle(n_cells: int, k: int, source: int, iters: int) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+{_knn_ctes(d2)},
     knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
     und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
     d0 AS (SELECT vec_id AS id,
@@ -1927,7 +1962,7 @@ def _knn_bfs_oracle(n_cells: int, k: int, source: int, iters: int) -> str:
 
 @register(
     "knn_bfs_hops",
-    oracle=_knn_bfs_oracle(n_cells=16, k=3, source=0, iters=4),
+    oracle=_knn_bfs_oracle(k=3, source=0, iters=4),
     survey_ref="extended: BFS hop distances from a seed over the k-NN graph",
 )
 def q_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1941,7 +1976,8 @@ def q_knn_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables_for(spark, sf_dir)
     emb = t["embeddings"]
-    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nc, npar = _knn_cells(sf_dir)
+    g = similarity.knn_graph(emb, n_cells=nc, k=3, n_parents=npar).select("src", "dst")
     nodes = emb.select(F.col("vec_id").alias("id"))
     bfs = clusters.bfs_hops_fixed(nodes, g, source=0, iters=4)
     return bfs.select(F.col("id").alias("vec_id"), "hops").orderBy("vec_id")
@@ -2070,7 +2106,7 @@ def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subspace")
 
 
-def _knn_kcore_oracle(n_cells: int, k: int, core_k: int, rounds: int) -> str:
+def _knn_kcore_oracle(k: int, core_k: int, rounds: int) -> str:
     """Unrolls the fixed-round peel: shared seeded-medoid k-NN CTEs →
     undirected edges, per round a degree filter applied to both edge
     endpoints; in-core = still carries an edge after the last round."""
@@ -2093,7 +2129,7 @@ def _knn_kcore_oracle(n_cells: int, k: int, core_k: int, rounds: int) -> str:
     WITH emb AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-{_KNN_CTES.format(n_cells=n_cells, d2=d2)},
+{_knn_ctes(d2)},
     knn AS (SELECT src, dst FROM ranked WHERE rnk <= {k}),
     e0 AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
     {rounds_sql},
@@ -2110,7 +2146,7 @@ def _knn_kcore_oracle(n_cells: int, k: int, core_k: int, rounds: int) -> str:
 
 @register(
     "knn_kcore",
-    oracle=_knn_kcore_oracle(n_cells=16, k=3, core_k=3, rounds=3),
+    oracle=_knn_kcore_oracle(k=3, core_k=3, rounds=3),
     survey_ref="extended: fixed-round k-core peeling over the k-NN graph",
     tags=("bench",),
 )
@@ -2125,7 +2161,8 @@ def q_knn_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = tables_for(spark, sf_dir)
     emb = t["embeddings"]
-    g = similarity.knn_graph(emb, n_cells=16, k=3).select("src", "dst")
+    nc, npar = _knn_cells(sf_dir)
+    g = similarity.knn_graph(emb, n_cells=nc, k=3, n_parents=npar).select("src", "dst")
     nodes = emb.select(F.col("vec_id").alias("id"))
     return clusters.kcore_fixed(nodes, g, core_k=3, rounds=3).orderBy("vec_id")
 
