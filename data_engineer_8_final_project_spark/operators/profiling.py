@@ -36,17 +36,32 @@ CANON = {
 }
 
 
-def profile(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
+def profile(
+    df: DataFrame, cols: list[tuple[str, str]], approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """Profile ``cols`` = [(column, kind)] → one row per column:
-    (column_name, n_rows, n_null, n_distinct, min_value, max_value)."""
+    (column_name, n_rows, n_null, n_distinct, min_value, max_value).
+
+    ``approx=True`` is the 100 TB arm: ``n_distinct`` comes from
+    HyperLogLog++ (``approx_count_distinct`` at ``rsd``) — one pass,
+    mergeable sketches, NO Expand fan-out — instead of the exact
+    multi-distinct. Everything else (nulls, min/max, canonicalization)
+    is identical. Error bound pinned by
+    tests/test_approx_arms.py::test_profile_approx_distinct_within_rsd.
+    """
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in cols:
         canon = CANON[kind]
+        dist = (
+            F.approx_count_distinct(F.col(c), rsd=rsd)
+            if approx
+            else F.countDistinct(F.col(c))
+        )
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"null__{c}"),
-            F.countDistinct(F.col(c)).alias(f"dist__{c}"),
+            dist.alias(f"dist__{c}"),
             F.expr(canon.format(v=f"MIN({c})")).alias(f"min__{c}"),
             F.expr(canon.format(v=f"MAX({c})")).alias(f"max__{c}"),
         ]
@@ -61,7 +76,12 @@ def profile(df: DataFrame, cols: list[tuple[str, str]]) -> DataFrame:
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
 
 
-def mad_outlier_stats(events: DataFrame, k_mad: str = "4.4478") -> DataFrame:
+def mad_outlier_stats(
+    events: DataFrame,
+    k_mad: str = "4.4478",
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
     """Robust per-type outlier screen → (event_type, n_events, med,
     mad, n_outliers): median / median-absolute-deviation and the count
     of values beyond ``k_mad``·MAD (4.4478 ≈ 3σ under normality via the
@@ -81,14 +101,42 @@ def mad_outlier_stats(events: DataFrame, k_mad: str = "4.4478") -> DataFrame:
     Scale shape: two window passes + one aggregate, all keyed on
     event_type. The key is LOW-CARDINALITY by nature (a handful of
     types), so per-type sort-window work is the bottleneck at 100 TB —
-    the documented swap is approx_percentile(0.5) per type (one pass,
-    mergeable sketches, no per-type total sort; accuracy path covered
-    by tests/test_approx.py); the exact rank form is registered
-    because the oracle replays it value-for-value.
+    ``approx=True`` is that swap, EXECUTED: both medians come from
+    ``percentile_approx`` at ``accuracy`` (KLL-style mergeable
+    sketches, one aggregation pass each, no per-type total sort; rank
+    error ≤ n/accuracy, bound pinned by
+    tests/test_approx_arms.py::test_mad_approx_within_rank_band). The
+    exact rank form stays registered because the oracle replays it
+    value-for-value.
     """
     from pyspark.sql import Window
 
     e = events.select("event_type", "event_id", "value")
+    if approx:
+        med = e.groupBy("event_type").agg(
+            F.percentile_approx("value", 0.5, accuracy).alias("med")
+        )
+        dev = e.join(F.broadcast(med), "event_type").withColumn(
+            "ad", F.abs(F.col("value") - F.col("med"))
+        )
+        mad = dev.groupBy("event_type").agg(
+            F.percentile_approx("ad", 0.5, accuracy).alias("mad")
+        )
+        return (
+            dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                (F.round(F.min("med"), 4) + 0.0).alias("med"),
+                (F.round(F.min("mad"), 4) + 0.0).alias("mad"),
+                F.sum(
+                    F.when(F.col("ad") > F.expr(f"{k_mad} * mad"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_outliers"),
+            )
+            .orderBy("event_type")
+        )
     wv = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
     ranked = e.select(
@@ -138,4 +186,133 @@ def mad_outlier_stats(events: DataFrame, k_mad: str = "4.4478") -> DataFrame:
             .alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+def conversion_latency_stats(
+    events: DataFrame, approx: bool = False, accuracy: int = 10000
+) -> DataFrame:
+    """View→purchase conversion latency distribution per first-touch
+    channel → (first_channel, n_users, p50_s, p90_s).
+
+    Exact arm (the registered/oracled form): latencies are exact
+    integer microseconds; p50/p90 are NEAREST-RANK selections
+    ((lat_us, user_id) tiebreak, one picked row, zero interpolation)
+    so the strict hash replays on any engine.
+
+    ``approx=True`` is the 100 TB swap, EXECUTED: the channel-keyed
+    rank window (a per-channel total sort over every converting user)
+    is replaced by ``percentile_approx`` sketches — one aggregation,
+    mergeable, rank error ≤ n/accuracy (bound pinned by
+    tests/test_approx_arms.py::test_conversion_latency_approx_within_rank_band).
+
+    Scale shape either way: two user-keyed aggregations (firsts +
+    first event) joined on user_id; only the final percentile step
+    differs.
+    """
+    from pyspark.sql import Window
+
+    e = events.select("user_id", "ts", "event_id", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chan = (
+        e.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_channel"))
+    )
+    lat = (
+        firsts.join(chan, "user_id")
+        .filter(
+            F.col("v_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") > F.col("v_us"))
+        )
+        .select(
+            "first_channel",
+            "user_id",
+            (F.col("p_us") - F.col("v_us")).cast("long").alias("lat_us"),
+        )
+    )
+    if approx:
+        return (
+            lat.groupBy("first_channel")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                (
+                    F.round(F.percentile_approx("lat_us", 0.5, accuracy) / 1000000.0, 3)
+                    + 0.0
+                ).alias("p50_s"),
+                (
+                    F.round(F.percentile_approx("lat_us", 0.9, accuracy) / 1000000.0, 3)
+                    + 0.0
+                ).alias("p90_s"),
+            )
+            .orderBy("first_channel")
+        )
+    wr = Window.partitionBy("first_channel").orderBy("lat_us", "user_id")
+    wn = Window.partitionBy("first_channel")
+    ranked = lat.select(
+        "first_channel",
+        "lat_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def near_rank(p: str):
+        sel = F.when(
+            F.col("rn") == F.ceil(F.lit(p).cast("double") * F.col("n")),
+            F.col("lat_us"),
+        )
+        return F.round(F.min(sel) / 1000000.0, 3) + 0.0
+
+    return (
+        ranked.groupBy("first_channel")
+        .agg(
+            F.min("n").cast("long").alias("n_users"),
+            near_rank("0.5").alias("p50_s"),
+            near_rank("0.9").alias("p90_s"),
+        )
+        .orderBy("first_channel")
+    )
+
+
+def rolling_wau(events: DataFrame, approx: bool = False, rsd: float = 0.05) -> DataFrame:
+    """DAU + TRUE rolling 7-day active users → (day, dau, wau).
+
+    Exact arm (the registered/oracled form): each distinct (user, day)
+    fans out to the ≤7 window ends it belongs to and each window end
+    takes an exact COUNT(DISTINCT) — bounded fan-out, never the
+    double-counting of a rolling SUM of DAU.
+
+    ``approx=True`` is the 100 TB swap, EXECUTED: the per-window-end
+    distinct becomes an HLL++ sketch (``approx_count_distinct`` at
+    ``rsd``) — mergeable, one pass over the same bounded fan-out, no
+    exact-distinct shuffle of user ids per window (error bound pinned
+    by tests/test_approx_arms.py::test_rolling_wau_approx_within_rsd).
+    """
+    ud = (
+        events.select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .distinct()
+    )
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("win_end"),
+    )
+    wau_agg = (
+        F.approx_count_distinct("user_id", rsd=rsd)
+        if approx
+        else F.countDistinct("user_id")
+    )
+    wau = contrib.groupBy("win_end").agg(wau_agg.cast("long").alias("wau"))
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        dau.join(wau, dau["d"] == wau["win_end"])
+        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau")
+        .orderBy("day")
     )

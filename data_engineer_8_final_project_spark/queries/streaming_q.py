@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import staging
 from ..operators.funnel import batch_funnel
 from ..registry import register, tables_for
 from ..streaming import events as ev
@@ -1045,6 +1046,9 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(
         f"funnel-v3:{os.path.abspath(src)}:{st_.st_mtime_ns}:{st_.st_size}:{os.getpid()}".encode()
     ).hexdigest()[:12]
+    # a crashed pid never runs its atexit reap and its key is never
+    # reused — sweep day-old orphans of this family on entry
+    staging.sweep_stale_stage_dirs("spark_graft_funnel_")
     stage = os.path.join(tempfile.gettempdir(), f"spark_graft_funnel_{key}")
     done = os.path.join(stage, "_staged_ok")
     # pid-scoping means no other process ever reuses this dir, so it
@@ -1404,57 +1408,10 @@ def q_conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |converting users| frame — every shuffle key is user_id or the
     low-cardinality channel; the documented 100 TB swap for the
     channel window is approx_percentile."""
+    from ..operators import profiling
+
     t = tables_for(spark, sf_dir)
-    e = t["events"].select("user_id", "ts", "event_id", "event_type")
-    us = F.unix_micros(F.col("ts"))
-    firsts = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
-        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
-    )
-    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chan = (
-        e.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_channel"))
-    )
-    lat = (
-        firsts.join(chan, "user_id")
-        .filter(
-            F.col("v_us").isNotNull()
-            & F.col("p_us").isNotNull()
-            & (F.col("p_us") > F.col("v_us"))
-        )
-        .select(
-            "first_channel",
-            "user_id",
-            (F.col("p_us") - F.col("v_us")).cast("long").alias("lat_us"),
-        )
-    )
-    wr = Window.partitionBy("first_channel").orderBy("lat_us", "user_id")
-    wn = Window.partitionBy("first_channel")
-    ranked = lat.select(
-        "first_channel",
-        "lat_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
-
-    def near_rank(p: str):
-        sel = F.when(
-            F.col("rn") == F.ceil(F.lit(p).cast("double") * F.col("n")),
-            F.col("lat_us"),
-        )
-        return F.round(F.min(sel) / 1000000.0, 3) + 0.0
-
-    return (
-        ranked.groupBy("first_channel")
-        .agg(
-            F.min("n").cast("long").alias("n_users"),
-            near_rank("0.5").alias("p50_s"),
-            near_rank("0.9").alias("p90_s"),
-        )
-        .orderBy("first_channel")
-    )
+    return profiling.conversion_latency_stats(t["events"], approx=False)
 
 
 @register(
@@ -2133,27 +2090,10 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-window distinct is an HLL sketch per day merged across
     the window (mergeable, one pass — tests/test_approx.py covers the
     sketch accuracy path)."""
+    from ..operators import profiling
+
     t = tables_for(spark, sf_dir)
-    ud = (
-        t["events"]
-        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
-        .distinct()
-    )
-    contrib = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("win_end"),
-    )
-    wau = contrib.groupBy("win_end").agg(
-        F.countDistinct("user_id").cast("long").alias("wau")
-    )
-    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    return (
-        dau.join(wau, dau["d"] == wau["win_end"])
-        .select(F.col("d").cast("timestamp").alias("day"), "dau", "wau")
-        .orderBy("day")
-    )
+    return profiling.rolling_wau(t["events"], approx=False)
 
 
 @register(
