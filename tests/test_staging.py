@@ -1,0 +1,47 @@
+"""Stage-dir hygiene (VERDICT r8 item 7): a crashed pid's orphaned
+pid-scoped stage dir must be reaped by the NEXT process's entry sweep,
+while live (recent) stages are never touched."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from data_engineer_8_final_project_spark import staging
+
+
+def _make_stage(tmp_path_root: str, name: str, age_s: float) -> str:
+    path = os.path.join(tmp_path_root, name)
+    os.makedirs(path, exist_ok=True)
+    open(os.path.join(path, "_staged_ok"), "w").close()
+    t = time.time() - age_s
+    os.utime(path, (t, t))
+    return path
+
+
+def test_sweep_removes_day_old_orphan_keeps_live(monkeypatch, tmp_path):
+    monkeypatch.setattr(staging.tempfile, "gettempdir", lambda: str(tmp_path))
+    stale = _make_stage(str(tmp_path), "spark_graft_funnel_deadpid1", 2 * 86400)
+    live = _make_stage(str(tmp_path), "spark_graft_funnel_livepid2", 60)
+    other = _make_stage(str(tmp_path), "spark_graft_docs_stream_x", 2 * 86400)
+
+    staging.sweep_stale_stage_dirs("spark_graft_funnel_")
+
+    assert not os.path.exists(stale), "day-old orphan must be reaped"
+    assert os.path.exists(live), "recent (live) stage must survive"
+    assert os.path.exists(other), "other families are out of scope for this prefix"
+
+
+def test_sweep_ignores_files_and_missing_root(monkeypatch, tmp_path):
+    monkeypatch.setattr(staging.tempfile, "gettempdir", lambda: str(tmp_path))
+    f = os.path.join(str(tmp_path), "spark_graft_funnel_notadir")
+    open(f, "w").close()
+    t = time.time() - 2 * 86400
+    os.utime(f, (t, t))
+    staging.sweep_stale_stage_dirs("spark_graft_funnel_")
+    assert os.path.exists(f), "plain files are never touched"
+
+    monkeypatch.setattr(
+        staging.tempfile, "gettempdir", lambda: str(tmp_path / "missing")
+    )
+    staging.sweep_stale_stage_dirs("spark_graft_funnel_")  # must not raise
