@@ -498,6 +498,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:leakage_safe_split",
         "test:tests/test_extended_ops.py::test_leakage_safe_split_no_straddling_pairs",
     ],
+    "curation-pipeline-capstone": [
+        # the proven pieces composed end to end over one corpus —
+        # quality gates → norm-fp exact dedup → jaccard-CC leakage-safe
+        # split → per-source cap → token-budget pack — one oracle
+        # gating the whole composition (r9)
+        "query:curation_pipeline",
+        "test:tests/test_extended_ops.py::test_curation_pipeline_invariants",
+    ],
     "decontamination-semantic": [
         # embedding-similarity train/test decontamination — catches the
         # paraphrase/translation overlap the n-gram gate misses; same
@@ -755,6 +763,17 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # GroupState twin user_totals_stateful carries the driver gate.
         "test:tests/test_streaming.py::test_transform_with_state_totals_match_batch",
         "code:data_engineer_8_final_project_spark/streaming/stateful.py",
+    ],
+    "kafka-live-tier": [
+        # Feature-detected live-broker leg (r9): `pytest -m kafka` runs a
+        # fixture→topic→from_kafka round-trip against the batch twin the
+        # moment SPARK_GRAFT_KAFKA_BOOTSTRAP is set (and the
+        # spark-sql-kafka package is on the classpath); skips with the
+        # reason otherwise. No code change needed when the env gains a
+        # broker — the parquet replay keeps the semantics driver-gated
+        # meanwhile.
+        "test:tests/test_kafka_live.py::test_kafka_roundtrip_matches_batch",
+        "code:data_engineer_8_final_project_spark/streaming/events.py",
     ],
     # --- round 6 additions ---
     "skew-join-aqe-split": [

@@ -113,14 +113,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_churn_rate",
     "brand_hhi_by_year",
     "supplier_latency_league",
-    # -- oldest greens (r6): flagship + core refresh (6) --
+    # -- new this round: the composed end-to-end curation capstone --
+    "curation_pipeline",
+    # -- oldest greens (r6): flagship + core refresh (5; top_orders
+    #    slid just past the boundary to make room for the capstone) --
     "standings",
     "matches_clean",
     "reference_standings",
     "group_count",
     "group_sum_multi",
-    "top_orders",
     # ---- driver window boundary (50) ----
+    "top_orders",
     # -- remaining r6 greens: the r10 window head (44) --
     "media_decode_fake",
     "promo_revenue_share",

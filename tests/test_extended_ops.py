@@ -1627,3 +1627,28 @@ def test_supplier_latency_league_floor_and_order(spark, sf_dir):
         .toPandas()
     )
     assert abs(top.avg_delay_days - round(pdf["d"].mean(), 4)) < 1e-6
+
+
+def test_curation_pipeline_invariants(spark, sf_dir):
+    """The composed curation pass keeps every stage's contract at once:
+    no under-length/low-quality doc survives, no duplicate norm-fps, at
+    most 10 docs and 300 cumulative tokens per source, and every
+    selected doc's near-dup cluster hashed into the train bucket."""
+    from data_engineer_8_final_project_spark.registry import all_queries
+
+    out = all_queries()["curation_pipeline"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.n_tokens >= 10).all()
+    # per-source cap and budget
+    per_src = out.groupby("source")
+    assert (per_src.size() <= 10).all()
+    assert (per_src.cum_tokens.max() <= 300).all()
+    # cluster-atomic split: every selected cluster hashes < 80
+    import hashlib as _h
+
+    for cid in out.cluster_id.unique():
+        bucket = int(_h.md5(str(cid).encode()).hexdigest()[:15], 16) % 100
+        assert bucket < 80, (cid, bucket)
+    # selection is deterministic: rerun produces the identical frame
+    again = all_queries()["curation_pipeline"].fn(spark, sf_dir).toPandas()
+    assert out.equals(again)
