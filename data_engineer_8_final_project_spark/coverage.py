@@ -498,6 +498,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:leakage_safe_split",
         "test:tests/test_extended_ops.py::test_leakage_safe_split_no_straddling_pairs",
     ],
+    "embedding-covariance": [
+        # one-pass exact-integer cross-moments of the embedding dims
+        # (PCA/whitening prep): fixed-point BIGINT sums are order-
+        # invariant, the 2080-row result is corpus-size-free, and the
+        # posexplode self-join keeps every term in codegen (r9)
+        "query:embedding_covariance",
+        "test:tests/test_extended_ops.py::test_embedding_covariance_matches_numpy",
+    ],
     "curation-pipeline-capstone": [
         # the proven pieces composed end to end over one corpus —
         # quality gates → norm-fp exact dedup → jaccard-CC leakage-safe

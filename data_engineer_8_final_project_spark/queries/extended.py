@@ -2226,3 +2226,113 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-label stats, integer norms."""
     t = tables_for(spark, sf_dir)
     return similarity.embedding_norm_outliers(t["embeddings"]).orderBy("label")
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    -- One-pass covariance of the embedding dimensions (the PCA /
+    -- whitening prep step): upper-triangle (i <= j) cross-moments over
+    -- fixed-point integer components — BIGINT sums are associative, so
+    -- the moments are bit-identical at any parallelism — plus the
+    -- derived covariance as a fixed-order double chain. 64 dims ->
+    -- 2080 rows regardless of corpus size.
+    WITH sv AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(ROUND(x*1000000.0) AS BIGINT)) AS s
+      FROM embeddings),
+    pos AS (SELECT unnest(range(1, 65)) AS p),
+    moments AS (
+      SELECT a.p AS i, b.p AS j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s[a.p] * s[b.p]) AS BIGINT) AS sxy,
+             CAST(SUM(s[a.p]) AS BIGINT) AS sx,
+             CAST(SUM(s[b.p]) AS BIGINT) AS sy
+      FROM sv CROSS JOIN pos a CROSS JOIN pos b
+      WHERE a.p <= b.p
+      GROUP BY a.p, b.p)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, sxy, sx, sy,
+           ROUND((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                 / 1000000000000.0, 8) + 0.0 AS cov
+    FROM moments
+    ORDER BY i, j
+    """,
+    survey_ref="extended: one-pass embedding covariance (exact integer cross-moments; PCA prep)",
+    tags=("bench",),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding dimensions in ONE pass — the
+    statistic PCA / ZCA-whitening / feature-decorrelation pipelines
+    compute over the full corpus before any projection.
+
+    Determinism recipe (the embedding_norm_outliers convention):
+    components quantize to 1e6 fixed-point BIGINTs, so every
+    cross-moment Σ sᵢ·sⱼ is an exact integer sum — order/width
+    invariant by associativity (|s| ≤ ~2^21, n ≤ 2^41 before overflow
+    headroom thins; at bigger corpora shard the sum by partition id
+    and re-sum). The float covariance appears only at the END as one
+    fixed-order chain over the exact moments, rounded(8).
+
+    Scale shape: posexplode the 64 fixed-point components once
+    (64 rows per vector), pair them through a vec_id-keyed aliased
+    self-join (i ≤ j; each key fans out to exactly 2080 codegen'd
+    product rows — bounded by dim², never by data), then ONE
+    aggregation whose partial states collapse map-side — the exchange
+    carries ≤ 2080 rows per input partition and the result is 2080
+    rows at ANY corpus size. A nested-transform explode computes the
+    same terms with zero joins but runs INTERPRETED per element
+    (measured ~6× slower end-to-end at sf0.1 — the HOF-vs-codegen
+    rule); a mapInPandas int64 Gram twin is the constant-factor
+    alternative at 100 TB. Self-join goes through subquery aliases
+    (the Spark 4 attribute-rewrite gotcha).
+    """
+    t = tables_for(spark, sf_dir)
+    comp = t["embeddings"].select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(cast(embedding as array<double>), x -> cast(round(x*1000000.0) as bigint))"
+            )
+        ).alias("p", "v"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    terms = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.p") <= F.col("b.p")),
+        )
+        .select(
+            (F.col("a.p") + 1).alias("i"),
+            (F.col("b.p") + 1).alias("j"),
+            (F.col("a.v") * F.col("b.v")).alias("xy"),
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+    moments = terms.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xy").cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return moments.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        "sxy",
+        "sx",
+        "sy",
+        (
+            F.round(
+                (
+                    F.col("sxy").cast("double") / F.col("n")
+                    - (F.col("sx").cast("double") / F.col("n"))
+                    * (F.col("sy").cast("double") / F.col("n"))
+                )
+                / 1e12,
+                8,
+            )
+            + 0.0
+        ).alias("cov"),
+    ).orderBy("i", "j")

@@ -113,16 +113,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "user_churn_rate",
     "brand_hhi_by_year",
     "supplier_latency_league",
-    # -- new this round: the composed end-to-end curation capstone --
+    # -- new this round: the composed end-to-end curation capstone and
+    #    the exact-integer covariance (never driver-verified) --
     "curation_pipeline",
-    # -- oldest greens (r6): flagship + core refresh (5; top_orders
-    #    slid just past the boundary to make room for the capstone) --
+    "embedding_covariance",
+    # -- oldest greens (r6): flagship + core refresh (4; group_sum_multi
+    #    and top_orders slid just past the boundary to make room) --
     "standings",
     "matches_clean",
     "reference_standings",
     "group_count",
-    "group_sum_multi",
     # ---- driver window boundary (50) ----
+    "group_sum_multi",
     "top_orders",
     # -- remaining r6 greens: the r10 window head (44) --
     "media_decode_fake",

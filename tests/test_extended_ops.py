@@ -1652,3 +1652,27 @@ def test_curation_pipeline_invariants(spark, sf_dir):
     # selection is deterministic: rerun produces the identical frame
     again = all_queries()["curation_pipeline"].fn(spark, sf_dir).toPandas()
     assert out.equals(again)
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """The fixed-point one-pass moments must reproduce numpy's
+    covariance of the same quantized components to rounding tolerance,
+    and the exact-integer invariants must hold (diagonal variance
+    nonnegative, n = corpus size on every row, 2080 = 64·65/2 rows)."""
+    import numpy as np
+
+    from data_engineer_8_final_project_spark.registry import all_queries, tables_for
+
+    out = all_queries()["embedding_covariance"].fn(spark, sf_dir).toPandas()
+    emb = tables_for(spark, sf_dir)["embeddings"].select("embedding").toPandas()
+    s = np.round(np.stack(emb.embedding.to_numpy()) * 1e6).astype(np.int64)
+    n = s.shape[0]
+    assert len(out) == 64 * 65 // 2
+    assert (out.n == n).all()
+    diag = out[out.i == out.j]
+    assert (diag["cov"] >= 0).all()
+    want = ((s.T @ s) / n - np.outer(s.sum(0) / n, s.sum(0) / n)) / 1e12
+    got = np.zeros((64, 64))
+    got[out.i - 1, out.j - 1] = out["cov"]
+    got[out.j - 1, out.i - 1] = out["cov"]
+    assert np.abs(got - want).max() < 1e-7

@@ -67,14 +67,14 @@ MUST_BE_IN_WINDOW = {
     "user_churn_rate",
     "brand_hhi_by_year",
     "supplier_latency_league",
-    # new-r9 capstone (never driver-verified)
+    # new-r9 additions (never driver-verified)
     "curation_pipeline",
+    "embedding_covariance",
     # oldest greens (r6): flagship + core refresh
     "standings",
     "matches_clean",
     "reference_standings",
     "group_count",
-    "group_sum_multi",
 }
 
 
