@@ -506,6 +506,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:embedding_covariance",
         "test:tests/test_extended_ops.py::test_embedding_covariance_matches_numpy",
     ],
+    "sketch-countmin-heavy-hitters": [
+        # Count-Min sketch: fixed 4x256 integer grid, one pass,
+        # cells merge by addition across shards/days; readback = min of
+        # a token's 4 cells — overestimate-only by construction, pinned
+        # over the whole vocabulary by the pytest (r9)
+        "query:token_cms_heavy_hitters",
+        "test:tests/test_extended_ops.py::test_cms_never_undercounts",
+    ],
     "curation-pipeline-capstone": [
         # the proven pieces composed end to end over one corpus —
         # quality gates → norm-fp exact dedup → jaccard-CC leakage-safe

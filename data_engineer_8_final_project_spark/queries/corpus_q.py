@@ -680,3 +680,111 @@ def q_token_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prefix", "rnk", "token", "n")
         .orderBy("prefix", "rnk")
     )
+
+
+@register(
+    "token_cms_heavy_hitters",
+    oracle="""
+    -- Count-Min-sketch heavy hitters: 4 hash rows x 256 columns of
+    -- integer counts (ONE corpus pass, mergeable cells), token
+    -- estimate = min over its 4 cells. Hashes are md5-derived so both
+    -- engines place every token in identical cells; counts are exact
+    -- integers; est >= true by construction (collisions only inflate).
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
+    hashed AS (
+      SELECT token,
+             CAST(concat('0x', substr(md5('cms0:' || token), 1, 15)) AS BIGINT) % 256 AS c0,
+             CAST(concat('0x', substr(md5('cms1:' || token), 1, 15)) AS BIGINT) % 256 AS c1,
+             CAST(concat('0x', substr(md5('cms2:' || token), 1, 15)) AS BIGINT) % 256 AS c2,
+             CAST(concat('0x', substr(md5('cms3:' || token), 1, 15)) AS BIGINT) % 256 AS c3
+      FROM tok),
+    cells AS (
+      SELECT j, col, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 0 AS j, c0 AS col FROM hashed
+        UNION ALL SELECT 1, c1 FROM hashed
+        UNION ALL SELECT 2, c2 FROM hashed
+        UNION ALL SELECT 3, c3 FROM hashed) t
+      GROUP BY j, col),
+    truth AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_n,
+             MIN(c0) AS c0, MIN(c1) AS c1, MIN(c2) AS c2, MIN(c3) AS c3
+      FROM hashed GROUP BY token),
+    est AS (
+      SELECT t.token, t.true_n,
+             LEAST(s0.n, s1.n, s2.n, s3.n) AS cms_est
+      FROM truth t
+      JOIN cells s0 ON s0.j = 0 AND s0.col = t.c0
+      JOIN cells s1 ON s1.j = 1 AND s1.col = t.c1
+      JOIN cells s2 ON s2.j = 2 AND s2.col = t.c2
+      JOIN cells s3 ON s3.j = 3 AND s3.col = t.c3)
+    SELECT token, true_n, cms_est FROM est
+    ORDER BY cms_est DESC, token ASC LIMIT 15
+    """,
+    survey_ref="extended: Count-Min-sketch heavy hitters (mergeable fixed-size state, one pass)",
+    tags=("bench",),
+)
+def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens through a Count-Min sketch — the streaming/
+    federated alternative to an exact token count when the vocabulary
+    doesn't fit anywhere: the sketch is a FIXED 4×256 integer grid
+    (one corpus pass, cells partial-aggregate map-side and MERGE by
+    addition across shards/days), and any token's frequency reads back
+    as the min of its 4 cells — an overestimate by at most the
+    collision mass, never an undercount.
+
+    Determinism: cell placement is md5-derived (identical on both
+    engines), counts are exact integers, and the top-15 report ranks
+    on (cms_est DESC, token ASC) — a total order. The exact `true_n`
+    rides along so the oracle also pins the overestimate property
+    row-for-row (tests/test_extended_ops.py asserts est ≥ true over
+    the WHOLE vocabulary, not just the reported top).
+
+    Scale shape: explode → 4× union fan-out → 1024-cell aggregate
+    (shuffle carries ≤1024 rows per input partition); the readback
+    joins the distinct-token frame to the 1024-row sketch via
+    broadcast. At 100 TB the sketch never grows — only the readback's
+    distinct-token frame scales, and a production flow reads back only
+    candidate tokens, not the vocabulary.
+    """
+    t = tables_for(spark, sf_dir)
+    tok = t["documents"].select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+
+    def cell(j: int) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), F.col("token"))), 1, 15), 16, 10)
+            .cast("long") % 256
+        )
+
+    # cell placement depends only on the TOKEN — count occurrences
+    # first (one groupBy), then hash the vocabulary-sized frame (4 md5
+    # per distinct token, not per occurrence) and weight each cell by
+    # the count; staged once for its two consumers (cells, readback)
+    truth = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .select("token", "true_n", *[cell(j).alias(f"c{j}") for j in range(4)])
+        .localCheckpoint(eager=True)
+    )
+    cells = (
+        truth.selectExpr("true_n", "stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (j, col)")
+        .groupBy("j", "col")
+        .agg(F.sum("true_n").cast("long").alias("n"))
+    )
+    est = truth
+    for j in range(4):
+        sj = cells.filter(F.col("j") == j).select(
+            F.col("col").alias(f"c{j}"), F.col("n").alias(f"n{j}")
+        )
+        est = est.join(F.broadcast(sj), f"c{j}")
+    return (
+        est.select(
+            "token",
+            "true_n",
+            F.least("n0", "n1", "n2", "n3").alias("cms_est"),
+        )
+        .orderBy(F.desc("cms_est"), F.asc("token"))
+        .limit(15)
+    )

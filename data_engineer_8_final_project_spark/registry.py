@@ -117,13 +117,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    the exact-integer covariance (never driver-verified) --
     "curation_pipeline",
     "embedding_covariance",
-    # -- oldest greens (r6): flagship + core refresh (4; group_sum_multi
-    #    and top_orders slid just past the boundary to make room) --
+    "token_cms_heavy_hitters",
+    # -- oldest greens (r6): flagship + core refresh (3; group_count,
+    #    group_sum_multi, top_orders slid just past the boundary to
+    #    make room for the three new-r9 queries) --
     "standings",
     "matches_clean",
     "reference_standings",
-    "group_count",
     # ---- driver window boundary (50) ----
+    "group_count",
     "group_sum_multi",
     "top_orders",
     # -- remaining r6 greens: the r10 window head (44) --

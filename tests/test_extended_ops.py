@@ -1676,3 +1676,41 @@ def test_embedding_covariance_matches_numpy(spark, sf_dir):
     got[out.i - 1, out.j - 1] = out["cov"]
     got[out.j - 1, out.i - 1] = out["cov"]
     assert np.abs(got - want).max() < 1e-7
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """Count-Min's one guarantee: est >= true for EVERY token (collisions
+    only inflate), with the total sketch mass equal to the corpus token
+    count on each of the 4 rows."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    docs = tables_for(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+    truth = tok.groupBy("token").count()
+
+    def cell(j):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{j}:"), F.col("token"))), 1, 15), 16, 10)
+            .cast("long") % 256
+        )
+
+    hashed = truth.select("token", "count", *[cell(j).alias(f"c{j}") for j in range(4)])
+    cells = (
+        hashed.selectExpr("count", "stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (j, col)")
+        .groupBy("j", "col")
+        .agg(F.sum("count").alias("n"))
+    )
+    # each row's mass == corpus token count
+    total = tok.count()
+    per_row = {r.j: r.s for r in cells.groupBy("j").agg(F.sum("n").alias("s")).collect()}
+    assert all(per_row[j] == total for j in range(4))
+    est = hashed
+    for j in range(4):
+        sj = cells.filter(F.col("j") == j).select(
+            F.col("col").alias(f"c{j}"), F.col("n").alias(f"n{j}")
+        )
+        est = est.join(F.broadcast(sj), f"c{j}")
+    bad = est.filter(F.least("n0", "n1", "n2", "n3") < F.col("count")).count()
+    assert bad == 0

@@ -70,11 +70,11 @@ MUST_BE_IN_WINDOW = {
     # new-r9 additions (never driver-verified)
     "curation_pipeline",
     "embedding_covariance",
+    "token_cms_heavy_hitters",
     # oldest greens (r6): flagship + core refresh
     "standings",
     "matches_clean",
     "reference_standings",
-    "group_count",
 }
 
 
