@@ -514,6 +514,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:token_cms_heavy_hitters",
         "test:tests/test_extended_ops.py::test_cms_never_undercounts",
     ],
+    "embedding-pca-power-iteration": [
+        # distributed exact moments -> bounded-model integer power
+        # iteration on the driver (8 rounds, bit-replayed by the
+        # oracle's MATERIALIZED CTE chain) -> literal-eigenvector
+        # BIGINT projection; numpy eigh cross-check pytest (r9)
+        "query:embedding_pca_scores",
+        "test:tests/test_extended_ops.py::test_pca_scores_match_numpy_eigendirection",
+    ],
     "curation-pipeline-capstone": [
         # the proven pieces composed end to end over one corpus —
         # quality gates → norm-fp exact dedup → jaccard-CC leakage-safe

@@ -2228,6 +2228,43 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_norm_outliers(t["embeddings"]).orderBy("label")
 
 
+def _embedding_moments(embeddings: DataFrame) -> DataFrame:
+    """Upper-triangle exact-integer cross-moments of the embedding
+    dimensions → (i, j, n, sxy, sx, sy), 2080 rows. Shared by the
+    covariance query (derives the float covariance) and the PCA
+    power-iteration query (collects the moments as the bounded 64×64
+    model). See q_embedding_covariance for the determinism recipe."""
+    comp = embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(cast(embedding as array<double>), x -> cast(round(x*1000000.0) as bigint))"
+            )
+        ).alias("p", "v"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    terms = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.p") <= F.col("b.p")),
+        )
+        .select(
+            (F.col("a.p") + 1).alias("i"),
+            (F.col("b.p") + 1).alias("j"),
+            (F.col("a.v") * F.col("b.v")).alias("xy"),
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+    return terms.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xy").cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+
+
+
 @register(
     "embedding_covariance",
     oracle="""
@@ -2287,35 +2324,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative at 100 TB. Self-join goes through subquery aliases
     (the Spark 4 attribute-rewrite gotcha).
     """
-    t = tables_for(spark, sf_dir)
-    comp = t["embeddings"].select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                "transform(cast(embedding as array<double>), x -> cast(round(x*1000000.0) as bigint))"
-            )
-        ).alias("p", "v"),
-    )
-    a, b = comp.alias("a"), comp.alias("b")
-    terms = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id")) & (F.col("a.p") <= F.col("b.p")),
-        )
-        .select(
-            (F.col("a.p") + 1).alias("i"),
-            (F.col("b.p") + 1).alias("j"),
-            (F.col("a.v") * F.col("b.v")).alias("xy"),
-            F.col("a.v").alias("x"),
-            F.col("b.v").alias("y"),
-        )
-    )
-    moments = terms.groupBy("i", "j").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("xy").cast("long").alias("sxy"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-    )
+    moments = _embedding_moments(tables_for(spark, sf_dir)["embeddings"])
     return moments.select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),
@@ -2336,3 +2345,152 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("cov"),
     ).orderBy("i", "j")
+
+
+def _pca_oracle(rounds: int = 8) -> str:
+    """Replays the integer power iteration bit-exact: MATERIALIZED
+    CTEs (a non-materialized chain re-evaluates each round's inputs
+    recursively — exponential), full-matrix cint from the same exact
+    moments + ROUND chain, and per round an integer mat-vec followed
+    by the FLOOR(w·1e4 / max|w|) renorm — every op is either exact
+    integer arithmetic or the identical IEEE double op on both
+    engines, so the final eigenvector is the same 64 integers the
+    Spark driver computes."""
+    its = []
+    prev = "v0"
+    for k in range(1, rounds + 1):
+        its.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT c.i AS d, CAST(SUM(c.cint * p.v) AS BIGINT) AS w
+      FROM cfull c JOIN {prev} p ON c.j = p.d GROUP BY c.i),
+    v{k} AS MATERIALIZED (
+      SELECT d, CAST(FLOOR(w*10000.0 / (SELECT MAX(ABS(w)) FROM w{k})) AS BIGINT) AS v
+      FROM w{k})"""
+        )
+        prev = f"v{k}"
+    return f"""
+    WITH sv AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> CAST(ROUND(x*1000000.0) AS BIGINT)) AS s
+      FROM embeddings),
+    pos AS (SELECT unnest(range(1, 65)) AS p),
+    moments AS MATERIALIZED (
+      SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s[a.p]*s[b.p]) AS BIGINT) AS sxy,
+             CAST(SUM(s[a.p]) AS BIGINT) AS sx,
+             CAST(SUM(s[b.p]) AS BIGINT) AS sy
+      FROM sv CROSS JOIN pos a CROSS JOIN pos b GROUP BY a.p, b.p),
+    cfull AS MATERIALIZED (
+      SELECT i, j,
+             CAST(ROUND(ROUND((CAST(sxy AS DOUBLE)/n
+                               - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                              / 1000000000000.0, 8) * 100000000.0) AS BIGINT) AS cint
+      FROM moments),
+    v0 AS MATERIALIZED (SELECT unnest(range(1,65)) AS d, CAST(10000 AS BIGINT) AS v),
+    {','.join(its)}
+    SELECT e.vec_id,
+           CAST(SUM(e.s[v.d] * v.v) AS BIGINT) AS score_int,
+           ROUND(CAST(SUM(e.s[v.d] * v.v) AS BIGINT) / 10000000000.0, 6) + 0.0 AS score
+    FROM sv e CROSS JOIN {prev} v
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@register(
+    "embedding_pca_scores",
+    oracle=_pca_oracle(rounds=8),
+    survey_ref=(
+        "extended: PCA top-component scores (distributed exact moments → "
+        "bounded-model integer power iteration → literal-vector projection)"
+    ),
+    tags=("bench",),
+)
+def q_embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's projection onto the corpus's DOMINANT
+    power-iteration direction — the 1-D PCA-style score that drives
+    embedding QA (outlier screens), diversity binning, and whitening
+    pipelines. Convergence to the true top component is spectrum-
+    dependent: this fixture is near-isotropic (lambda2/lambda1 ~ 0.99),
+    so 8 rounds reach ~0.95 of the top eigenvalue's Rayleigh quotient
+    rather than the exact eigendirection (pinned by the pytest); on
+    real embedding spectra (fast-decaying) the same rounds converge —
+    ``rounds`` is the knob, mirrored in the oracle builder.
+
+    Three stages, each in its natural place:
+
+    1. DISTRIBUTED: the exact-integer cross-moments
+       (_embedding_moments — one scan, 2080-row result at any corpus
+       size).
+    2. DRIVER, bounded model: 8 integer power-iteration rounds over
+       the 64×64 matrix — the same class of bounded model-parameter
+       computation as the IVF centroid collects. Every round is an
+       exact-integer mat-vec plus one FLOOR(w·1e4/max|w|) renorm whose
+       float ops are the identical IEEE instructions on both engines,
+       so the eigenvector is 64 integers the oracle reproduces
+       bit-for-bit (sign pinned by the fixed all-ones start).
+    3. DISTRIBUTED: the projection — the eigenvector rides into the
+       plan as 64 literals (the IVF-codebook pattern: a model is a
+       bounded parameter, never a join) and the score is an exact
+       BIGINT dot product; the float form appears only as the final
+       ROUND.
+
+    The cint matrix is collected from the SAME Spark expression the
+    covariance query derives (engine ROUND semantics on both sides —
+    no Python re-rounding of floats anywhere).
+    """
+    import math
+
+    t = tables_for(spark, sf_dir)
+    emb = t["embeddings"]
+    # bounded collect: 2080 moment rows = the 64x64 model, not data
+    rows = (
+        _embedding_moments(emb)
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.round(
+                    (
+                        F.col("sxy").cast("double") / F.col("n")
+                        - (F.col("sx").cast("double") / F.col("n"))
+                        * (F.col("sy").cast("double") / F.col("n"))
+                    )
+                    / 1e12,
+                    8,
+                )
+                * 1e8
+            )
+            .cast("long")
+            .alias("cint"),
+        )
+        .collect()
+    )
+    C: dict[tuple[int, int], int] = {}
+    for r in rows:
+        C[(r["i"], r["j"])] = r["cint"]
+        C[(r["j"], r["i"])] = r["cint"]
+    v = [10000] * 64
+    for _ in range(8):
+        w = [sum(C[(i, j)] * v[j - 1] for j in range(1, 65)) for i in range(1, 65)]
+        m = max(abs(x) for x in w)
+        v = [math.floor(x * 10000.0 / m) for x in w]
+    dot = " + ".join(f"element_at(s, {i}) * ({v[i-1]}L)" for i in range(1, 65))
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                "transform(cast(embedding as array<double>), x -> cast(round(x*1000000.0) as bigint))"
+            ).alias("s"),
+        )
+        .select(
+            "vec_id",
+            F.expr(dot).cast("long").alias("score_int"),
+        )
+        .select(
+            "vec_id",
+            "score_int",
+            (F.round(F.col("score_int") / 1e10, 6) + 0.0).alias("score"),
+        )
+        .orderBy("vec_id")
+    )

@@ -118,13 +118,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_pipeline",
     "embedding_covariance",
     "token_cms_heavy_hitters",
-    # -- oldest greens (r6): flagship + core refresh (3; group_count,
-    #    group_sum_multi, top_orders slid just past the boundary to
-    #    make room for the three new-r9 queries) --
+    "embedding_pca_scores",
+    # -- oldest greens (r6): flagship + core refresh (2; the rest of
+    #    the r6 cohort heads the r10 window right past the boundary,
+    #    displaced by the four new-r9 queries) --
     "standings",
     "matches_clean",
-    "reference_standings",
     # ---- driver window boundary (50) ----
+    "reference_standings",
     "group_count",
     "group_sum_multi",
     "top_orders",

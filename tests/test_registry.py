@@ -71,10 +71,10 @@ MUST_BE_IN_WINDOW = {
     "curation_pipeline",
     "embedding_covariance",
     "token_cms_heavy_hitters",
+    "embedding_pca_scores",
     # oldest greens (r6): flagship + core refresh
     "standings",
     "matches_clean",
-    "reference_standings",
 }
 
 
