@@ -522,15 +522,6 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:embedding_pca_scores",
         "test:tests/test_extended_ops.py::test_pca_scores_match_numpy_eigendirection",
     ],
-    "join-asof": [
-        # nearest-prior-state enrichment (kdb/Timescale ASOF): ONE
-        # tagged union + key-window plan — rows ∝ |events|, no join,
-        # no interval fan-out (contrast: the scd2 bucketed range join
-        # supports arbitrary containment at fan-out cost). DuckDB's
-        # native ASOF JOIN is the oracle (r9)
-        "query:asof_view_purchase",
-        "test:tests/test_extended_ops.py::test_asof_union_window_matches_naive",
-    ],
     "curation-pipeline-capstone": [
         # the proven pieces composed end to end over one corpus —
         # quality gates → norm-fp exact dedup → jaccard-CC leakage-safe

@@ -97,65 +97,3 @@ def bucketed_range_join(
         .filter((F.col(ts) >= F.col(start)) & upper)
         .drop("_b")
     )
-
-
-def asof_join_union_window(
-    points: DataFrame,
-    states: DataFrame,
-    key: str,
-    ts: str,
-    state_cols: list[str],
-) -> DataFrame:
-    """ASOF join (kdb/TimescaleDB semantics): each ``points`` row picks
-    the ``states`` row with the LARGEST ``ts`` ≤ its own, per ``key`` —
-    nearest prior quote per trade, latest feature state per example.
-
-    Built as ONE key-partitioned window over the tagged UNION of both
-    inputs, not a join: states sort before points at equal ``ts``
-    (inclusive ASOF bounds), and ``last(col, ignorenulls=True)`` over
-    the running frame carries each state's columns forward to every
-    later point. Points with no prior state come back with NULL state
-    columns (left-asof; filter ``asof_ts`` for inner semantics).
-
-    Scale contrast with :func:`bucketed_range_join`: no interval
-    enumeration, no join at all — one exchange on ``key`` and one sort,
-    with rows ∝ |points| + |states| regardless of time-span (the range
-    join pays interval-length fan-out but supports arbitrary
-    containment predicates; ASOF pays only the union). Callers must
-    pre-dedupe ``states`` to one row per (key, ts) — with duplicates
-    the "latest" state at a timestamp is not well defined and engines
-    may legitimately disagree.
-
-    ``state_cols`` ride back with their own names; the matched state
-    timestamp comes back as ``asof_ts``.
-    """
-    from pyspark.sql import Window
-
-    null_cols = [
-        F.lit(None).cast(states.schema[c].dataType).alias(c) for c in state_cols
-    ]
-    p = points.select(
-        "*", F.lit(1).alias("_k"), *null_cols, F.lit(None).cast("timestamp").alias("asof_ts")
-    )
-    point_only = [c for c in points.columns if c not in (key, ts)]
-    s = states.select(
-        F.col(key),
-        F.col(ts),
-        F.lit(0).alias("_k"),
-        *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in point_only],
-        *[F.col(c) for c in state_cols],
-        F.col(ts).alias("asof_ts"),
-    )
-    u = p.unionByName(s)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts, "_k")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.select(
-        *[c for c in points.columns],
-        "_k",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in state_cols],
-        F.last("asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
-    )
-    return carried.filter(F.col("_k") == 1).drop("_k")

@@ -2168,71 +2168,3 @@ def q_user_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_channel")
     )
-
-
-@register(
-    "asof_view_purchase",
-    oracle="""
-    -- ASOF join (DuckDB's native operator as the oracle): every
-    -- purchase picks the user's LATEST view at or before it —
-    -- nearest-prior-state enrichment, the kdb/Timescale primitive.
-    -- Views pre-dedupe to one per (user, ts) (max event_id) so the
-    -- match is well defined; the gap is exact integer microseconds.
-    WITH v0 AS (
-      SELECT user_id, ts, value FROM (
-        SELECT user_id, ts, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'view') t
-      WHERE rn = 1),
-    p AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
-    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
-           v.ts AS view_ts, v.value AS view_value,
-           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
-    FROM p ASOF JOIN v0 v ON p.user_id = v.user_id AND p.ts >= v.ts
-    ORDER BY p.event_id
-    """,
-    survey_ref="extended: ASOF join (nearest prior state per key, union-window plan — no join, no fan-out)",
-    tags=("bench",),
-)
-def q_asof_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each purchase enriched with the user's nearest PRIOR view (ASOF
-    semantics, inclusive) — the operator family the scd2 range join
-    approximates with intervals, done the zero-fan-out way: one tagged
-    union + one user-keyed window (operators/sessions.
-    asof_join_union_window), rows ∝ |events|, no join, no interval
-    enumeration. DuckDB's native ASOF JOIN is the oracle, so the gate
-    proves the union-window plan IS the asof operator."""
-    from ..operators.sessions import asof_join_union_window
-
-    t = tables_for(spark, sf_dir)
-    e = t["events"]
-    wv = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .select("user_id", "ts", "value", "event_id")
-        .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "ts", F.col("value").alias("view_value"))
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    joined = asof_join_union_window(
-        purchases, views, key="user_id", ts="ts", state_cols=["view_value"]
-    )
-    return (
-        joined.filter(F.col("asof_ts").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            F.col("asof_ts").alias("view_ts"),
-            "view_value",
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts")))
-            .cast("long")
-            .alias("gap_us"),
-        )
-        .orderBy("event_id")
-    )

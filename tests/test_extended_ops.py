@@ -1749,39 +1749,3 @@ def test_pca_scores_match_numpy_eigendirection(spark, sf_dir):
     r = np.corrcoef(got, want)[0, 1]
     assert abs(r) >= 0.9999, r
     assert np.allclose(out.score, np.round(out.score_int / 1e10, 6))
-
-
-def test_asof_union_window_matches_naive(spark):
-    """The union-window ASOF plan must equal the naive per-point
-    definition (max state ts <= point ts) on hand-built edge cases:
-    exact-timestamp ties (inclusive bound), points before any state
-    (left-null), interleaved keys."""
-    import datetime as dt
-
-    from data_engineer_8_final_project_spark.operators.sessions import (
-        asof_join_union_window,
-    )
-
-    t0 = dt.datetime(2024, 1, 1)
-    s = lambda m: t0 + dt.timedelta(minutes=m)
-    states = spark.createDataFrame(
-        [(1, s(0), 10.0), (1, s(10), 11.0), (2, s(5), 20.0)],
-        "k long, ts timestamp, val double",
-    )
-    points = spark.createDataFrame(
-        [
-            (100, 1, s(10)),  # tie -> inclusive: picks the ts=10 state
-            (101, 1, s(9)),   # between -> picks ts=0
-            (102, 2, s(4)),   # before any state -> null
-            (103, 2, s(60)),  # long after -> picks ts=5
-        ],
-        "pid long, k long, ts timestamp",
-    )
-    got = {
-        r.pid: (r.asof_ts, r.val)
-        for r in asof_join_union_window(points, states, "k", "ts", ["val"]).collect()
-    }
-    assert got[100] == (s(10), 11.0)
-    assert got[101] == (s(0), 10.0)
-    assert got[102] == (None, None)
-    assert got[103] == (s(5), 20.0)

@@ -72,9 +72,8 @@ MUST_BE_IN_WINDOW = {
     "embedding_covariance",
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
-    "asof_view_purchase",
-    # oldest green (r6): the scrape-pipeline flagship refresh
-    # (standings gets entry()-smoke evidence every round)
+    # oldest greens (r6): flagship + core refresh
+    "standings",
     "matches_clean",
 }
 
