@@ -522,6 +522,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:embedding_pca_scores",
         "test:tests/test_extended_ops.py::test_pca_scores_match_numpy_eigendirection",
     ],
+    "bootstrap-ci": [
+        # large-scale (Poisson) bootstrap: B=64 resamples in ONE pass —
+        # per-row md5 seed, per-replicate multiplicative mix, exact
+        # integer replicate sums, nearest-rank CI over the 64 means;
+        # CLT-width cross-check pytest (r9)
+        "query:revenue_bootstrap_ci",
+        "test:tests/test_extended_ops.py::test_bootstrap_ci_brackets_mean",
+    ],
     "curation-pipeline-capstone": [
         # the proven pieces composed end to end over one corpus —
         # quality gates → norm-fp exact dedup → jaccard-CC leakage-safe

@@ -2976,3 +2976,169 @@ def q_supplier_latency_league(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_delay_days"), F.asc("l_suppkey"))
         .limit(10)
     )
+
+
+#: Inverse Poisson(1) CDF thresholds (cumulative e^{-1}·Σ 1/k!) — the
+#: SAME double literals on both engines, so a uniform hash maps to an
+#: identical replicate weight everywhere.
+_POISSON_CDF = (
+    "0.36787944117144233",  # k = 0
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.9999167588507119",  # k = 6; else 7
+)
+_BOOT_B = 64  #: replicates; nearest-rank 2.5/97.5 percentiles = ranks 2/63
+_BOOT_M = 1073741789  #: prime modulus < 2^30 (products stay < 2^63)
+#: per-replicate odd multiplier: golden-ratio base + large odd stride —
+#: every replicate is a different well-mixed multiplicative hash of the
+#: per-row seed (small multipliers would correlate a row's weights
+#: across replicates and narrow the CI)
+_BOOT_MULT = "(2654435761 + 40503 * CAST(b AS BIGINT))"
+
+
+def _poisson_w_sql(u: str) -> str:
+    """CASE chain mapping a uniform [0,1) expression to a Poisson(1)
+    draw — shared verbatim between the Spark expr and the oracle."""
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POISSON_CDF)
+    )
+    return f"CASE {arms} ELSE 7 END"
+
+
+@register(
+    "revenue_bootstrap_ci",
+    oracle=f"""
+    -- Poisson-bootstrap CI of the mean order value (the large-scale
+    -- bootstrap: each row draws a Poisson(1) weight per replicate, so
+    -- B resamples cost ONE pass and no data movement — no B full
+    -- re-reads, no sampling coordination). One md5 seeds each ROW;
+    -- each replicate mixes it with its own large odd multiplier mod a
+    -- prime (exact integer ops, identical on both engines); replicate
+    -- sums are exact integer cents; the CI is a nearest-rank pick
+    -- over the {_BOOT_B} replicate means.
+    WITH seeded AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(concat('0x', substr(md5('boot:' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_BOOT_M} AS h0
+      FROM orders),
+    reps AS (
+      SELECT s.cents, b.b,
+             CAST((s.h0 * {_BOOT_MULT} + b) % {_BOOT_M} AS DOUBLE)
+               / CAST({_BOOT_M} AS DOUBLE) AS u
+      FROM seeded s CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
+    weighted AS (
+      SELECT b, cents, {{W}} AS w FROM reps),
+    means AS (
+      SELECT b, CAST(SUM(w * cents) AS BIGINT) AS s,
+             CAST(SUM(w) AS BIGINT) AS n_eff
+      FROM weighted GROUP BY b),
+    ranked AS (
+      SELECT ROUND(CAST(s AS DOUBLE) / n_eff / 100.0, 4) + 0.0 AS mean_b,
+             ROW_NUMBER() OVER (ORDER BY CAST(s AS DOUBLE) / n_eff, b) AS rn
+      FROM means),
+    full_mean AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) + 0.0 AS mean_value
+      FROM orders)
+    SELECT f.n_orders, f.mean_value,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           MIN(CASE WHEN r.rn = 2 THEN r.mean_b END) + 0.0 AS ci_lo,
+           MIN(CASE WHEN r.rn = {_BOOT_B - 1} THEN r.mean_b END) + 0.0 AS ci_hi
+    FROM ranked r CROSS JOIN full_mean f
+    GROUP BY f.n_orders, f.mean_value
+    """.replace("{W}", _poisson_w_sql("u")),
+    survey_ref="extended: Poisson-bootstrap CI (one-pass hash-weighted resampling)",
+    tags=("bench",),
+)
+def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value in
+    ONE pass — the large-scale (Poisson) bootstrap: instead of B
+    resampled re-reads, every row draws a deterministic Poisson(1)
+    weight per replicate, so the whole resampling plan is a bounded
+    64× fan-out (explode over the replicate index), one exact-integer
+    aggregation into 64 groups, and a nearest-rank pick of the
+    2.5/97.5 percentile replicate means. Rank ties on the raw
+    replicate mean break by replicate id; the reported means round
+    AFTER ranking.
+
+    Cost design: md5 runs ONCE PER ROW (the seed); each of the 64
+    replicates derives its uniform from the seed with one multiply+mod
+    against a large odd per-replicate multiplier (small multipliers
+    would correlate a row's weights across replicates and narrow the
+    CI; the md5-per-(row, replicate) formulation measured 17 s at
+    sf0.1 vs ~2 s for this). Fan-out partial-aggregates map-side into
+    ≤64 states per partition — the exchange carries 64 rows per input
+    partition no matter the corpus. The statistical contract is pinned
+    by tests/test_extended_ops.py::test_bootstrap_ci_brackets_mean.
+    """
+    t = tables_for(spark, sf_dir)
+    seeded = t["orders"].select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('boot:', CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            f" % {_BOOT_M}"
+        ).alias("h0"),
+        # staged: CollapseProject would otherwise inline the md5 into
+        # the post-explode projection and recompute it per REPLICATE
+        # (64 md5/row — measured 5.7 s vs 1.3 s at sf0.1); the staged
+        # frame is two integer columns per order
+    ).localCheckpoint(eager=True)
+    reps = seeded.select(
+        "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"), "h0"
+    ).select(
+        "b",
+        "cents",
+        # CAST ... AS DOUBLE on both engines: a bare `/ M.0` literal is
+        # DECIMAL in Spark SQL (38-digit division, measured 5.6 s vs
+        # 0.9 s at sf0.1) and decimal-rounded in DuckDB — the explicit
+        # double division is the identical IEEE op everywhere
+        F.expr(
+            f"CAST((h0 * {_BOOT_MULT} + b) % {_BOOT_M} AS DOUBLE)"
+            f" / CAST({_BOOT_M} AS DOUBLE)"
+        ).alias("u"),
+    )
+    weighted = reps.select("b", "cents", F.expr(_poisson_w_sql("u")).alias("w"))
+    means = weighted.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("n_eff"),
+    )
+    wr = Window.orderBy(
+        (F.col("s").cast("double") / F.col("n_eff")).asc(), F.col("b").asc()
+    )
+    # global window over exactly 64 replicate rows — metadata-sized
+    ranked = means.select(
+        (F.round(F.col("s").cast("double") / F.col("n_eff") / 100.0, 4) + 0.0).alias(
+            "mean_b"
+        ),
+        F.row_number().over(wr).alias("rn"),
+    )
+    full = t["orders"].agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.round(
+                F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+                .cast("long")
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0,
+                4,
+            )
+            + 0.0
+        ).alias("mean_value"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full))
+        .groupBy("n_orders", "mean_value")
+        .agg(
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            (F.min(F.when(F.col("rn") == 2, F.col("mean_b"))) + 0.0).alias("ci_lo"),
+            (F.min(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_b"))) + 0.0).alias(
+                "ci_hi"
+            ),
+        )
+        .select("n_orders", "mean_value", "n_replicates", "ci_lo", "ci_hi")
+    )

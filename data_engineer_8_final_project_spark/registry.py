@@ -119,12 +119,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_covariance",
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
-    # -- oldest greens (r6): flagship + core refresh (2; the rest of
-    #    the r6 cohort heads the r10 window right past the boundary,
-    #    displaced by the four new-r9 queries) --
-    "standings",
+    "revenue_bootstrap_ci",
+    # -- oldest green (r6): the scrape-pipeline flagship refresh (1;
+    #    standings is smoke-evidenced EVERY round by entry(), and the
+    #    rest of the r6 cohort heads the r10 window right past the
+    #    boundary, displaced by the five new-r9 queries) --
     "matches_clean",
     # ---- driver window boundary (50) ----
+    "standings",
     "reference_standings",
     "group_count",
     "group_sum_multi",

@@ -1749,3 +1749,30 @@ def test_pca_scores_match_numpy_eigendirection(spark, sf_dir):
     r = np.corrcoef(got, want)[0, 1]
     assert abs(r) >= 0.9999, r
     assert np.allclose(out.score, np.round(out.score_int / 1e10, 6))
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """Statistical contract of the one-pass Poisson bootstrap: the 95%
+    CI brackets the full-sample mean, and its width agrees with the
+    CLT interval (2 x 1.96 sigma/sqrt(n)) within a loose factor — a
+    broken replicate mixer (correlated weights) would collapse or
+    inflate the width far beyond this band."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.registry import all_queries, tables_for
+
+    row = all_queries()["revenue_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
+    stats = (
+        tables_for(spark, sf_dir)["orders"]
+        .agg(
+            F.stddev_pop("o_totalprice").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    clt_width = 2 * 1.96 * stats.sd / math.sqrt(stats.n)
+    width = row.ci_hi - row.ci_lo
+    assert 0.5 * clt_width <= width <= 2.0 * clt_width, (width, clt_width)

@@ -72,8 +72,9 @@ MUST_BE_IN_WINDOW = {
     "embedding_covariance",
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
-    # oldest greens (r6): flagship + core refresh
-    "standings",
+    "revenue_bootstrap_ci",
+    # oldest green (r6): the scrape-pipeline flagship refresh
+    # (standings gets entry()-smoke evidence every round)
     "matches_clean",
 }
 
