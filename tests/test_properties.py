@@ -265,3 +265,43 @@ def test_doc_chunks_cover_and_overlap_invariants(spark, token_counts):
                 rebuilt.extend(ct)
         assert covered == set(range(n)), "coverage hole"
         assert rebuilt == toks, "stride-prefix reconstruction failed"
+
+
+asof_event = st.tuples(
+    st.integers(0, 3),      # key
+    st.integers(0, 1000),   # ts offset (seconds; duplicates allowed)
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    lefts=st.lists(asof_event, min_size=1, max_size=25),
+    rights=st.lists(asof_event, min_size=0, max_size=25),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_equals_naive_reference(spark, lefts, rights):
+    """For ANY generated (key, ts) streams, the union-window ASOF join
+    must equal the naive quadratic definition: the right row with the
+    max ts <= left.ts (event-id tiebreak at duplicate timestamps) per
+    key, NULL when none exists."""
+    import datetime as dt
+
+    from data_engineer_8_final_project_spark.operators.asof import asof_backward_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [(i, k, t0 + dt.timedelta(seconds=ts)) for i, (k, ts) in enumerate(lefts)]
+    rrows = [
+        (1000 + i, k, t0 + dt.timedelta(seconds=ts))
+        for i, (k, ts) in enumerate(rights)
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    left = spark.createDataFrame(lrows, schema)
+    right = spark.createDataFrame(rrows, schema)
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_backward_join(left, right, "user_id", "ts", "event_id").collect()
+    }
+    for eid, k, ts in lrows:
+        cands = [(rts, rid) for rid, rk, rts in rrows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, got[eid], want)
