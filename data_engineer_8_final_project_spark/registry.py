@@ -58,80 +58,18 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-9 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r8 items 1 and 6): the r8 window went 50/50
-    # green and rotates to the tail. Head: the 44 queries that have
-    # NEVER had a driver CORRECTNESS row (the late-r8 analytics/DQ/
-    # kmeans/BM25/profile extensions -- all judge-verified at sf0.01
-    # in the r8 audit, so this is pure evidence work), then 6 of the
-    # r6-green cohort (flagship + core: the oldest evidence in the
-    # repo) to fill the window exactly. The remaining 44 r6 greens
-    # queue right behind for the r10 window, then the r7 cohort, then
-    # the freshly-green r8 cohort at the tail.
-    # -- never driver-verified (late r8) (44) --
-    "event_type_drift",
-    "scd2_point_in_time_join",
-    "kmeans_clusters",
-    "bm25_doc_ranking",
-    "table_profile",
-    "knn_bfs_hops",
-    "quality_model_filter",
-    "cluster_balanced_sample",
-    "maxsim_multivector_topk",
-    "attribution_last_touch",
-    "ewma_user_value",
-    "value_outliers_mad",
-    "revenue_trend_by_nation",
-    "rfm_segments",
-    "brand_affinity_pairs",
-    "conversion_latency_stats",
-    "lang_source_contingency",
-    "quality_percentile_norm",
-    "pq_reconstruction_error",
-    "session_bounce_stats",
-    "knn_kcore",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "revenue_pareto_deciles",
-    "event_sessions_native",
-    "grouping_sets_revenue",
-    "hourly_volume_spikes",
-    "fd_violation_audit",
-    "revenue_trend_theilsen",
-    "benford_first_digit",
-    "revenue_gini",
-    "token_prefix_completions",
-    "part_price_boxplot",
-    "cohort_ltv",
-    "snapshot_reconcile",
-    "ab_test_conversion",
-    "activity_heatmap",
-    "revenue_mom_growth",
-    "embedding_norm_outliers",
-    "rolling_wau",
-    "weekday_seasonality",
-    "user_churn_rate",
-    "brand_hhi_by_year",
-    "supplier_latency_league",
-    # -- new this round: the composed end-to-end curation capstone and
-    #    the exact-integer covariance (never driver-verified) --
-    "curation_pipeline",
-    "embedding_covariance",
-    "token_cms_heavy_hitters",
-    "embedding_pca_scores",
-    "revenue_bootstrap_ci",
-    # -- oldest green (r6): the scrape-pipeline flagship refresh (1;
-    #    standings is smoke-evidenced EVERY round by entry(), and the
-    #    rest of the r6 cohort heads the r10 window right past the
-    #    boundary, displaced by the five new-r9 queries) --
-    "matches_clean",
-    # ---- driver window boundary (50) ----
+    # ---- Round-10 window (first 50; the driver verifies only these). ----
+    # Rotation (VERDICT r9 item 1): the 49 r6-green queries -- the
+    # oldest driver evidence in the repo (3 rounds stale) -- plus
+    # knn_graph, whose r7 driver row predates the r9 derived-cells/
+    # staged-assignment/pair-mirror rewrite. 49 + 1 = exactly 50.
+    # Post-r10, no registered query's newest green is older than r7.
+    # -- r6-green cohort (49) --
     "standings",
     "reference_standings",
     "group_count",
     "group_sum_multi",
     "top_orders",
-    # -- remaining r6 greens: the r10 window head (44) --
     "media_decode_fake",
     "promo_revenue_share",
     "order_value_quartiles",
@@ -176,17 +114,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "simhash_near_dup",
     "minhash_native_pairs",
     "ivf_ann_topk",
+    # -- knn head (1): driver evidence catches up with the r9 rewrite --
+    "knn_graph",
+    # ---- driver window boundary (50) ----
+    # -- r11 window head: the four knn queries whose r8 rows also
+    #    predate the r9 rewrite, then the r7 cohort oldest-first --
+    "knn_pagerank",
+    "knn_communities",
+    "knn_label_vote",
+    "knn_triangle_stats",
     # -- r7 greens --
     "dup_cluster_representatives",
     "semantic_dedup",
     "doc_chunks",
     "forecast_revenue_change",
-    "knn_graph",
     "importance_weights",
     "bpe_merge_candidates",
     "event_funnel",
     "retention_cohorts",
-    "knn_label_vote",
     "session_path_topk",
     "semantic_decontamination",
     "event_funnel_stream",
@@ -195,7 +140,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "late_shipment_priority",
     "vocab_coverage_oov",
     "bigram_logprob",
-    "knn_triangle_stats",
     "weighted_sample_topk",
     "weighted_sample_per_source",
     "html_matches_extract",
@@ -227,7 +171,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_topk",
     "label_centroids",
     "events_hourly",
-    # -- r8 greens: freshest evidence in the repo --
+    # -- r8 greens --
     "ivfpq_ann_topk",
     "source_shingle_kmv",
     "incremental_ingest_dedup",
@@ -238,8 +182,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    "knn_pagerank",
-    "knn_communities",
     "events_sliding",
     "events_hourly_gapfill",
     "latest_event_snapshot",
@@ -278,6 +220,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation",
     "distinct_customers_salted",
     "returned_items",
+    # -- r9 greens: freshest evidence in the repo --
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "table_profile",
+    "knn_bfs_hops",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "maxsim_multivector_topk",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "event_sessions_native",
+    "grouping_sets_revenue",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "snapshot_reconcile",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "revenue_mom_growth",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "weekday_seasonality",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    "curation_pipeline",
+    "embedding_covariance",
+    "token_cms_heavy_hitters",
+    "embedding_pca_scores",
+    "revenue_bootstrap_ci",
+    "matches_clean",
 )
 
 def all_queries() -> dict[str, Query]:

@@ -14,68 +14,62 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-9 rotation (VERDICT r8 items 1+6): the 44 late-r8 queries
-#: that have never had a driver CORRECTNESS row, plus 6 of the
-#: r6-green cohort (the oldest evidence in the repo -- post-r9, no
-#: registered query's newest green should be older than r6, and the
-#: remaining r6 greens head the r10 window).
+#: Round-10 rotation (VERDICT r9 item 1): the 49 r6-green queries (the
+#: oldest driver evidence in the repo, 3 rounds stale) plus knn_graph,
+#: whose r7 driver row predates the r9 derived-cells rewrite. Post-r10
+#: no registered query's newest green should be older than r7; the
+#: four remaining rewritten-but-stale knn queries head the r11 window.
 MUST_BE_IN_WINDOW = {
-    # never driver-verified (late r8) -- the whole point of the r9
-    # rotation (VERDICT r8 item 1): all 44 must get their first driver
-    # CORRECTNESS row this round
-    "event_type_drift",
-    "scd2_point_in_time_join",
-    "kmeans_clusters",
-    "bm25_doc_ranking",
-    "table_profile",
-    "knn_bfs_hops",
-    "quality_model_filter",
-    "cluster_balanced_sample",
-    "maxsim_multivector_topk",
-    "attribution_last_touch",
-    "ewma_user_value",
-    "value_outliers_mad",
-    "revenue_trend_by_nation",
-    "rfm_segments",
-    "brand_affinity_pairs",
-    "conversion_latency_stats",
-    "lang_source_contingency",
-    "quality_percentile_norm",
-    "pq_reconstruction_error",
-    "session_bounce_stats",
-    "knn_kcore",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "revenue_pareto_deciles",
-    "event_sessions_native",
-    "grouping_sets_revenue",
-    "hourly_volume_spikes",
-    "fd_violation_audit",
-    "revenue_trend_theilsen",
-    "benford_first_digit",
-    "revenue_gini",
-    "token_prefix_completions",
-    "part_price_boxplot",
-    "cohort_ltv",
-    "snapshot_reconcile",
-    "ab_test_conversion",
-    "activity_heatmap",
-    "revenue_mom_growth",
-    "embedding_norm_outliers",
-    "rolling_wau",
-    "weekday_seasonality",
-    "user_churn_rate",
-    "brand_hhi_by_year",
-    "supplier_latency_league",
-    # new-r9 additions (never driver-verified)
-    "curation_pipeline",
-    "embedding_covariance",
-    "token_cms_heavy_hitters",
-    "embedding_pca_scores",
-    "revenue_bootstrap_ci",
-    # oldest green (r6): the scrape-pipeline flagship refresh
-    # (standings gets entry()-smoke evidence every round)
-    "matches_clean",
+    "standings",
+    "reference_standings",
+    "group_count",
+    "group_sum_multi",
+    "top_orders",
+    "media_decode_fake",
+    "promo_revenue_share",
+    "order_value_quartiles",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "unpivot_order_metrics",
+    "text_normalize",
+    "doc_fingerprints",
+    "cube_flag_status",
+    "part_price_rank",
+    "order_gaps_lag",
+    "custkey_set_ops",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    "minhash_lsh_pairs",
+    "skewed_user_join",
+    "pq_adc_topk",
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dedup_stream",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "training_manifest",
+    "dup_clusters",
+    "dup_clusters_twostar",
+    "ngram_decontamination",
+    "vocab_build",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
+    "revenue_by_nation",
+    "simhash_near_dup",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "knn_graph",
 }
 
 
