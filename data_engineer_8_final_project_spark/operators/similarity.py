@@ -1278,8 +1278,15 @@ def semantic_dedup_verdicts(
     emb = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # bounded collect: n_cells centroid rows are model parameters, not data
     _, structs_sql = seeded_medoid_cells(emb, n_cells)
-    assigned = _spread_if_undersplit(emb).withColumn(
-        "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
+    # Staged once (the _cell_self_join contract): the frame feeds THREE
+    # consumers — both self-join sides and the verdict join — so the
+    # n_cells·dim quantizer expression evaluates once, not three times.
+    # localCheckpoint locally; at cluster scale write the assigned
+    # table to parquet and join that.
+    assigned = (
+        _spread_if_undersplit(emb)
+        .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+        .localCheckpoint(eager=True)
     )
     dropped = (
         _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"])

@@ -36,11 +36,32 @@ def newest_bench_medians() -> dict[str, float]:
     them inline under 'parsed'.
     """
     spread_path = os.path.join(ROOT, "bench_spread.json")
+    # r9 ADVICE: an ad-hoc bench run at a different SF leaves a
+    # bench_spread.json whose medians would silently skew the
+    # slowest-five pick — trust it only when its recorded 'sf' matches
+    # the bench default scale, else fall back to the round-archived
+    # BENCH_r*.json.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        expected_sf = float(base[2:]) if base.startswith("sf") else base
+    except ValueError:
+        expected_sf = base
     if os.path.exists(spread_path):
         try:
             rec = json.load(open(spread_path))
-            if isinstance(rec.get("medians"), dict) and rec["medians"]:
+            if (
+                isinstance(rec.get("medians"), dict)
+                and rec["medians"]
+                and rec.get("sf") == expected_sf
+            ):
                 return rec["medians"]
+            if rec.get("sf") != expected_sf:
+                print(
+                    f"bench_spread.json sf={rec.get('sf')!r} != expected "
+                    f"{expected_sf!r}; falling back to BENCH_r*.json",
+                    file=sys.stderr,
+                )
         except ValueError:
             pass
     paths = sorted(
