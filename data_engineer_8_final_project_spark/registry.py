@@ -58,92 +58,31 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-10 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r9 item 1): the 49 r6-green queries -- the
-    # oldest driver evidence in the repo (3 rounds stale) -- plus
-    # knn_graph, whose r7 driver row predates the r9 derived-cells/
-    # staged-assignment/pair-mirror rewrite. 49 + 1 = exactly 50.
-    # Post-r10, no registered query's newest green is older than r7.
-    # -- r6-green cohort (49) --
-    "standings",
-    "reference_standings",
-    "group_count",
-    "group_sum_multi",
-    "top_orders",
-    "media_decode_fake",
-    "promo_revenue_share",
-    "order_value_quartiles",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "unpivot_order_metrics",
-    "text_normalize",
-    "doc_fingerprints",
-    "cube_flag_status",
-    "part_price_rank",
-    "order_gaps_lag",
-    "custkey_set_ops",
-    "orders_by_month",
-    "day_name_dimension",
-    "season_year_inference",
-    "completed_before_cutoff",
-    "minhash_lsh_pairs",
-    "skewed_user_join",
-    "pq_adc_topk",
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    "training_manifest",
-    "dup_clusters",
-    "dup_clusters_twostar",
-    "ngram_decontamination",
-    "vocab_build",
-    "tfidf_topk_terms",
-    "lang_mixture_weights",
-    "revenue_by_nation",
-    "simhash_near_dup",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    # -- knn head (1): driver evidence catches up with the r9 rewrite --
-    "knn_graph",
-    # ---- driver window boundary (50) ----
-    # -- r11 window head: the four knn queries whose r8 rows also
-    #    predate the r9 rewrite, then the r7 cohort oldest-first --
-    "knn_pagerank",
-    "knn_communities",
-    "knn_label_vote",
-    "knn_triangle_stats",
-    # -- r7 greens --
-    "dup_cluster_representatives",
+    # ---- Round-11 window (first 50; the driver verifies only these). ----
+    # Rotation (VERDICT r10 item 1): the 49 r7-green queries -- the
+    # oldest driver evidence in the repo (4 rounds stale) -- plus one
+    # oldest-r8 fill (knn_communities, whose r8 row predates the r9
+    # derived-cells/staged-assignment knn rewrite). Head of the window
+    # = the queries whose CODE changed after their newest driver row
+    # (semantic_dedup staged r10; the knn family rewritten r9), per
+    # VERDICT r10 item 5. Post-r11, no registered query's newest green
+    # is older than r8.
+    # -- code-changed-after-evidence head (5) --
     "semantic_dedup",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "session_path_topk",
     "semantic_decontamination",
-    "event_funnel_stream",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
+    "knn_triangle_stats",
+    "knn_label_vote",
+    "knn_communities",
+    # -- rest of the r7-green cohort (44) --
+    "jaccard_near_dup",
+    "full_outer_coalesce",
+    "dedup_exact",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
     "html_matches_extract",
-    "events_by_segment_stream",
+    "scalar_cleaning_suite",
+    "lsh_near_dup_pairs",
     "events_json_extract",
     "large_volume_customers",
     "small_qty_part_revenue",
@@ -151,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "priority_order_counts",
     "customer_order_distribution",
     "idle_rich_customers",
+    "events_by_segment_stream",
     "nation_pair_volume",
     "top_revenue_supplier",
     "part_supplier_counts",
@@ -159,19 +99,68 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "product_profit_by_nation_year",
     "disjunctive_pred_revenue",
     "excess_shipped_suppliers",
-    "jaccard_near_dup",
+    "events_hourly",
     "dup_span_stats",
     "order_chains_recursive",
     "events_props_variant",
-    "dedup_exact",
-    "lsh_near_dup_pairs",
-    "ann_lsh_topk",
-    "full_outer_coalesce",
-    "scalar_cleaning_suite",
-    "embedding_topk",
-    "label_centroids",
-    "events_hourly",
-    # -- r8 greens --
+    "dup_cluster_representatives",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "session_path_topk",
+    "event_funnel_stream",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
+    # ---- driver window boundary (50) ----
+    # -- r8 greens (oldest remaining evidence; head of the r12 window,
+    #    knn_pagerank first: its r8 row also predates the r9 rewrite) --
+    "knn_pagerank",
+    "pricing_summary",
+    "customers_without_orders",
+    "high_value_customers_semi",
+    "top_customers_per_nation",
+    "rollup_region_nation",
+    "shipping_priority",
+    "returned_items",
+    "distinct_customers_salted",
+    "text_stats_by_lang",
+    "doc_quality_scores",
+    "token_topk",
+    "lang_id_heuristic",
+    "embedding_near_dup_pairs",
+    "bpe_token_topk",
+    "doc_winnow_fingerprints",
+    "corpus_clean_pipeline",
+    "media_manifest",
+    "media_features",
+    "media_frame_sample",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "user_totals_stateful",
+    "standings_stream",
+    "event_sessions",
+    "events_session_stream",
+    "view_click_stream_join",
+    "clicks_last_error",
+    "purchases_in_sessions",
+    "events_time_rollup",
+    "doc_repetition_scores",
+    "stratified_sample",
+    "events_sliding",
+    "events_hourly_gapfill",
+    "latest_event_snapshot",
+    "events_trailing_hour_window",
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
     "ivfpq_ann_topk",
     "source_shingle_kmv",
     "incremental_ingest_dedup",
@@ -182,45 +171,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    "events_sliding",
-    "events_hourly_gapfill",
-    "latest_event_snapshot",
-    "events_trailing_hour_window",
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "events_session_stream",
-    "events_time_rollup",
-    "event_sessions",
-    "purchases_in_sessions",
-    "clicks_last_error",
-    "user_totals_stateful",
-    "view_click_stream_join",
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "standings_stream",
-    "embedding_near_dup_pairs",
-    "text_stats_by_lang",
-    "doc_quality_scores",
-    "token_topk",
-    "bpe_token_topk",
-    "lang_id_heuristic",
-    "doc_winnow_fingerprints",
-    "corpus_clean_pipeline",
-    "doc_repetition_scores",
-    "stratified_sample",
-    "media_manifest",
-    "media_features",
-    "media_frame_sample",
-    "pricing_summary",
-    "shipping_priority",
-    "customers_without_orders",
-    "high_value_customers_semi",
-    "top_customers_per_nation",
-    "rollup_region_nation",
-    "distinct_customers_salted",
-    "returned_items",
-    # -- r9 greens: freshest evidence in the repo --
+    # -- r9 greens --
+    "matches_clean",
     "event_type_drift",
     "scd2_point_in_time_join",
     "kmeans_clusters",
@@ -270,7 +222,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
     "revenue_bootstrap_ci",
-    "matches_clean",
+    # -- r10 greens: freshest evidence in the repo --
+    "group_count",
+    "group_sum_multi",
+    "revenue_by_nation",
+    "top_orders",
+    "order_gaps_lag",
+    "part_price_rank",
+    "custkey_set_ops",
+    "cube_flag_status",
+    "promo_revenue_share",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "order_value_quartiles",
+    "doc_fingerprints",
+    "simhash_near_dup",
+    "text_normalize",
+    "unpivot_order_metrics",
+    "standings",
+    "media_decode_fake",
+    "reference_standings",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "dup_clusters",
+    "training_manifest",
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dedup_stream",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "dup_clusters_twostar",
+    "ngram_decontamination",
+    "vocab_build",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
+    "minhash_lsh_pairs",
+    "skewed_user_join",
+    "pq_adc_topk",
+    "knn_graph",
 )
 
 def all_queries() -> dict[str, Query]:

@@ -14,62 +14,63 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-10 rotation (VERDICT r9 item 1): the 49 r6-green queries (the
-#: oldest driver evidence in the repo, 3 rounds stale) plus knn_graph,
-#: whose r7 driver row predates the r9 derived-cells rewrite. Post-r10
-#: no registered query's newest green should be older than r7; the
-#: four remaining rewritten-but-stale knn queries head the r11 window.
+#: Round-11 rotation (VERDICT r10 item 1): the 49 r7-green queries (the
+#: oldest driver evidence in the repo, 4 rounds stale) plus one
+#: oldest-r8 fill (knn_communities, whose r8 row predates the r9
+#: derived-cells knn rewrite). Head = queries whose code changed after
+#: their newest driver row (semantic_dedup staged r10, knn family
+#: rewritten r9). Post-r11 no query's newest green is older than r8.
 MUST_BE_IN_WINDOW = {
-    "standings",
-    "reference_standings",
-    "group_count",
-    "group_sum_multi",
-    "top_orders",
-    "media_decode_fake",
-    "promo_revenue_share",
-    "order_value_quartiles",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "unpivot_order_metrics",
-    "text_normalize",
-    "doc_fingerprints",
-    "cube_flag_status",
-    "part_price_rank",
-    "order_gaps_lag",
-    "custkey_set_ops",
-    "orders_by_month",
-    "day_name_dimension",
-    "season_year_inference",
-    "completed_before_cutoff",
-    "minhash_lsh_pairs",
-    "skewed_user_join",
-    "pq_adc_topk",
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    "training_manifest",
-    "dup_clusters",
-    "dup_clusters_twostar",
-    "ngram_decontamination",
-    "vocab_build",
-    "tfidf_topk_terms",
-    "lang_mixture_weights",
-    "revenue_by_nation",
-    "simhash_near_dup",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    "knn_graph",
+    "semantic_dedup",
+    "semantic_decontamination",
+    "knn_triangle_stats",
+    "knn_label_vote",
+    "knn_communities",
+    "jaccard_near_dup",
+    "full_outer_coalesce",
+    "dedup_exact",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "html_matches_extract",
+    "scalar_cleaning_suite",
+    "lsh_near_dup_pairs",
+    "events_json_extract",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "events_by_segment_stream",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "events_hourly",
+    "dup_span_stats",
+    "order_chains_recursive",
+    "events_props_variant",
+    "dup_cluster_representatives",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "session_path_topk",
+    "event_funnel_stream",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
 }
 
 
