@@ -51,15 +51,24 @@ PROBE_ROWS = 8_000_000_000
 PROBE_REFERENCE_SEC = 1.75
 
 
-def _host_probe(spark) -> float:
-    """Median wall time of the pinned calibration plan over 3 runs."""
+def _host_probe(spark) -> tuple[float, int]:
+    """Median wall time of the pinned calibration plan over 3 runs.
+
+    Probe partitions = ``sc.defaultParallelism`` so every core gets
+    work on any host shape (r10 ADVICE: a pinned 32 conflated core
+    count with per-core speed). Returns ``(median_sec, parallelism)``;
+    the factor is only comparable across rounds at MATCHING
+    parallelism, which is why the parallelism is recorded alongside
+    (PROBE_REFERENCE_SEC was measured at 32).
+    """
     import pyspark.sql.functions as F
 
+    par = spark.sparkContext.defaultParallelism
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         (
-            spark.range(0, PROBE_ROWS, 1, 32)
+            spark.range(0, PROBE_ROWS, 1, par)
             # % keeps the ANSI-mode sum far from long overflow
             .select(F.sum(F.xxhash64("id") % 1024).alias("h"))
             .write.format("noop")
@@ -67,7 +76,7 @@ def _host_probe(spark) -> float:
             .save()
         )
         ts.append(time.perf_counter() - t0)
-    return statistics.median(ts)
+    return statistics.median(ts), par
 
 
 def _sf_label(sf_dir: str) -> float | str:
@@ -93,7 +102,7 @@ def main() -> None:
     # Calibration probe (excluded from the headline total): pins the
     # host's current throughput so a uniform cross-round drift is
     # measured, not argued (see PROBE_REFERENCE_SEC note).
-    probe_sec = _host_probe(spark)
+    probe_sec, probe_parallelism = _host_probe(spark)
     host_factor = round(probe_sec / PROBE_REFERENCE_SEC, 3)
 
     # Timed region covers plan construction AND execution (streaming
@@ -119,6 +128,22 @@ def main() -> None:
             queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(time.perf_counter() - t0)
         passes_done += 1
+
+    # Micro-query noise taming (VERDICT r10 item 6): sub-2 s queries
+    # showed +-0.4 s spreads in the 77-query interleaved run — wide
+    # enough to fake a regression (the r10 ANN false positives). Give
+    # every query whose provisional median is under 2 s two extra
+    # interleaved passes over just that light subset: 5 reps instead
+    # of 3, separated by only light work, tightens the median and the
+    # recorded band at a cost of a few seconds total.
+    micro = [n for n, ts in reps.items() if ts and statistics.median(ts) < 2.0]
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_PASSES", "2"))):
+        if time.perf_counter() - bench_t0 > budget or passes_done < n_passes:
+            break
+        for name in sorted(micro):
+            t0 = time.perf_counter()
+            queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps[name].append(time.perf_counter() - t0)
 
     # statistics.median interpolates even-count reps (a budget-truncated
     # 2-pass run would otherwise report the UPPER of the two timings,
@@ -147,6 +172,7 @@ def main() -> None:
                 "passes": passes_done,
                 "sf": _sf_label(SF_DIR),
                 "probe_sec": round(probe_sec, 4),
+                "probe_parallelism": probe_parallelism,
                 "host_factor": host_factor,
             },
             f,
@@ -162,6 +188,7 @@ def main() -> None:
         "passes": passes_done,
         "sf": _sf_label(SF_DIR),
         "host_factor": host_factor,
+        "probe_parallelism": probe_parallelism,
         "queries": timings,
     }
     if len(json.dumps(line)) > 1500:  # stay far clear of the 2000-char tail buffer

@@ -1,0 +1,135 @@
+"""Isolated fresh-process timing adjudication for registry queries.
+
+VERDICT r10 item 2: three ANN micro-queries (``ivf2_ann_topk``,
+``pq_reconstruction_error``, ``ivfpq_ann_topk``) drifted 1.25-1.40x
+above their r9 medians in the r10 interleaved bench with ZERO code
+changes; their r10 minima sat at the r9 medians — the signature of
+shared-JVM contention on sub-2 s queries, not a plan change. The
+repo's adjudication standard (the r7 ``jaccard_near_dup`` protocol,
+SURVEY §6) requires isolated fresh-process evidence before calling
+either "regression" or "noise".
+
+Protocol: for each query, spawn N fresh python processes (new JVM, no
+other query's GC/codegen debris); each process builds the bench
+session shape (local[$SPARK_GRAFT_CPUS], bench warmup query first),
+runs the host-speed calibration probe (same pinned plan as bench.py),
+then times the target query R reps. The verdict per query = median of
+all N*R reps, host-normalized by that process's own probe factor, and
+compared against the r9/r10 bench medians.
+
+Usage::
+
+    python scripts/isolated_query_ab.py ivf2_ann_topk pq_reconstruction_error \
+        [--procs 3] [--reps 2] [--sf /root/testdata/sf0.1]
+
+Child mode (internal): ``--child <name>`` prints one JSON line with
+the process's probe_sec and rep timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_child(name: str, sf_dir: str, reps: int) -> None:
+    from bench import PROBE_REFERENCE_SEC, _host_probe
+    from data_engineer_8_final_project_spark.registry import all_queries
+    from data_engineer_8_final_project_spark.session import get_spark
+
+    spark = get_spark(app_name=f"iso-ab-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    # Same warmup as bench.py: absorb JVM/codegen startup on a query
+    # that is NOT the one under test.
+    queries["standings"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    probe_sec, _ = _host_probe(spark)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts.append(round(time.perf_counter() - t0, 4))
+    print(
+        "ISO_AB "
+        + json.dumps(
+            {
+                "query": name,
+                "probe_sec": round(probe_sec, 4),
+                "host_factor": round(probe_sec / PROBE_REFERENCE_SEC, 4),
+                "reps": ts,
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--child", default=None)
+    ap.add_argument("--procs", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args.child, args.sf, args.reps)
+        return
+
+    if not args.names:
+        ap.error("give at least one registry query name")
+
+    results: dict[str, dict] = {}
+    for name in args.names:
+        raw: list[float] = []
+        norm: list[float] = []
+        factors: list[float] = []
+        for p in range(args.procs):
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--child",
+                    name,
+                    "--sf",
+                    args.sf,
+                    "--reps",
+                    str(args.reps),
+                ],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=900,
+            )
+            line = next(
+                (ln for ln in out.stdout.splitlines() if ln.startswith("ISO_AB ")), None
+            )
+            if line is None:
+                print(f"{name} proc {p}: CHILD FAILED\n{out.stdout[-800:]}\n{out.stderr[-800:]}")
+                continue
+            rec = json.loads(line[len("ISO_AB ") :])
+            raw.extend(rec["reps"])
+            factors.append(rec["host_factor"])
+            norm.extend(t / rec["host_factor"] for t in rec["reps"])
+            print(f"{name} proc {p}: reps={rec['reps']} host_factor={rec['host_factor']}")
+        if raw:
+            results[name] = {
+                "median_raw_s": round(statistics.median(raw), 4),
+                "median_norm_s": round(statistics.median(norm), 4),
+                "spread_raw": [round(min(raw), 4), round(max(raw), 4)],
+                "host_factors": factors,
+                "n": len(raw),
+            }
+    print(json.dumps({"sf": args.sf, "results": results}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

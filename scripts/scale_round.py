@@ -3,11 +3,21 @@
 Round-6 verdict item 6: the flat sf0.1 bench cannot see a hidden
 O(n^2) term (the PQ-encode 10.1x defect was only visible at 8x/64x),
 so every round runs the 1x/8x/64x curve over the FIVE slowest bench
-queries (from the newest BENCH_r*.json medians) plus any names passed
+queries (from the newest bench spread's medians) plus any names passed
 explicitly, and commits the table.
 
+Round-10 verdict item 3 made the host-speed probe load-bearing here:
+per-query medians are divided by their round's ``host_factor`` (the
+pinned-plan calibration probe in bench.py) before the slowest-five
+pick and before any cross-round regression comparison, so a uniformly
+slow sandbox round can no longer masquerade as a per-query regression.
+The cross-round comparison reads the previous round's archived
+``bench_spread_r{N}.json`` (this script archives the current one),
+fixing the r10 ADVICE gap where the BENCH_r*.json fallback went stale
+once the driver line stopped inlining per-query medians.
+
 Usage:
-    python scripts/scale_round.py --round 7 [--extra q1 q2] \
+    python scripts/scale_round.py --round 11 [--extra q1 q2] \
         [--factors 1 8 64] [--reps 2]
 
 Writes SCALE_r{N}.md at the repo root and prints the table.
@@ -20,72 +30,112 @@ import glob
 import json
 import os
 import re
-import statistics
+import shutil
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+#: The scale the per-round driver bench runs at. The spread-file trust
+#: guard compares against THIS constant, not the caller's env (r10
+#: ADVICE: deriving the expectation from $SPARK_GRAFT_SF_DIR both
+#: rejected a valid default-scale spread when the caller exported a
+#: non-default SF and accepted an ad-hoc non-default one).
+BENCH_DEFAULT_SF = 0.1
 
-def newest_bench_medians() -> dict[str, float]:
-    """Per-query medians: bench_spread.json first, BENCH_r*.json fallback.
 
-    Since round 9 the bench line printed for the driver is bounded
-    (no per-query map — it overflowed the driver's tail buffer twice)
-    and the medians live in bench_spread.json; older rounds carried
-    them inline under 'parsed'.
-    """
-    spread_path = os.path.join(ROOT, "bench_spread.json")
-    # r9 ADVICE: an ad-hoc bench run at a different SF leaves a
-    # bench_spread.json whose medians would silently skew the
-    # slowest-five pick — trust it only when its recorded 'sf' matches
-    # the bench default scale, else fall back to the round-archived
-    # BENCH_r*.json.
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    base = os.path.basename(sf_dir.rstrip("/"))
+def load_spread(path: str) -> dict | None:
+    """Parse one bench spread record; None when unusable or off-scale."""
     try:
-        expected_sf = float(base[2:]) if base.startswith("sf") else base
-    except ValueError:
-        expected_sf = base
-    if os.path.exists(spread_path):
-        try:
-            rec = json.load(open(spread_path))
-            if (
-                isinstance(rec.get("medians"), dict)
-                and rec["medians"]
-                and rec.get("sf") == expected_sf
-            ):
-                return rec["medians"]
-            if rec.get("sf") != expected_sf:
-                print(
-                    f"bench_spread.json sf={rec.get('sf')!r} != expected "
-                    f"{expected_sf!r}; falling back to BENCH_r*.json",
-                    file=sys.stderr,
-                )
-        except ValueError:
-            pass
-    paths = sorted(
-        glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
-        reverse=True,
-    )
-    for p in paths:
-        try:
-            rec = json.load(open(p))
-        except ValueError:
+        rec = json.load(open(path))
+    except (ValueError, OSError):
+        return None
+    if not isinstance(rec, dict) or not isinstance(rec.get("medians"), dict):
+        return None
+    if not rec["medians"] or rec.get("sf") != BENCH_DEFAULT_SF:
+        return None
+    return rec
+
+
+def normalized_medians(rec: dict) -> dict[str, float]:
+    """Per-query medians divided by the round's host_factor.
+
+    host_factor = probe_sec / PROBE_REFERENCE_SEC (bench.py); missing
+    (pre-r10 records) means "assume reference speed" — factor 1.0.
+    """
+    factor = rec.get("host_factor") or 1.0
+    return {name: sec / factor for name, sec in rec["medians"].items()}
+
+
+def pick_slowest(medians: dict[str, float], n: int = 5) -> list[str]:
+    return [name for name, _ in sorted(medians.items(), key=lambda kv: -kv[1])[:n]]
+
+
+def find_regressions(
+    cur: dict, prev: dict, threshold: float = 1.25
+) -> list[dict]:
+    """Host-normalized cross-round regression candidates.
+
+    A query regresses when its current normalized median exceeds
+    ``threshold`` x its previous normalized median AND its current raw
+    median sits above the previous round's recorded [min, max] spread
+    (a delta inside the old noise band is jitter, not a regression —
+    the r10 ANN false-positive lesson).
+    """
+    cur_norm, prev_norm = normalized_medians(cur), normalized_medians(prev)
+    prev_spread = prev.get("spread", {})
+    out = []
+    for name, cur_n in cur_norm.items():
+        prev_n = prev_norm.get(name)
+        if prev_n is None or prev_n <= 0:
             continue
-        parsed = rec.get("parsed") if isinstance(rec, dict) else None
-        if parsed and isinstance(parsed.get("queries"), dict):
-            return parsed["queries"]
-        # driver tail capture: try to recover a queries map from 'tail'
-        tail = rec.get("tail", "") if isinstance(rec, dict) else ""
-        m = re.search(r'"queries": (\{[^}]*\})', tail)
-        if m:
-            try:
-                return json.loads(m.group(1))
-            except ValueError:
-                pass
-    return {}
+        ratio = cur_n / prev_n
+        if ratio < threshold:
+            continue
+        band_hi = prev_spread.get(name, [None, None])[1]
+        if band_hi is not None and cur["medians"][name] <= band_hi:
+            continue
+        out.append(
+            {
+                "query": name,
+                "prev_norm_s": round(prev_n, 4),
+                "cur_norm_s": round(cur_n, 4),
+                "ratio": round(ratio, 3),
+            }
+        )
+    return sorted(out, key=lambda r: -r["ratio"])
+
+
+def newest_spread_record() -> dict | None:
+    """Current bench_spread.json, else the newest archived round copy."""
+    rec = load_spread(os.path.join(ROOT, "bench_spread.json"))
+    if rec is not None:
+        return rec
+    for path in sorted(
+        glob.glob(os.path.join(ROOT, "bench_spread_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    ):
+        rec = load_spread(path)
+        if rec is not None:
+            return rec
+    return None
+
+
+def previous_spread_record(before_round: int) -> dict | None:
+    """Newest archived spread from a round strictly before ``before_round``."""
+    for path in sorted(
+        glob.glob(os.path.join(ROOT, "bench_spread_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    ):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        if rnd >= before_round:
+            continue
+        rec = load_spread(path)
+        if rec is not None:
+            return rec
+    return None
 
 
 def main() -> None:
@@ -97,11 +147,23 @@ def main() -> None:
     ap.add_argument("--keep", default=None)
     args = ap.parse_args()
 
-    medians = newest_bench_medians()
-    slowest = [n for n, _ in sorted(medians.items(), key=lambda kv: -kv[1])[:5]]
+    cur = newest_spread_record()
+    if cur is None and not args.extra:
+        sys.exit("no usable bench spread found and no --extra queries given")
+
+    # Archive this round's spread so future rounds can host-normalize
+    # against it even after bench_spread.json is overwritten.
+    live = os.path.join(ROOT, "bench_spread.json")
+    archive = os.path.join(ROOT, f"bench_spread_r{args.round}.json")
+    if load_spread(live) is not None and not os.path.exists(archive):
+        shutil.copyfile(live, archive)
+
+    norm = normalized_medians(cur) if cur else {}
+    slowest = pick_slowest(norm)
     queries = list(dict.fromkeys(slowest + args.extra))
-    if not queries:
-        sys.exit("no bench medians found and no --extra queries given")
+
+    prev = previous_spread_record(args.round) if cur else None
+    regressions = find_regressions(cur, prev) if cur and prev else []
 
     cmd = [
         sys.executable,
@@ -126,10 +188,12 @@ def main() -> None:
         rec = json.loads(m.group(0))
         rows.setdefault(rec["query"], {})[rec["factor"]] = rec["median_s"]
 
+    hf = (cur or {}).get("host_factor", 1.0)
     lines = [
         f"# SCALE_r{args.round} — 1x/8x/64x deep-scaling curve",
         "",
-        f"Queries = five slowest by BENCH median (+ extras: {args.extra or 'none'}).",
+        f"Queries = five slowest by HOST-NORMALIZED bench median "
+        f"(host_factor {hf}; + extras: {args.extra or 'none'}).",
         f"Replicated tables get disjoint id spaces; reps = {args.reps}, medians in seconds.",
         "",
         "| query | " + " | ".join(f"{f}x s (rel)" for f in args.factors) + " |",
@@ -141,6 +205,24 @@ def main() -> None:
         base = rows[q][args.factors[0]]
         cells = [f"{rows[q][f]:.2f} ({rows[q][f] / base:.2f}x)" for f in args.factors]
         lines.append("| " + " | ".join([q, *cells]) + " |")
+    lines += ["", "## Host-normalized cross-round regression check", ""]
+    if prev is None:
+        lines.append("No archived prior-round spread to compare against.")
+    elif not regressions:
+        lines.append(
+            f"No query's normalized median is >=1.25x its prior-round value "
+            f"outside the prior noise band (prev host_factor "
+            f"{prev.get('host_factor', 1.0)})."
+        )
+    else:
+        lines += [
+            "| query | prev norm s | cur norm s | ratio |",
+            "|---|---|---|---|",
+            *[
+                f"| {r['query']} | {r['prev_norm_s']} | {r['cur_norm_s']} | {r['ratio']} |"
+                for r in regressions
+            ],
+        ]
     text = "\n".join(lines) + "\n"
     dest = os.path.join(ROOT, f"SCALE_r{args.round}.md")
     open(dest, "w").write(text)

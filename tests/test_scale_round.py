@@ -1,0 +1,84 @@
+"""scale_round's host-factor normalization is load-bearing (VERDICT r10 item 3).
+
+Pure-python tests over synthetic spread records: no Spark session.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "scale_round",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts", "scale_round.py"),
+)
+scale_round = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(scale_round)
+
+
+def _rec(medians, host_factor=1.0, spread=None, sf=0.1):
+    return {
+        "medians": medians,
+        "spread": spread or {n: [v, v] for n, v in medians.items()},
+        "host_factor": host_factor,
+        "sf": sf,
+    }
+
+
+def test_normalized_medians_divides_by_host_factor():
+    rec = _rec({"a": 2.0, "b": 4.0}, host_factor=2.0)
+    assert scale_round.normalized_medians(rec) == {"a": 1.0, "b": 2.0}
+
+
+def test_normalized_medians_defaults_factor_to_one():
+    rec = {"medians": {"a": 3.0}, "sf": 0.1}
+    assert scale_round.normalized_medians(rec) == {"a": 3.0}
+
+
+def test_slowest_pick_uses_normalized_numbers():
+    # Raw medians rank b first, but b's round ran on a 2x-slow host:
+    # normalized, a is the slowest. The pick must read normalized.
+    rec = _rec({"a": 3.0, "b": 4.0}, host_factor=1.0)
+    slow_host = scale_round.normalized_medians(_rec({"a": 3.0, "b": 4.0}, host_factor=2.0))
+    assert scale_round.pick_slowest(slow_host, n=1) == ["b"]  # order preserved in-round
+    mixed = {"a": 3.0, "b": 4.0 / 2.0}  # b normalized from a 2x-slow round
+    assert scale_round.pick_slowest(mixed, n=1) == ["a"]
+    assert scale_round.pick_slowest(scale_round.normalized_medians(rec), n=1) == ["b"]
+
+
+def test_find_regressions_host_normalizes_before_judging():
+    # Raw delta is 1.4x, but the current round's host is 1.4x slower:
+    # normalized, nothing moved -> no regression.
+    prev = _rec({"q": 1.0}, host_factor=1.0)
+    cur = _rec({"q": 1.4}, host_factor=1.4)
+    assert scale_round.find_regressions(cur, prev) == []
+
+
+def test_find_regressions_flags_true_normalized_move():
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.9, 1.1]})
+    cur = _rec({"q": 1.5}, host_factor=1.0)
+    regs = scale_round.find_regressions(cur, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    assert regs[0]["ratio"] == 1.5
+
+
+def test_find_regressions_respects_prior_noise_band():
+    # 1.3x normalized move whose raw median is still inside the prior
+    # [min, max] spread: the r10 ANN lesson — jitter, not regression.
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.8, 1.8]})
+    cur = _rec({"q": 1.3}, host_factor=1.0)
+    assert scale_round.find_regressions(cur, prev) == []
+
+
+def test_load_spread_rejects_off_scale_records(tmp_path):
+    p = tmp_path / "bench_spread.json"
+    p.write_text(json.dumps(_rec({"a": 1.0}, sf=0.01)))
+    assert scale_round.load_spread(str(p)) is None
+    p.write_text(json.dumps(_rec({"a": 1.0}, sf=0.1)))
+    assert scale_round.load_spread(str(p)) is not None
+
+
+def test_archived_r10_spread_exists_and_parses():
+    rec = scale_round.load_spread(os.path.join(scale_round.ROOT, "bench_spread_r10.json"))
+    assert rec is not None and rec.get("host_factor") == 1.063
