@@ -710,6 +710,14 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "rocksdb-state-store": [
         "test:tests/test_streaming.py::test_rocksdb_state_store_matches_default"
     ],
+    "watermark-drop-observability": [
+        # late-data accounting per window on a planted-late replay:
+        # the oracle hash-pins that the watermark dropped exactly the
+        # planted set; StreamingQueryProgress drop counts pinned by the
+        # companion test (VERDICT r10 stretch item 7)
+        "query:watermark_drop_audit",
+        "test:tests/test_streaming.py::test_watermark_drop_audit_accounts_planted_late_rows",
+    ],
     "data-quality-audit": ["query:dq_audit"],
     "entity-resolution-fuzzy": [
         "query:customer_name_fuzzy_pairs",

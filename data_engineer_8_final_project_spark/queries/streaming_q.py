@@ -2168,3 +2168,45 @@ def q_user_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_channel")
     )
+
+
+#: Oracle for the watermark-drop audit: replays the planted-late rule
+#: (streaming/events._stage_wmdrop_replay) — copies of every event in
+#: the first EIGHTH of the integer-microsecond time range arrive after
+#: the watermark reached ``hi - 1 hour``, so the streaming aggregate
+#: must have dropped ALL of them and ONLY them. epoch_us + integer
+#: division replays the Spark-side cut bit-exactly.
+WATERMARK_DROP_ORACLE = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+),
+obs AS (
+  SELECT date_trunc('hour', ts) AS w, COUNT(*) AS n FROM events GROUP BY 1
+),
+pl AS (
+  SELECT date_trunc('hour', e.ts) AS w, COUNT(*) AS n
+  FROM events e, b
+  WHERE epoch_us(e.ts) < b.lo + (b.hi - b.lo) // 8
+  GROUP BY 1
+)
+SELECT obs.w AS window_start,
+       CAST(obs.n + COALESCE(pl.n, 0) AS BIGINT) AS n_observed,
+       CAST(obs.n AS BIGINT) AS n_on_time,
+       CAST(COALESCE(pl.n, 0) AS BIGINT) AS n_dropped_late
+FROM obs LEFT JOIN pl ON obs.w = pl.w
+ORDER BY window_start
+"""
+
+
+@register(
+    "watermark_drop_audit",
+    oracle=WATERMARK_DROP_ORACLE,
+    survey_ref="§2.9 T3 extended: watermark observability (late-drop accounting per window)",
+)
+def q_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows observed vs rows dropped-as-late per hourly window, on a
+    replay with planted late arrivals (VERDICT r10 stretch item 7).
+    The oracle hash-pins that the watermark dropped exactly the
+    planted set — a run that dropped nothing (watermark not applied)
+    or too much (overeager eviction) mismatches."""
+    return ev.watermark_drop_audit(spark, sf_dir)

@@ -273,6 +273,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "skewed_user_join",
     "pq_adc_topk",
     "knn_graph",
+    # -- new in r11 (no driver evidence yet; heads the r12 window) --
+    "watermark_drop_audit",
 )
 
 def all_queries() -> dict[str, Query]:

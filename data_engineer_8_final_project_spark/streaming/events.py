@@ -238,7 +238,10 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
 
 
 def run_available_now(
-    agg: DataFrame, output_mode: str = "complete", state_partitions: int | None = 8
+    agg: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drive a streaming aggregation to completion; return the batch result.
 
@@ -257,6 +260,11 @@ def run_available_now(
     store count is pinned at first start), which availableNow replays
     with fresh checkpoints never hit. ``None`` leaves the session
     setting untouched.
+
+    ``progress_out`` (observability): when a list is passed, every
+    StreamingQueryProgress dict from the finished run is appended to
+    it — the production signals (numRowsDroppedByWatermark, state-rows
+    counts, per-batch durations) a replay otherwise discards.
     """
     spark = agg.sparkSession
     name = f"stream_sink_{next(_sink_ids)}"
@@ -273,6 +281,10 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        if progress_out is not None:
+            import json as _json
+
+            progress_out.extend(_json.loads(p.json) for p in q.recentProgress)
     finally:
         if state_partitions:
             spark.conf.set(key, saved)
@@ -387,3 +399,151 @@ def segment_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+#: wmdrop stage dirs already scheduled for atexit removal (one
+#: registration per (process, stage); the dirs are pid-scoped).
+_WMDROP_STAGES: set[str] = set()
+
+
+def _stage_wmdrop_replay(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events fixture as a replay WITH PLANTED LATE ARRIVALS.
+
+    Four micro-batches with pinned strictly-increasing mtimes (the
+    session-stream replay pattern):
+
+    1. events in the first half of the time range   (on time)
+    2. events in the second half                    (on time; advances
+       the watermark to ``hi - delay``)
+    3. REPLAYED COPIES of every event in the first EIGHTH of the range
+       — all of them now sit far behind the watermark, so the windowed
+       aggregation must drop every one as late
+    4. the EOS sentinel 10 days past the horizon (flushes all real
+       windows in append mode; its own window never flushes)
+
+    All cuts are integer epoch-MICROSECOND arithmetic
+    (``lo + (hi - lo) // k``) so the DuckDB oracle replays the planted
+    set bit-exactly with ``epoch_us`` + integer division.
+    """
+    import atexit
+    import datetime as dt
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import staging
+    from ..catalog import _assert_events_ts_format
+
+    src = os.path.join(sf_dir, "events.parquet")
+    _assert_events_ts_format(src)
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"wmdrop-v1:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    staging.sweep_stale_stage_dirs("spark_graft_wmdrop_")
+    stage = os.path.join(tempfile.gettempdir(), f"spark_graft_wmdrop_{key}")
+    done = os.path.join(stage, "_staged_ok")
+    if stage not in _WMDROP_STAGES:
+        _WMDROP_STAGES.add(stage)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    if not os.path.exists(done):
+        batch = spark.read.schema(EVENTS).parquet(src)
+        lo_us, hi_us = batch.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).collect()[0]  # bounded: two scalars
+        mid_us = lo_us + (hi_us - lo_us) // 2
+        eighth_us = lo_us + (hi_us - lo_us) // 8
+        shutil.rmtree(stage, ignore_errors=True)
+        us = F.unix_micros(F.col("ts"))
+        chunks = [
+            batch.filter(us < mid_us),
+            batch.filter(us >= mid_us),
+            batch.filter(us < eighth_us),  # planted late replays
+        ]
+        staged: set[str] = set()
+
+        def _pin(chunk_no: int) -> None:
+            t = st.st_mtime + 1 + chunk_no  # whole seconds: coarse-fs safe
+            for name in sorted(os.listdir(stage)):
+                p = os.path.join(stage, name)
+                if name.endswith(".parquet") and p not in staged:
+                    os.utime(p, (t, t))
+                    staged.add(p)
+
+        for i, chunk in enumerate(chunks):
+            chunk.coalesce(1).write.mode("append").parquet(stage)
+            _pin(i)
+        hi = dt.datetime.fromtimestamp(hi_us / 1e6, dt.timezone.utc).replace(tzinfo=None)
+        sentinel = spark.createDataFrame(
+            [(-1, hi + dt.timedelta(days=10), -1, EOS_EVENT_TYPE, 0.0, "{}")],
+            EVENTS,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(stage)
+        _pin(3)
+        open(done, "w").close()
+    return stage
+
+
+def watermark_drop_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "1 hour",
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Per-window late-data accounting: observed vs dropped-as-late.
+
+    The streaming-production signal a correct pipeline must surface:
+    of the rows that ARRIVED for each event-time window, how many made
+    it into the aggregate and how many the watermark discarded. Runs
+    the planted-late replay (:func:`_stage_wmdrop_replay`) through an
+    hourly windowed count with ``withWatermark(ts, delay)`` in append
+    mode, then joins against a batch count of everything that arrived:
+
+    - ``n_observed``  — rows replayed for the window (sentinel excluded)
+    - ``n_on_time``   — rows the streaming aggregate actually counted
+    - ``n_dropped_late`` — the difference: exactly the planted copies
+
+    The DuckDB oracle replays the planted-set rule (first eighth of
+    the integer-microsecond time range) and asserts the watermark
+    dropped ALL planted rows and ONLY planted rows — a streaming run
+    that dropped nothing, or too much, hash-mismatches. Per-batch
+    ``numRowsDroppedByWatermark`` is additionally exposed via
+    ``progress_out`` and pinned equal to the audit total in
+    tests/test_streaming.py.
+    """
+    stage = _stage_wmdrop_replay(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", delay)
+    )
+    # No pre-aggregation sentinel filter (see session_window_agg NOTE):
+    # the EOS row must reach the watermark node; its own window never
+    # flushes in append mode, so it self-excludes from the output.
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+        .select(F.col("w.start").alias("window_start"), "n_on_time")
+    )
+    on_time = run_available_now(agg, output_mode="append", progress_out=progress_out)
+    observed = (
+        spark.read.schema(EVENTS)
+        .parquet(stage)
+        .filter(F.col("event_type") != EOS_EVENT_TYPE)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_observed"))
+        .select(F.col("w.start").alias("window_start"), "n_observed")
+    )
+    n_on_time = F.coalesce(F.col("n_on_time"), F.lit(0)).cast("long")
+    return (
+        observed.join(on_time, "window_start", "left")
+        .select(
+            "window_start",
+            F.col("n_observed").cast("long").alias("n_observed"),
+            n_on_time.alias("n_on_time"),
+            (F.col("n_observed") - n_on_time).cast("long").alias("n_dropped_late"),
+        )
+        .orderBy("window_start")
+    )

@@ -349,3 +349,56 @@ def test_funnel_exact_when_key_spans_arrow_chunks(spark, tmp_path):
         ts(15),
         ts(30),
     ), final
+
+
+def test_watermark_drop_audit_accounts_planted_late_rows(spark, sf_dir):
+    """VERDICT r10 stretch item 7: late-drop accounting on a replay
+    with planted late events, cross-checked against the engine's own
+    StreamingQueryProgress signals.
+
+    Pins (at sf0.001; the oracle gate re-verifies at sf0.01 via
+    test_parity):
+    - sum(n_dropped_late) == the planted-set size (copies of every
+      event in the first eighth of the time range) and drops occur
+      ONLY in first-eighth windows;
+    - progress numRowsDroppedByWatermark == the count of DISTINCT
+      late windows (the metric counts post-partial-agg state rows
+      arriving expired, not input rows — 1288 planted inputs collapse
+      to ~90 window groups before the state store sees them);
+    - the event-time watermark advanced past the fixture horizon
+      (the EOS sentinel did its job).
+    """
+    import pyspark.sql.functions as F
+
+    prog: list = []
+    pdf = ev.watermark_drop_audit(spark, sf_dir, progress_out=prog).toPandas()
+
+    events = catalog.load(spark, sf_dir)["events"]
+    lo_us, hi_us, n = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")), F.count(F.lit(1))
+    ).collect()[0]
+    eighth_us = lo_us + (hi_us - lo_us) // 8
+    planted = events.filter(F.unix_micros("ts") < eighth_us).count()
+    assert planted > 0  # the fixture must actually plant late rows
+
+    assert int(pdf["n_dropped_late"].sum()) == planted
+    assert int(pdf["n_observed"].sum()) == n + planted
+    assert (pdf["n_observed"] == pdf["n_on_time"] + pdf["n_dropped_late"]).all()
+    # drops only in first-eighth windows (hour-truncated bound)
+    import datetime as dt
+
+    eighth_ts = dt.datetime.fromtimestamp(eighth_us / 1e6, dt.timezone.utc).replace(tzinfo=None)
+    late_windows = pdf[pdf["n_dropped_late"] > 0]
+    assert (late_windows["window_start"] <= eighth_ts).all()
+
+    wm_dropped_state_rows = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in prog
+        for op in p.get("stateOperators", [])
+    )
+    assert wm_dropped_state_rows == len(late_windows)
+    final_wm = max(
+        p["eventTime"]["watermark"] for p in prog if p.get("eventTime", {}).get("watermark")
+    )
+    hi_ts = dt.datetime.fromtimestamp(hi_us / 1e6, dt.timezone.utc).replace(tzinfo=None)
+    assert final_wm > hi_ts.isoformat()  # sentinel advanced the watermark past the horizon
