@@ -145,11 +145,27 @@ def main() -> None:
             queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(time.perf_counter() - t0)
 
+    # End-of-run probe (r11 finding: the host's throughput drifted
+    # 0.94x -> 1.22x of reference WITHIN one session hour, so a single
+    # start-of-run snapshot can misstate the factor for the whole
+    # bench). Both probes are recorded; host_factor stays the start
+    # probe's (comparable with r10), and a wide start/end gap is the
+    # documented reason to distrust small cross-round deltas.
+    probe_sec_end, _ = _host_probe(spark)
+
     # statistics.median interpolates even-count reps (a budget-truncated
     # 2-pass run would otherwise report the UPPER of the two timings,
     # biasing the headline sum upward vs the 3-pass median semantics)
     timings = {n: round(statistics.median(ts), 4) for n, ts in reps.items()}
     spread = {n: [round(min(ts), 4), round(max(ts), 4)] for n, ts in reps.items()}
+    # Quartile band: on sub-2 s queries the [min, max] band inherently
+    # catches contention spikes (the r10 ANN false-regression source);
+    # with 5 reps the IQR is the band regression adjudication reads.
+    quart = {
+        n: [round(statistics.quantiles(ts, n=4)[0], 4), round(statistics.quantiles(ts, n=4)[2], 4)]
+        for n, ts in reps.items()
+        if len(ts) >= 4
+    }
 
     # Driver contract: ONE compact JSON line of BOUNDED size. The
     # driver's tail-capture buffer is ~2000 chars; inlining per-query
@@ -171,7 +187,9 @@ def main() -> None:
                 "total_sec": round(sum(timings.values()), 4),
                 "passes": passes_done,
                 "sf": _sf_label(SF_DIR),
+                "iqr": quart,
                 "probe_sec": round(probe_sec, 4),
+                "probe_sec_end": round(probe_sec_end, 4),
                 "probe_parallelism": probe_parallelism,
                 "host_factor": host_factor,
             },

@@ -78,12 +78,16 @@ def find_regressions(
 
     A query regresses when its current normalized median exceeds
     ``threshold`` x its previous normalized median AND its current raw
-    median sits above the previous round's recorded [min, max] spread
-    (a delta inside the old noise band is jitter, not a regression —
-    the r10 ANN false-positive lesson).
+    median sits above the previous round's recorded noise band
+    (a delta inside the old band is jitter, not a regression — the r10
+    ANN false-positive lesson). The band is the prior round's [min,
+    max] spread; since r11 the CURRENT side also gets an IQR veto —
+    a current median whose own interquartile band still reaches down
+    into the prior spread is a contention-skewed sample, not a move.
     """
     cur_norm, prev_norm = normalized_medians(cur), normalized_medians(prev)
     prev_spread = prev.get("spread", {})
+    cur_iqr = cur.get("iqr", {})
     out = []
     for name, cur_n in cur_norm.items():
         prev_n = prev_norm.get(name)
@@ -94,6 +98,9 @@ def find_regressions(
             continue
         band_hi = prev_spread.get(name, [None, None])[1]
         if band_hi is not None and cur["medians"][name] <= band_hi:
+            continue
+        iqr_lo = cur_iqr.get(name, [None, None])[0]
+        if band_hi is not None and iqr_lo is not None and iqr_lo <= band_hi:
             continue
         out.append(
             {

@@ -82,3 +82,18 @@ def test_load_spread_rejects_off_scale_records(tmp_path):
 def test_archived_r10_spread_exists_and_parses():
     rec = scale_round.load_spread(os.path.join(scale_round.ROOT, "bench_spread_r10.json"))
     assert rec is not None and rec.get("host_factor") == 1.063
+
+
+def test_find_regressions_current_iqr_veto():
+    # Current median is 1.5x up and above the prior max, but the
+    # current run's own IQR reaches back into the prior band — a
+    # contention-skewed sample, vetoed. Without the IQR key (or with a
+    # genuinely shifted IQR) the regression stands.
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.9, 1.1]})
+    cur = _rec({"q": 1.5}, host_factor=1.0)
+    cur["iqr"] = {"q": [1.05, 1.7]}
+    assert scale_round.find_regressions(cur, prev) == []
+    cur["iqr"] = {"q": [1.4, 1.7]}
+    assert [r["query"] for r in scale_round.find_regressions(cur, prev)] == ["q"]
+    del cur["iqr"]
+    assert [r["query"] for r in scale_round.find_regressions(cur, prev)] == ["q"]
