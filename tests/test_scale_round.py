@@ -97,3 +97,21 @@ def test_find_regressions_current_iqr_veto():
     assert [r["query"] for r in scale_round.find_regressions(cur, prev)] == ["q"]
     del cur["iqr"]
     assert [r["query"] for r in scale_round.find_regressions(cur, prev)] == ["q"]
+
+
+def test_committed_spread_schema_invariants():
+    """The committed bench_spread.json must satisfy what the tooling
+    chain assumes: iqr/spread keys subset of medians, bands ordered and
+    containing their median, both probes recorded, factor consistent."""
+    rec = scale_round.load_spread(os.path.join(scale_round.ROOT, "bench_spread.json"))
+    assert rec is not None
+    med = rec["medians"]
+    assert set(rec["spread"]) == set(med)
+    assert set(rec.get("iqr", {})) <= set(med)
+    for n, (lo, hi) in rec["spread"].items():
+        assert lo <= med[n] <= hi, n
+    for n, (lo, hi) in rec.get("iqr", {}).items():
+        s_lo, s_hi = rec["spread"][n]
+        assert s_lo <= lo <= hi <= s_hi, n
+    assert rec["probe_sec"] > 0 and rec.get("probe_sec_end", 1) > 0
+    assert abs(rec["host_factor"] - rec["probe_sec"] / 1.75) < 0.01
