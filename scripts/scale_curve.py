@@ -132,6 +132,13 @@ def main() -> None:
             for qname in args.queries:
                 ts = []
                 for _ in range(args.reps):
+                    # localCheckpoint blocks from the PREVIOUS run are
+                    # dead weight (their results are already consumed)
+                    # but stay pinned in storage memory — a 3-query x
+                    # 3-factor session OOMed the 8g driver at 128x
+                    # before this reap (r11 finding).
+                    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                        rdd.unpersist()
                     spark.sparkContext._jvm.System.gc()
                     t0 = time.perf_counter()
                     qs[qname].fn(spark, sf).count()
