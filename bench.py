@@ -162,9 +162,10 @@ def main() -> None:
     # catches contention spikes (the r10 ANN false-regression source);
     # with 5 reps the IQR is the band regression adjudication reads.
     quart = {
-        n: [round(statistics.quantiles(ts, n=4)[0], 4), round(statistics.quantiles(ts, n=4)[2], 4)]
+        n: [round(q[0], 4), round(q[2], 4)]
         for n, ts in reps.items()
         if len(ts) >= 4
+        for q in [statistics.quantiles(ts, n=4)]
     }
 
     # Driver contract: ONE compact JSON line of BOUNDED size. The

@@ -1069,12 +1069,8 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
                 1
             ).write.mode("append").parquet(stage)
-            t = st_.st_mtime + 1 + i  # strictly-increasing whole-second mtimes
-            for name in sorted(os.listdir(stage)):
-                pth = os.path.join(stage, name)
-                if name.endswith(".parquet") and pth not in staged:
-                    os.utime(pth, (t, t))
-                    staged.add(pth)
+            # strictly-increasing whole-second mtimes
+            staging.pin_new_file_mtimes(stage, st_.st_mtime + 1 + i, staged)
         open(done, "w").close()
     events = (
         spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(stage)

@@ -55,3 +55,21 @@ def sweep_stale_stage_dirs(prefix: str, max_age_s: int = STALE_STAGE_AGE_S) -> N
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue
+
+
+def pin_new_file_mtimes(stage: str, t: float, staged: set[str]) -> None:
+    """Pin EXPLICIT mtime ``t`` on stage part-files not yet in ``staged``.
+
+    The chunked-replay protocol (session / funnel / wmdrop stages)
+    relies on the file stream source feeding micro-batches in mtime
+    order; on filesystems with coarse mtime granularity two sequential
+    writes can tie, and the source's tiebreak over random part-file
+    names could replay a later chunk first. Callers pass a strictly
+    increasing whole-second ``t`` per chunk and the shared ``staged``
+    set accumulates files already pinned.
+    """
+    for name in sorted(os.listdir(stage)):
+        p = os.path.join(stage, name)
+        if name.endswith(".parquet") and p not in staged:
+            os.utime(p, (t, t))
+            staged.add(p)

@@ -205,27 +205,21 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         shutil.rmtree(stage, ignore_errors=True)
         cuts = [lo + (hi - lo) * i // 2 for i in range(3)]
         cuts[-1] = hi + dt.timedelta(microseconds=1)
+        from .. import staging
+
         staged_so_far: set[str] = set()
-
-        def _pin_new_files_mtime(chunk_no: int) -> None:
-            t = st.st_mtime + 1 + chunk_no  # whole seconds: coarse-fs safe
-            for name in sorted(os.listdir(stage)):
-                p = os.path.join(stage, name)
-                if name.endswith(".parquet") and p not in staged_so_far:
-                    os.utime(p, (t, t))
-                    staged_so_far.add(p)
-
         for i in range(2):
             batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
                 1
             ).write.mode("append").parquet(stage)
-            _pin_new_files_mtime(i)
+            # whole seconds: coarse-fs safe
+            staging.pin_new_file_mtimes(stage, st.st_mtime + 1 + i, staged_so_far)
         sentinel = spark.createDataFrame(
             [(-1, hi + dt.timedelta(days=10), -1, EOS_EVENT_TYPE, 0.0, "{}")],
             EVENTS,
         )
         sentinel.coalesce(1).write.mode("append").parquet(stage)
-        _pin_new_files_mtime(2)
+        staging.pin_new_file_mtimes(stage, st.st_mtime + 3, staged_so_far)
         open(done_marker, "w").close()
     events = (
         spark.readStream.schema(EVENTS)
@@ -462,25 +456,17 @@ def _stage_wmdrop_replay(spark: SparkSession, sf_dir: str) -> str:
             batch.filter(us < eighth_us),  # planted late replays
         ]
         staged: set[str] = set()
-
-        def _pin(chunk_no: int) -> None:
-            t = st.st_mtime + 1 + chunk_no  # whole seconds: coarse-fs safe
-            for name in sorted(os.listdir(stage)):
-                p = os.path.join(stage, name)
-                if name.endswith(".parquet") and p not in staged:
-                    os.utime(p, (t, t))
-                    staged.add(p)
-
         for i, chunk in enumerate(chunks):
             chunk.coalesce(1).write.mode("append").parquet(stage)
-            _pin(i)
+            # whole seconds: coarse-fs safe
+            staging.pin_new_file_mtimes(stage, st.st_mtime + 1 + i, staged)
         hi = dt.datetime.fromtimestamp(hi_us / 1e6, dt.timezone.utc).replace(tzinfo=None)
         sentinel = spark.createDataFrame(
             [(-1, hi + dt.timedelta(days=10), -1, EOS_EVENT_TYPE, 0.0, "{}")],
             EVENTS,
         )
         sentinel.coalesce(1).write.mode("append").parquet(stage)
-        _pin(3)
+        staging.pin_new_file_mtimes(stage, st.st_mtime + 4, staged)
         open(done, "w").close()
     return stage
 

@@ -93,22 +93,28 @@ def main() -> None:
         norm: list[float] = []
         factors: list[float] = []
         for p in range(args.procs):
-            out = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--child",
-                    name,
-                    "--sf",
-                    args.sf,
-                    "--reps",
-                    str(args.reps),
-                ],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-                timeout=900,
-            )
+            try:
+                out = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--child",
+                        name,
+                        "--sf",
+                        args.sf,
+                        "--reps",
+                        str(args.reps),
+                    ],
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                    timeout=900,
+                )
+            except subprocess.TimeoutExpired:
+                # one hung JVM must not discard every other process's
+                # evidence — record the timeout and keep adjudicating
+                print(f"{name} proc {p}: TIMED OUT after 900s")
+                continue
             line = next(
                 (ln for ln in out.stdout.splitlines() if ln.startswith("ISO_AB ")), None
             )

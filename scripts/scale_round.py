@@ -77,15 +77,20 @@ def find_regressions(
     """Host-normalized cross-round regression candidates.
 
     A query regresses when its current normalized median exceeds
-    ``threshold`` x its previous normalized median AND its current raw
-    median sits above the previous round's recorded noise band
+    ``threshold`` x its previous normalized median AND its normalized
+    median sits above the previous round's HOST-NORMALIZED noise band
     (a delta inside the old band is jitter, not a regression — the r10
-    ANN false-positive lesson). The band is the prior round's [min,
-    max] spread; since r11 the CURRENT side also gets an IQR veto —
-    a current median whose own interquartile band still reaches down
-    into the prior spread is a contention-skewed sample, not a move.
+    ANN false-positive lesson). Bands are divided by their own round's
+    host_factor before comparison, same as the medians — comparing raw
+    bands across hosts would let the drift this module exists to
+    correct mask a true move. Since r11 the CURRENT side also gets an
+    IQR veto — a current median whose own (normalized) interquartile
+    band still reaches down into the prior band is a contention-skewed
+    sample, not a move.
     """
     cur_norm, prev_norm = normalized_medians(cur), normalized_medians(prev)
+    cur_f = cur.get("host_factor") or 1.0
+    prev_f = prev.get("host_factor") or 1.0
     prev_spread = prev.get("spread", {})
     cur_iqr = cur.get("iqr", {})
     out = []
@@ -96,11 +101,16 @@ def find_regressions(
         ratio = cur_n / prev_n
         if ratio < threshold:
             continue
-        band_hi = prev_spread.get(name, [None, None])[1]
-        if band_hi is not None and cur["medians"][name] <= band_hi:
+        band_hi_raw = prev_spread.get(name, [None, None])[1]
+        band_hi = band_hi_raw / prev_f if band_hi_raw is not None else None
+        if band_hi is not None and cur_n <= band_hi:
             continue
-        iqr_lo = cur_iqr.get(name, [None, None])[0]
-        if band_hi is not None and iqr_lo is not None and iqr_lo <= band_hi:
+        iqr_lo_raw = cur_iqr.get(name, [None, None])[0]
+        if (
+            band_hi is not None
+            and iqr_lo_raw is not None
+            and iqr_lo_raw / cur_f <= band_hi
+        ):
             continue
         out.append(
             {
@@ -113,11 +123,22 @@ def find_regressions(
     return sorted(out, key=lambda r: -r["ratio"])
 
 
-def newest_spread_record() -> dict | None:
-    """Current bench_spread.json, else the newest archived round copy."""
-    rec = load_spread(os.path.join(ROOT, "bench_spread.json"))
+def newest_spread_record() -> tuple[dict, str] | tuple[None, None]:
+    """(record, source_path): bench_spread.json, else the newest archive.
+
+    Falling back to an archive is WARNED — it means no current-round
+    bench has run (or an off-scale ad-hoc run clobbered the live file)
+    and whatever "current" numbers we report are really that archive's.
+    """
+    live = os.path.join(ROOT, "bench_spread.json")
+    rec = load_spread(live)
     if rec is not None:
-        return rec
+        return rec, live
+    print(
+        "bench_spread.json missing or off-scale; falling back to the "
+        "newest bench_spread_r*.json archive",
+        file=sys.stderr,
+    )
     for path in sorted(
         glob.glob(os.path.join(ROOT, "bench_spread_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
@@ -125,12 +146,20 @@ def newest_spread_record() -> dict | None:
     ):
         rec = load_spread(path)
         if rec is not None:
-            return rec
-    return None
+            return rec, path
+    return None, None
 
 
-def previous_spread_record(before_round: int) -> dict | None:
-    """Newest archived spread from a round strictly before ``before_round``."""
+def previous_spread_record(
+    before_round: int, exclude_path: str | None = None
+) -> dict | None:
+    """Newest archived spread from a round strictly before ``before_round``.
+
+    ``exclude_path`` guards the degenerate case where the "current"
+    record itself came from an archive fallback: comparing a record
+    against itself would report every ratio as exactly 1.0 and print a
+    confident (and meaningless) "no regressions".
+    """
     for path in sorted(
         glob.glob(os.path.join(ROOT, "bench_spread_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
@@ -138,6 +167,8 @@ def previous_spread_record(before_round: int) -> dict | None:
     ):
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         if rnd >= before_round:
+            continue
+        if exclude_path and os.path.abspath(path) == os.path.abspath(exclude_path):
             continue
         rec = load_spread(path)
         if rec is not None:
@@ -154,22 +185,39 @@ def main() -> None:
     ap.add_argument("--keep", default=None)
     args = ap.parse_args()
 
-    cur = newest_spread_record()
+    cur, cur_path = newest_spread_record()
     if cur is None and not args.extra:
         sys.exit("no usable bench spread found and no --extra queries given")
 
     # Archive this round's spread so future rounds can host-normalize
-    # against it even after bench_spread.json is overwritten.
+    # against it even after bench_spread.json is overwritten. Only a
+    # live spread that is a NEW measurement is archived: if its content
+    # matches an existing archive byte-for-byte it's a prior round's
+    # committed leftover (e.g. scale_round ran before this round's
+    # bench), and stamping it with this round's number would poison
+    # every later cross-round comparison.
     live = os.path.join(ROOT, "bench_spread.json")
     archive = os.path.join(ROOT, f"bench_spread_r{args.round}.json")
     if load_spread(live) is not None and not os.path.exists(archive):
-        shutil.copyfile(live, archive)
+        live_bytes = open(live, "rb").read()
+        already = any(
+            open(p, "rb").read() == live_bytes
+            for p in glob.glob(os.path.join(ROOT, "bench_spread_r*.json"))
+        )
+        if already:
+            print(
+                f"bench_spread.json matches an existing archive — not "
+                f"stamping it as round {args.round} (run bench.py first)",
+                file=sys.stderr,
+            )
+        else:
+            shutil.copyfile(live, archive)
 
     norm = normalized_medians(cur) if cur else {}
     slowest = pick_slowest(norm)
     queries = list(dict.fromkeys(slowest + args.extra))
 
-    prev = previous_spread_record(args.round) if cur else None
+    prev = previous_spread_record(args.round, exclude_path=cur_path) if cur else None
     regressions = find_regressions(cur, prev) if cur and prev else []
 
     cmd = [

@@ -115,3 +115,33 @@ def test_committed_spread_schema_invariants():
         assert s_lo <= lo <= hi <= s_hi, n
     assert rec["probe_sec"] > 0 and rec.get("probe_sec_end", 1) > 0
     assert abs(rec["host_factor"] - rec["probe_sec"] / 1.75) < 0.01
+
+
+def test_find_regressions_normalizes_prior_band_across_hosts():
+    # Review finding (r11): a genuine 1.4x regression measured on a
+    # fast host (0.9) must not hide inside a slow prior host's (1.2)
+    # RAW band. prev normalized median 1.0, band_hi 1.3/1.2=1.083;
+    # cur normalized 1.26/0.9=1.4 > 1.083 -> flagged.
+    prev = _rec({"q": 1.2}, host_factor=1.2, spread={"q": [1.1, 1.3]})
+    cur = _rec({"q": 1.26}, host_factor=0.9)
+    regs = scale_round.find_regressions(cur, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    assert regs[0]["ratio"] == 1.4
+
+
+def test_previous_spread_record_excludes_current_source(tmp_path, monkeypatch):
+    # Review finding (r11): when the "current" record is itself an
+    # archive fallback, the prior-round lookup must not return the
+    # SAME file (self-comparison -> every ratio 1.0, vacuous verdict).
+    monkeypatch.setattr(scale_round, "ROOT", str(tmp_path))
+    a10 = tmp_path / "bench_spread_r10.json"
+    a11 = tmp_path / "bench_spread_r11.json"
+    a10.write_text(json.dumps(_rec({"q": 1.0})))
+    a11.write_text(json.dumps(_rec({"q": 2.0})))
+    cur, cur_path = scale_round.newest_spread_record()  # falls back to r11
+    assert cur["medians"] == {"q": 2.0}
+    prev = scale_round.previous_spread_record(12, exclude_path=cur_path)
+    assert prev["medians"] == {"q": 1.0}
+    # and with only the one archive present, no self-comparison happens
+    a10.unlink()
+    assert scale_round.previous_spread_record(12, exclude_path=cur_path) is None
