@@ -145,3 +145,45 @@ def test_previous_spread_record_excludes_current_source(tmp_path, monkeypatch):
     # and with only the one archive present, no self-comparison happens
     a10.unlink()
     assert scale_round.previous_spread_record(12, exclude_path=cur_path) is None
+
+
+def test_find_regressions_invariant_under_uniform_host_rescale():
+    """The defining property of correct host normalization: multiplying
+    EVERY raw number of one round (medians, spread, iqr, host_factor)
+    by the same constant — i.e. the same plans on a uniformly
+    slower/faster host — must not change any verdict. The r11 review
+    found the band comparison violating exactly this (raw bands vs
+    normalized ratios); property-pinned so it cannot regress."""
+    from hypothesis import given, strategies as st
+
+    def scale(rec, c):
+        out = {
+            "medians": {k: v * c for k, v in rec["medians"].items()},
+            "spread": {k: [lo * c, hi * c] for k, (lo, hi) in rec["spread"].items()},
+            "host_factor": rec["host_factor"] * c,
+            "sf": rec["sf"],
+        }
+        if "iqr" in rec:
+            out["iqr"] = {k: [lo * c, hi * c] for k, (lo, hi) in rec["iqr"].items()}
+        return out
+
+    @given(
+        prev_med=st.floats(0.1, 10),
+        band_w=st.floats(0.0, 2),
+        cur_med=st.floats(0.1, 20),
+        iqr_lo_off=st.floats(0.0, 1),
+        c_cur=st.floats(0.25, 4),
+        c_prev=st.floats(0.25, 4),
+    )
+    def check(prev_med, band_w, cur_med, iqr_lo_off, c_cur, c_prev):
+        prev = _rec({"q": prev_med}, spread={"q": [prev_med - band_w / 2, prev_med + band_w / 2]})
+        cur = _rec({"q": cur_med})
+        cur["iqr"] = {"q": [max(0.01, cur_med - iqr_lo_off), cur_med + iqr_lo_off]}
+        base = [r["query"] for r in scale_round.find_regressions(cur, prev)]
+        rescaled = [
+            r["query"]
+            for r in scale_round.find_regressions(scale(cur, c_cur), scale(prev, c_prev))
+        ]
+        assert base == rescaled
+
+    check()
