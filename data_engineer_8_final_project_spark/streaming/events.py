@@ -227,7 +227,23 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         .parquet(stage)
         .withWatermark("ts", "0 seconds")
     )
-    out = run_available_now(session_window_agg(events, gap), output_mode="append")
+    # State width scales with the keyspace, not a constant (the funnel
+    # query's r6 lesson, same cost law): per-user session state means
+    # replicated corpora multiply state rows, and the fixed width-8
+    # that is right at sf0.1 serializes the per-store work at scale —
+    # measured 563 s at 128x (10.5x wall for 2x data over 64x) before
+    # this sizing, r11. ≈ one store per MB of source, clamped [8, 32];
+    # the source may be a directory of parts (scale harness), so the
+    # probe sums physical files.
+    from ..catalog import _parquet_parts
+
+    src_bytes = sum(os.stat(p).st_size for p in _parquet_parts(src))
+    state_parts = int(max(8, min(32, src_bytes // (1 << 20))))
+    out = run_available_now(
+        session_window_agg(events, gap),
+        output_mode="append",
+        state_partitions=state_parts,
+    )
     return out.filter(F.col("user_id") >= 0)  # drop the sentinel's own session
 
 
