@@ -9,6 +9,8 @@ correctness-gated rather than rows-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -78,7 +80,9 @@ def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import stateful
 
     stream = stateful.user_running_totals(ev.read_events_stream(spark, sf_dir))
-    sink = ev.run_available_now(stream, output_mode="update")
+    # per-USER GroupState scales with the corpus — size the state width
+    width = ev.state_width_for(os.path.join(sf_dir, "events.parquet"))
+    sink = ev.run_available_now(stream, output_mode="update", state_partitions=width)
     return stateful.finalize_totals(sink).orderBy("user_id")
 
 
@@ -649,7 +653,8 @@ def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         stream = stateful.user_running_totals_tws(ev.read_events_stream(spark, sf_dir))
-        sink = ev.run_available_now(stream, output_mode="update")
+        width = ev.state_width_for(os.path.join(sf_dir, "events.parquet"))
+        sink = ev.run_available_now(stream, output_mode="update", state_partitions=width)
     finally:
         if saved:
             spark.conf.set(key, saved)
@@ -1075,22 +1080,13 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (
         spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1).parquet(stage)
     )
-    # State-store width scales with the keyspace, not a constant: the
-    # GroupState cost law is touched-keys-per-batch / parallelism, so a
-    # fixed width-8 that is right for the 1x fixture (1.5 k users)
-    # serializes the per-key Python calls at 64x. ≈ one store per MB of
-    # source (a users-per-byte proxy), clamped to [8, 32] — the r6
-    # scale run's 64x wall was 8-wide-bound (29.6x). The source may be
-    # a directory of parts (the scale harness writes one), so the size
-    # probe sums the physical files, never stats a directory inode.
-    from ..catalog import _parquet_parts
-
-    src_bytes = sum(os.stat(p).st_size for p in _parquet_parts(src))
-    state_parts = max(8, min(32, src_bytes // (1 << 20)))
+    # Per-USER GroupState scales with the keyspace — size the state
+    # width from source volume (ev.state_width_for documents the cost
+    # law; the r6 scale run's 64x wall was 8-wide-bound at 29.6x).
     sink = ev.run_available_now(
         stateful.user_funnel_stream(events),
         output_mode="update",
-        state_partitions=int(state_parts),
+        state_partitions=ev.state_width_for(src),
     )
     return stateful.finalize_funnel(sink).orderBy("user_id")
 

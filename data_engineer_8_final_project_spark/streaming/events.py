@@ -227,24 +227,42 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         .parquet(stage)
         .withWatermark("ts", "0 seconds")
     )
-    # State width scales with the keyspace, not a constant (the funnel
-    # query's r6 lesson, same cost law): per-user session state means
-    # replicated corpora multiply state rows, and the fixed width-8
-    # that is right at sf0.1 serializes the per-store work at scale —
-    # measured 563 s at 128x (10.5x wall for 2x data over 64x) before
-    # this sizing, r11. ≈ one store per MB of source, clamped [8, 32];
-    # the source may be a directory of parts (scale harness), so the
-    # probe sums physical files.
-    from ..catalog import _parquet_parts
-
-    src_bytes = sum(os.stat(p).st_size for p in _parquet_parts(src))
-    state_parts = int(max(8, min(32, src_bytes // (1 << 20))))
+    # Per-user session state scales with the keyspace: replicated
+    # corpora multiply state rows, and the fixed width-8 that is right
+    # at sf0.1 serializes per-store work at scale — measured 563 s at
+    # 128x (10.5x wall for 2x data over 64x) before this sizing, r11.
     out = run_available_now(
         session_window_agg(events, gap),
         output_mode="append",
-        state_partitions=state_parts,
+        state_partitions=state_width_for(src),
     )
     return out.filter(F.col("user_id") >= 0)  # drop the sentinel's own session
+
+
+def state_width_for(src: str) -> int:
+    """Streaming state-shuffle width for a PER-KEY stateful query whose
+    keyspace scales with the corpus (users, join rows in the watermark
+    window, sessions): ~one state store per MB of source, clamped
+    [8, 32] locally.
+
+    The cost law (funnel r6; session stream r11, measured 563 s → 187 s
+    at 128x): per-batch work is touched-keys / width plus a fixed
+    store round-trip per (batch, store), so width must track state
+    volume — a fixed 8 serializes replicated corpora, a fixed 32 pays
+    4x store round-trips for nothing on the small fixtures. Bounded
+    keyspaces (teams, hourly windows, event types) stay at the default
+    8 and must NOT use this. On a cluster the clamp rises with
+    executor memory; it must stay fixed across restarts of one
+    checkpoint (availableNow replays with fresh checkpoints never hit
+    that). The source may be a directory of parts (the scale harness
+    writes one), so the probe sums physical files.
+    """
+    import os as _os
+
+    from ..catalog import _parquet_parts
+
+    src_bytes = sum(_os.stat(p).st_size for p in _parquet_parts(src))
+    return int(max(8, min(32, src_bytes // (1 << 20))))
 
 
 def run_available_now(
@@ -375,7 +393,14 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
     )
-    return run_available_now(joined, output_mode="append").select(
+    # Join state = rows inside the watermark window, which scales with
+    # the corpus — size the state shuffle like the other per-key streams.
+    import os as _os
+
+    width = state_width_for(_os.path.join(sf_dir, "events.parquet"))
+    return run_available_now(
+        joined, output_mode="append", state_partitions=width
+    ).select(
         "v_event_id", "c_event_id", F.col("v_user").alias("user_id"), "v_ts", "c_ts"
     )
 
