@@ -41,12 +41,24 @@ def read_events_stream(
     The default glob picks the single ``events.parquet`` out of a
     fixture dir; pass ``path_glob=None`` for a landing directory of
     arbitrarily-named arriving files (the incremental-MV case).
+
+    When ``events.parquet`` is a DIRECTORY of part files (the scale
+    harness writes one), the glob filter would match nothing — the
+    part files' leaf names don't match ``events.parquet`` — and the
+    stream would silently replay ZERO rows (r11 finding: a width A/B
+    on a x64 replica returned rows=0). Directory sources are read
+    directly instead.
     """
+    import os
+
     # ts is parquet TIMESTAMP(µs); the explicit EVENTS schema reads it
     # directly (no inference) under the UTC session-timezone pin.
     reader = spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1)
     if path_glob:
-        reader = reader.option("pathGlobFilter", path_glob)
+        target = os.path.join(sf_dir, path_glob)
+        if os.path.isdir(target):
+            return reader.parquet(target)
+        return reader.option("pathGlobFilter", path_glob).parquet(sf_dir)
     return reader.parquet(sf_dir)
 
 
