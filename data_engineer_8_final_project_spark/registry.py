@@ -58,71 +58,23 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-11 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r10 item 1): the 49 r7-green queries -- the
-    # oldest driver evidence in the repo (4 rounds stale) -- plus one
-    # oldest-r8 fill (knn_communities, whose r8 row predates the r9
-    # derived-cells/staged-assignment knn rewrite). Head of the window
-    # = the queries whose CODE changed after their newest driver row
-    # (semantic_dedup staged r10; the knn family rewritten r9), per
-    # VERDICT r10 item 5. Post-r11, no registered query's newest green
-    # is older than r8.
-    # -- code-changed-after-evidence head (5) --
-    "semantic_dedup",
-    "semantic_decontamination",
-    "knn_triangle_stats",
-    "knn_label_vote",
-    "knn_communities",
-    # -- rest of the r7-green cohort (44) --
-    "jaccard_near_dup",
-    "full_outer_coalesce",
-    "dedup_exact",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "html_matches_extract",
-    "scalar_cleaning_suite",
-    "lsh_near_dup_pairs",
-    "events_json_extract",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "events_by_segment_stream",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    "events_hourly",
-    "dup_span_stats",
-    "order_chains_recursive",
-    "events_props_variant",
-    "dup_cluster_representatives",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "session_path_topk",
-    "event_funnel_stream",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
-    # ---- driver window boundary (50) ----
-    # -- r8 greens (oldest remaining evidence; head of the r12 window,
-    #    knn_pagerank first: its r8 row also predates the r9 rewrite) --
+    # ---- Round-12 window (first 50; the driver verifies only these). ----
+    # Rotation (VERDICT r11 item 1): the 49 r8-green queries -- the
+    # oldest driver evidence in the repo -- plus watermark_drop_audit
+    # (registered 200th in r11, after that round's window was fixed, so
+    # it has no driver row yet). Head of the window = the queries whose
+    # CODE changed after their newest driver row: the three streams
+    # whose state width is now sized by the r11 state_width_for law
+    # (their r8 rows predate it) and knn_pagerank (its r8 row predates
+    # the r9 derived-cells knn rewrite). Post-r12, no registered
+    # query's newest green is older than r9.
+    # -- code-changed-after-evidence head (4) + never-driver-seen (1) --
+    "events_session_stream",
+    "user_totals_stateful",
+    "view_click_stream_join",
     "knn_pagerank",
+    "watermark_drop_audit",
+    # -- rest of the r8-green cohort (45) --
     "pricing_summary",
     "customers_without_orders",
     "high_value_customers_semi",
@@ -144,11 +96,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_frame_sample",
     "events_hourly_stream",
     "events_sliding_stream",
-    "user_totals_stateful",
     "standings_stream",
     "event_sessions",
-    "events_session_stream",
-    "view_click_stream_join",
     "clicks_last_error",
     "purchases_in_sessions",
     "events_time_rollup",
@@ -171,7 +120,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    # -- r9 greens --
+    # ---- driver window boundary (50) ----
+    # -- r9 greens (oldest remaining evidence; head of the r13 window) --
     "matches_clean",
     "event_type_drift",
     "scd2_point_in_time_join",
@@ -273,8 +223,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "skewed_user_join",
     "pq_adc_topk",
     "knn_graph",
-    # -- new in r11 (no driver evidence yet; heads the r12 window) --
-    "watermark_drop_audit",
+    # -- r11 greens: freshest evidence in the repo --
+    "semantic_dedup",
+    "semantic_decontamination",
+    "knn_triangle_stats",
+    "knn_label_vote",
+    "knn_communities",
+    "jaccard_near_dup",
+    "full_outer_coalesce",
+    "dedup_exact",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "html_matches_extract",
+    "scalar_cleaning_suite",
+    "lsh_near_dup_pairs",
+    "events_json_extract",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "events_by_segment_stream",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "events_hourly",
+    "dup_span_stats",
+    "order_chains_recursive",
+    "events_props_variant",
+    "dup_cluster_representatives",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "session_path_topk",
+    "event_funnel_stream",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
 )
 
 def all_queries() -> dict[str, Query]:

@@ -14,63 +14,63 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-11 rotation (VERDICT r10 item 1): the 49 r7-green queries (the
-#: oldest driver evidence in the repo, 4 rounds stale) plus one
-#: oldest-r8 fill (knn_communities, whose r8 row predates the r9
-#: derived-cells knn rewrite). Head = queries whose code changed after
-#: their newest driver row (semantic_dedup staged r10, knn family
-#: rewritten r9). Post-r11 no query's newest green is older than r8.
+#: Round-12 rotation (VERDICT r11 item 1): the 49 r8-green queries (the
+#: oldest driver evidence in the repo) plus watermark_drop_audit (no
+#: driver row yet). Head = queries whose code changed after their
+#: newest driver row: the three streams re-sized by the r11
+#: state_width_for law, then knn_pagerank (r8 row predates the r9 knn
+#: rewrite). Post-r12 no query's newest green is older than r9.
 MUST_BE_IN_WINDOW = {
-    "semantic_dedup",
-    "semantic_decontamination",
-    "knn_triangle_stats",
-    "knn_label_vote",
-    "knn_communities",
-    "jaccard_near_dup",
-    "full_outer_coalesce",
-    "dedup_exact",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "html_matches_extract",
-    "scalar_cleaning_suite",
-    "lsh_near_dup_pairs",
-    "events_json_extract",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "events_by_segment_stream",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    "events_hourly",
-    "dup_span_stats",
-    "order_chains_recursive",
-    "events_props_variant",
-    "dup_cluster_representatives",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "session_path_topk",
-    "event_funnel_stream",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
+    "events_session_stream",
+    "user_totals_stateful",
+    "view_click_stream_join",
+    "knn_pagerank",
+    "watermark_drop_audit",
+    "pricing_summary",
+    "customers_without_orders",
+    "high_value_customers_semi",
+    "top_customers_per_nation",
+    "rollup_region_nation",
+    "shipping_priority",
+    "returned_items",
+    "distinct_customers_salted",
+    "text_stats_by_lang",
+    "doc_quality_scores",
+    "token_topk",
+    "lang_id_heuristic",
+    "embedding_near_dup_pairs",
+    "bpe_token_topk",
+    "doc_winnow_fingerprints",
+    "corpus_clean_pipeline",
+    "media_manifest",
+    "media_features",
+    "media_frame_sample",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "standings_stream",
+    "event_sessions",
+    "clicks_last_error",
+    "purchases_in_sessions",
+    "events_time_rollup",
+    "doc_repetition_scores",
+    "stratified_sample",
+    "events_sliding",
+    "events_hourly_gapfill",
+    "latest_event_snapshot",
+    "events_trailing_hour_window",
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
+    "ivfpq_ann_topk",
+    "source_shingle_kmv",
+    "incremental_ingest_dedup",
+    "leakage_safe_split",
+    "hard_negative_mining",
+    "token_budget_pack",
+    "source_overlap_matrix",
+    "source_minhash_similarity",
+    "near_dup_rate_by_source",
+    "ivf2_ann_topk",
 }
 
 
