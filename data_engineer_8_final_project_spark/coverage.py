@@ -655,7 +655,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "dedup-clustering": ["query:dup_clusters"],
     "dedup-streaming": [
         "query:dedup_stream",
+        # bounded-state production variant: within-horizon dups
+        # suppressed, aged-out replays re-emitted, both oracle-pinned
+        "query:dedup_stream_watermarked",
         "test:tests/test_streaming.py::test_drop_duplicates_within_watermark_bounded_state",
+        "test:tests/test_streaming.py::test_wmdedup_state_bounded_vs_plain_dropduplicates",
     ],
     "sampling-hash-split": ["query:hash_split_assignments"],
     "sequence-packing": ["query:sequence_packing"],

@@ -372,6 +372,64 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_stream_watermarked",
+    oracle="""
+    -- dropDuplicatesWithinWatermark over the duplicate-delivery replay
+    -- (streaming/events.py:_stage_wmdedup_replay), audited per event
+    -- hour. The replay plants, with integer epoch-us cuts over
+    -- span = hi - lo and watermark delay = span//4:
+    --   * copies of [lo+3s/8, mid) shifted +s/16 arriving in batch 2
+    --     -> SUPPRESSED (on-time dup, key state live)
+    --   * copies of [lo+2s/8, lo+3s/8) at original ts in batch 3
+    --     -> SUPPRESSED (late dup, key state live)
+    --   * copies of the first eighth shifted +7s/8 in batch 4
+    --     -> RE-EMITTED (state aged out: the bounded-state trade-off)
+    -- So emitted = originals + aged-out replays; arrived = originals +
+    -- all three planted sets at their replayed timestamps.
+    WITH b AS (SELECT ts, epoch_us(ts) AS us FROM events),
+    bd AS (SELECT MIN(us) AS lo, MAX(us) - MIN(us) AS s FROM b),
+    arrived AS (
+      SELECT ts FROM b
+      UNION ALL
+      SELECT make_timestamp(us + s//16) FROM b, bd
+       WHERE us >= lo + 3*s//8 AND us < lo + s//2
+      UNION ALL
+      SELECT ts FROM b, bd
+       WHERE us >= lo + 2*s//8 AND us < lo + 3*s//8
+      UNION ALL
+      SELECT make_timestamp(us + 7*s//8) FROM b, bd WHERE us < lo + s//8
+    ),
+    emitted AS (
+      SELECT ts FROM b
+      UNION ALL
+      SELECT make_timestamp(us + 7*s//8) FROM b, bd WHERE us < lo + s//8
+    ),
+    a AS (SELECT date_trunc('hour', ts) AS window_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_arrived
+          FROM arrived GROUP BY 1),
+    e AS (SELECT date_trunc('hour', ts) AS window_start,
+                 CAST(COUNT(*) AS BIGINT) AS n_emitted
+          FROM emitted GROUP BY 1)
+    SELECT a.window_start, a.n_arrived,
+           CAST(COALESCE(e.n_emitted, 0) AS BIGINT) AS n_emitted,
+           CAST(a.n_arrived - COALESCE(e.n_emitted, 0) AS BIGINT) AS n_suppressed
+    FROM a LEFT JOIN e USING (window_start)
+    ORDER BY window_start
+    """,
+    survey_ref="§2.9 T3 extended: bounded-state streaming dedup (dropDuplicatesWithinWatermark)",
+)
+def q_dedup_stream_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (unbounded-feed) variant of ``dedup_stream``:
+    state is bounded by the watermark horizon instead of growing with
+    the corpus, at the cost of re-emitting duplicates redelivered after
+    their state aged out. The oracle hash-pins both sides of that
+    trade-off: every within-horizon duplicate suppressed, every
+    aged-out replay re-emitted (see streaming/events.py for the probed
+    operator semantics the replay is built on)."""
+    return ev.dedup_stream_watermarked(spark, sf_dir)
+
+
+@register(
     "doc_repetition_scores",
     oracle=f"""
     -- Gopher-style repetition gate over bigrams (the corpus is a

@@ -274,6 +274,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_logprob",
     "weighted_sample_topk",
     "weighted_sample_per_source",
+    # -- new in r12 (no driver evidence yet; joins the r13 rotation) --
+    "dedup_stream_watermarked",
 )
 
 def all_queries() -> dict[str, Query]:

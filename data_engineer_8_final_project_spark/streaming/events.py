@@ -501,6 +501,23 @@ def _stage_wmdrop_replay(spark: SparkSession, sf_dir: str) -> str:
         ).collect()[0]  # bounded: two scalars
         mid_us = lo_us + (hi_us - lo_us) // 2
         eighth_us = lo_us + (hi_us - lo_us) // 8
+        # Precondition (ADVICE r11): every planted copy (first eighth)
+        # must be DROPPABLE — its hour window has to end at least
+        # ``delay`` before the watermark high-point, with one extra
+        # window of margin. On a short-span fixture some copies would
+        # silently survive and the query would fail its oracle with an
+        # unexplained hash mismatch instead of this error.
+        delay_us = 3_600_000_000  # watermark_drop_audit's "1 hour" default
+        window_us = 3_600_000_000
+        eighth_window_end = ((eighth_us + window_us - 1) // window_us) * window_us
+        if eighth_window_end + delay_us + window_us > hi_us:
+            raise AssertionError(
+                "wmdrop replay precondition: the events fixture spans "
+                f"{(hi_us - lo_us) / 3.6e9:.2f}h but the planted-late design needs "
+                "hour_ceil(lo + span/8) + 1h delay + 1h window <= hi "
+                "(roughly a >=2.5h span) so every planted copy is behind "
+                "the watermark; use a longer-span fixture"
+            )
         shutil.rmtree(stage, ignore_errors=True)
         us = F.unix_micros(F.col("ts"))
         chunks = [
@@ -583,6 +600,185 @@ def watermark_drop_audit(
             F.col("n_observed").cast("long").alias("n_observed"),
             n_on_time.alias("n_on_time"),
             (F.col("n_observed") - n_on_time).cast("long").alias("n_dropped_late"),
+        )
+        .orderBy("window_start")
+    )
+
+
+#: wmdedup stage dirs already scheduled for atexit removal.
+_WMDEDUP_STAGES: set[str] = set()
+
+
+def _stage_wmdedup_replay(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Stage the events fixture as a duplicate-delivery replay for
+    ``dropDuplicatesWithinWatermark``. Returns ``(stage_dir, delay_us)``.
+
+    Four micro-batches with pinned strictly-increasing mtimes; all cuts
+    integer epoch-microsecond arithmetic (``lo + k*span//8``) so the
+    DuckDB oracle replays the planted sets bit-exactly. With
+    ``delay = span//4`` (watermark horizon, ~7.5 days on the 30-day
+    fixture — margins are span-proportional, no absolute-time
+    precondition):
+
+    1. originals with ``us < mid``                      → all EMITTED
+    2. originals with ``us >= mid``, PLUS copies of every event in
+       ``[lo+3s/8, mid)`` shifted ``+s/16``             → copies
+       SUPPRESSED: on-time duplicates whose key state is live
+       (expiry >= lo+5s/8 > the batch's watermark lo+s/4)
+    3. copies of every event in ``[lo+2s/8, lo+3s/8)`` at their
+       ORIGINAL ts                                      → SUPPRESSED:
+       late (behind watermark hi-s/4) but the key state is live, and
+       the operator checks state before the late filter (probed
+       empirically: late+state-hit suppresses with
+       numRowsDroppedByWatermark = 0)
+    4. copies of every event in the first EIGHTH shifted ``+7s/8``
+       (on-time: >= lo+7s/8 > watermark lo+3s/4)        → RE-EMITTED:
+       their key state aged out (expiry < lo+3s/8, evicted at the end
+       of batch 3) — the bounded-state trade-off of
+       ``dropDuplicatesWithinWatermark`` made visible
+
+    Probed operator semantics this staging relies on (PySpark 4.1):
+    the first arrival is emitted immediately in append mode; suppressed
+    duplicates do NOT refresh state expiry; state eviction runs at
+    END of batch with the batch's watermark (so a re-arrival in the
+    same batch as its eviction is still suppressed — batches 3/4 are
+    therefore separate).
+    """
+    import atexit
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from .. import staging
+    from ..catalog import _assert_events_ts_format
+
+    src = os.path.join(sf_dir, "events.parquet")
+    _assert_events_ts_format(src)
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"wmdedup-v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    staging.sweep_stale_stage_dirs("spark_graft_wmdedup_")
+    stage = os.path.join(tempfile.gettempdir(), f"spark_graft_wmdedup_{key}")
+    done = os.path.join(stage, "_staged_ok")
+    if stage not in _WMDEDUP_STAGES:
+        _WMDEDUP_STAGES.add(stage)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    if not os.path.exists(done):
+        batch = spark.read.schema(EVENTS).parquet(src)
+        lo_us, hi_us, n_rows, n_keys = batch.agg(
+            F.min(F.unix_micros("ts")),
+            F.max(F.unix_micros("ts")),
+            F.count(F.lit(1)),
+            F.count_distinct("event_id"),
+        ).collect()[0]  # bounded: four scalars
+        # The oracle models "one emit per original + one per aged-out
+        # replay", which requires the dedup key be unique in the source.
+        if n_rows != n_keys:
+            raise AssertionError(
+                f"wmdedup replay precondition: event_id must be unique in "
+                f"{src} ({n_rows} rows, {n_keys} distinct ids)"
+            )
+        span = hi_us - lo_us
+        if span < 64:  # degenerate: every span//k cut collapses
+            raise AssertionError(
+                f"wmdedup replay precondition: events span {span}us is too "
+                "short for the span//16 planting cuts"
+            )
+        mid = lo_us + span // 2
+        us = F.unix_micros(F.col("ts"))
+        # filter on the ORIGINAL ts BEFORE shifting — a post-withColumn
+        # filter on unix_micros("ts") would resolve against the shifted
+        # column and select the wrong slice
+        shifted = lambda cond, delta: batch.filter(cond).withColumn(  # noqa: E731
+            "ts", F.timestamp_micros(us + F.lit(delta))
+        )
+        chunks = [
+            batch.filter(us < mid),
+            batch.filter(us >= mid).unionByName(
+                shifted((us >= lo_us + 3 * span // 8) & (us < mid), span // 16)
+            ),
+            batch.filter((us >= lo_us + 2 * span // 8) & (us < lo_us + 3 * span // 8)),
+            shifted(us < lo_us + span // 8, 7 * span // 8),
+        ]
+        shutil.rmtree(stage, ignore_errors=True)
+        staged: set[str] = set()
+        for i, chunk in enumerate(chunks):
+            chunk.coalesce(1).write.mode("append").parquet(stage)
+            # whole seconds: coarse-fs safe
+            staging.pin_new_file_mtimes(stage, st.st_mtime + 1 + i, staged)
+        with open(done, "w") as f:
+            json.dump({"delay_us": span // 4}, f)
+    with open(done) as f:
+        return stage, json.load(f)["delay_us"]
+
+
+def dedup_stream_watermarked(
+    spark: SparkSession,
+    sf_dir: str,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    over the duplicate-delivery replay, audited per hour window.
+
+    The production variant of ``dedup_stream`` (whose plain
+    ``dropDuplicates`` keeps one state row per distinct key FOREVER —
+    unbounded on an unbounded feed): state is evicted once the
+    watermark passes ``first_seen_ts + delay``, so duplicates
+    redelivered within the horizon are suppressed while state stays
+    proportional to the horizon, not the corpus. The cost of that
+    bound is visible in the output: the aged-out replays (batch 4 of
+    :func:`_stage_wmdedup_replay`) are RE-EMITTED.
+
+    Output per event-hour: ``n_arrived`` (all replayed rows, planted
+    copies included, at their replayed ts) / ``n_emitted`` (rows the
+    dedup stream actually passed) / ``n_suppressed`` (the difference).
+    The DuckDB oracle replays the planted-set rules bit-exactly, so the
+    strict hash pins that the stream suppressed ALL within-horizon
+    duplicates and ONLY those — a run that deduped nothing, or that
+    also swallowed the aged-out replays (i.e. unbounded state), both
+    hash-mismatch. Per-batch state-row counts are exposed via
+    ``progress_out``; tests/test_streaming.py pins that state SHRINKS
+    at the horizon while plain ``dropDuplicates`` state only grows.
+    """
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage, delay_us = _stage_wmdedup_replay(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", f"{delay_us} microseconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    # Keyspace scales with the corpus (one state row per live event_id)
+    # → width sized by the state-width law, like the other per-key
+    # stateful streams.
+    emitted = run_available_now(
+        stream.select("event_id", "ts"),
+        output_mode="append",
+        state_partitions=state_width_for(src),
+        progress_out=progress_out,
+    )
+    hour = lambda df: F.date_trunc("hour", df["ts"]).alias("window_start")  # noqa: E731
+    arrived = spark.read.schema(EVENTS).parquet(stage)
+    a = arrived.groupBy(hour(arrived)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrived")
+    )
+    e = emitted.groupBy(hour(emitted)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted")
+    )
+    n_emitted = F.coalesce(F.col("n_emitted"), F.lit(0)).cast("long")
+    return (
+        a.join(e, "window_start", "left")
+        .select(
+            "window_start",
+            "n_arrived",
+            n_emitted.alias("n_emitted"),
+            (F.col("n_arrived") - n_emitted).cast("long").alias("n_suppressed"),
         )
         .orderBy("window_start")
     )

@@ -402,3 +402,76 @@ def test_watermark_drop_audit_accounts_planted_late_rows(spark, sf_dir):
     )
     hi_ts = dt.datetime.fromtimestamp(hi_us / 1e6, dt.timezone.utc).replace(tzinfo=None)
     assert final_wm > hi_ts.isoformat()  # sentinel advanced the watermark past the horizon
+
+
+def test_wmdedup_state_bounded_vs_plain_dropduplicates(spark, sf_dir):
+    """The point of dropDuplicatesWithinWatermark (VERDICT r11 item 2):
+    state is bounded by the watermark horizon, where plain
+    dropDuplicates state grows monotonically with distinct keys.
+
+    Runs the duplicate-delivery replay through BOTH operators and pins,
+    from the StreamingQueryProgress state-rows counts:
+    - plain dropDuplicates: state never shrinks and ends at one row per
+      distinct (event_id, arrival) key seen — corpus-proportional;
+    - withinWatermark: eviction observed (state shrinks between
+      batches) and final state is strictly below the plain variant's;
+    - the audit output itself: every aged-out replay (first eighth,
+      shifted +7s/8) re-emitted, every within-horizon duplicate
+      suppressed — totals cross-checked against the planted-set sizes.
+    """
+    import pyspark.sql.functions as F
+
+    from data_engineer_8_final_project_spark.schemas import EVENTS
+
+    prog: list = []
+    pdf = ev.dedup_stream_watermarked(spark, sf_dir, progress_out=prog).toPandas()
+
+    events = catalog.load(spark, sf_dir)["events"]
+    lo_us, hi_us, n = events.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")), F.count(F.lit(1))
+    ).collect()[0]
+    s = hi_us - lo_us
+    us = F.unix_micros("ts")
+    n_aged_out = events.filter(us < lo_us + s // 8).count()  # re-emitted
+    n_caught = events.filter(
+        (us >= lo_us + 3 * s // 8) & (us < lo_us + s // 2)
+    ).count()  # on-time dups, suppressed
+    n_late = events.filter(
+        (us >= lo_us + 2 * s // 8) & (us < lo_us + 3 * s // 8)
+    ).count()  # late dups with live state, suppressed
+    assert min(n_aged_out, n_caught, n_late) > 0  # every story planted
+
+    assert int(pdf["n_arrived"].sum()) == n + n_aged_out + n_caught + n_late
+    assert int(pdf["n_emitted"].sum()) == n + n_aged_out
+    assert int(pdf["n_suppressed"].sum()) == n_caught + n_late
+    assert (pdf["n_arrived"] == pdf["n_emitted"] + pdf["n_suppressed"]).all()
+
+    def state_rows(progress):
+        return [
+            op["numRowsTotal"]
+            for p in progress
+            for op in p.get("stateOperators", [])
+            if p["numInputRows"] > 0 or op["numRowsTotal"] > 0
+        ]
+
+    wm_rows = state_rows(prog)
+    # eviction observed: state shrank between at least one batch pair
+    assert any(b < a for a, b in zip(wm_rows, wm_rows[1:])), wm_rows
+
+    # plain dropDuplicates over the SAME replay: state only grows
+    stage, _delay_us = ev._stage_wmdedup_replay(spark, sf_dir)
+    plain_prog: list = []
+    plain = ev.run_available_now(
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .dropDuplicates(["event_id"])
+        .select("event_id"),
+        output_mode="append",
+        progress_out=plain_prog,
+    )
+    assert plain.count() == n  # one emit per key, aged-out replays swallowed
+    plain_rows = state_rows(plain_prog)
+    assert all(b >= a for a, b in zip(plain_rows, plain_rows[1:])), plain_rows
+    assert plain_rows[-1] == n  # one state row per distinct key, forever
+    assert wm_rows[-1] < plain_rows[-1]  # the bound, made visible
