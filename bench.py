@@ -135,8 +135,14 @@ def main() -> None:
     # every query whose provisional median is under 2 s two extra
     # interleaved passes over just that light subset: 5 reps instead
     # of 3, separated by only light work, tightens the median and the
-    # recorded band at a cost of a few seconds total.
-    micro = [n for n, ts in reps.items() if ts and statistics.median(ts) < 2.0]
+    # recorded band at a cost of a few seconds total. The threshold is
+    # HOST-NORMALIZED (r11 ADVICE): a raw 2.0 s cut would shift the
+    # micro-set membership with host speed, so the same query could be
+    # 5-rep light-contention sampled one round and 3-rep full-
+    # interleave sampled the next — a regime change that biases
+    # cross-round sub-2 s ratios (PROBES.md).
+    micro_cut = 2.0 * (host_factor if host_factor > 0 else 1.0)
+    micro = [n for n, ts in reps.items() if ts and statistics.median(ts) < micro_cut]
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_PASSES", "2"))):
         if time.perf_counter() - bench_t0 > budget or passes_done < n_passes:
             break

@@ -78,6 +78,12 @@ def main() -> None:
     ap.add_argument("--procs", type=int, default=3)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="also write the result record to this path (machine consumers: "
+        "scale_round.py bakes isolated medians into bench_spread.json)",
+    )
     args = ap.parse_args()
 
     if args.child:
@@ -134,7 +140,11 @@ def main() -> None:
                 "host_factors": factors,
                 "n": len(raw),
             }
-    print(json.dumps({"sf": args.sf, "results": results}, indent=1))
+    record = {"sf": args.sf, "results": results}
+    print(json.dumps(record, indent=1))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(record, f)
 
 
 if __name__ == "__main__":

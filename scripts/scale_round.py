@@ -71,8 +71,24 @@ def pick_slowest(medians: dict[str, float], n: int = 5) -> list[str]:
     return [name for name, _ in sorted(medians.items(), key=lambda kv: -kv[1])[:n]]
 
 
+def parallelism_mismatch(cur: dict, prev: dict) -> bool:
+    """True when both records carry probe_parallelism and they differ.
+
+    The host probe is 'only comparable across rounds at MATCHING
+    parallelism' (bench.py docstring, PROBES.md): PROBE_REFERENCE_SEC
+    was measured at 32 threads, so a factor probed at a different
+    defaultParallelism silently skews every normalized verdict (r11
+    ADVICE). Missing on either side (pre-r10 records) is treated as
+    compatible — there is nothing to compare. The in-round slowest-five
+    pick is unaffected either way: dividing every median by one
+    constant cannot change their order.
+    """
+    cp, pp = cur.get("probe_parallelism"), prev.get("probe_parallelism")
+    return cp is not None and pp is not None and cp != pp
+
+
 def find_regressions(
-    cur: dict, prev: dict, threshold: float = 1.25
+    cur: dict, prev: dict, threshold: float = 1.25, iqr_veto: bool = True
 ) -> list[dict]:
     """Host-normalized cross-round regression candidates.
 
@@ -86,8 +102,29 @@ def find_regressions(
     correct mask a true move. Since r11 the CURRENT side also gets an
     IQR veto — a current median whose own (normalized) interquartile
     band still reaches down into the prior band is a contention-skewed
-    sample, not a move.
+    sample, not a move. ``iqr_veto=False`` skips that third gate: the
+    two-gate set is what scale_round routes to the isolated fresh-
+    process A/B, so the bench artifact carries the adjudication instead
+    of owing it (VERDICT r11 item 4).
+
+    When the two rounds were probed at DIFFERENT parallelism the host
+    factors are not comparable (r11 ADVICE): the comparison falls back
+    to RAW medians/bands (factors forced to 1.0), every finding is
+    tagged ``"parallelism_mismatch": True``, and the caller must route
+    the result to the isolated A/B instead of reporting it as a
+    normalization-based verdict.
     """
+    mismatch = parallelism_mismatch(cur, prev)
+    if mismatch:
+        print(
+            "WARNING: probe_parallelism differs between rounds "
+            f"(cur={cur.get('probe_parallelism')} prev={prev.get('probe_parallelism')}) "
+            "— host factors are NOT comparable; falling back to raw medians "
+            "and deferring every verdict to the isolated A/B protocol",
+            file=sys.stderr,
+        )
+        cur = {**cur, "host_factor": 1.0}
+        prev = {**prev, "host_factor": 1.0}
     cur_norm, prev_norm = normalized_medians(cur), normalized_medians(prev)
     cur_f = cur.get("host_factor") or 1.0
     prev_f = prev.get("host_factor") or 1.0
@@ -107,19 +144,21 @@ def find_regressions(
             continue
         iqr_lo_raw = cur_iqr.get(name, [None, None])[0]
         if (
-            band_hi is not None
+            iqr_veto
+            and band_hi is not None
             and iqr_lo_raw is not None
             and iqr_lo_raw / cur_f <= band_hi
         ):
             continue
-        out.append(
-            {
-                "query": name,
-                "prev_norm_s": round(prev_n, 4),
-                "cur_norm_s": round(cur_n, 4),
-                "ratio": round(ratio, 3),
-            }
-        )
+        rec = {
+            "query": name,
+            "prev_norm_s": round(prev_n, 4),
+            "cur_norm_s": round(cur_n, 4),
+            "ratio": round(ratio, 3),
+        }
+        if mismatch:
+            rec["parallelism_mismatch"] = True
+        out.append(rec)
     return sorted(out, key=lambda r: -r["ratio"])
 
 
@@ -176,6 +215,76 @@ def previous_spread_record(
     return None
 
 
+def adjudicate_isolated(
+    names: list[str], sf_dir: str | None = None, skip: bool = False
+) -> dict[str, dict]:
+    """Fresh-process isolated medians for the two-gate flagged queries.
+
+    Runs scripts/isolated_query_ab.py (2 procs x 2 reps per query — the
+    committed adjudication protocol) and returns its per-query results;
+    empty when nothing is flagged, the harness fails, or ``skip``.
+    """
+    if not names or skip:
+        return {}
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        json_out = tf.name
+    cmd = [
+        sys.executable,
+        os.path.join(ROOT, "scripts", "isolated_query_ab.py"),
+        *names,
+        "--procs",
+        "2",
+        "--reps",
+        "2",
+        "--json-out",
+        json_out,
+    ]
+    if sf_dir:
+        cmd += ["--sf", sf_dir]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(
+            f"isolated A/B failed (exit {proc.returncode}); flagged queries "
+            f"stay unadjudicated this round\n{proc.stderr[-2000:]}",
+            file=sys.stderr,
+        )
+        return {}
+    try:
+        results = json.load(open(json_out)).get("results", {})
+    except (ValueError, OSError):
+        return {}
+    finally:
+        os.unlink(json_out)
+    return results
+
+
+def bake_isolated_medians(results: dict[str, dict], paths: list[str]) -> None:
+    """Merge ``isolated_median`` per query into each spread file.
+
+    The key sits beside ``spread``/``iqr`` so cross-round consumers see
+    the adjudicated steady-state, not just the contended interleaved
+    sample. Files that are missing or unparsable are skipped — baking
+    must never corrupt a good archive with a half-write.
+    """
+    for path in paths:
+        rec = load_spread(path)
+        if rec is None:
+            continue
+        slot = rec.setdefault("isolated_median", {})
+        for name, r in results.items():
+            slot[name] = {
+                "raw_s": r["median_raw_s"],
+                "norm_s": r["median_norm_s"],
+                "n": r["n"],
+            }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -183,6 +292,11 @@ def main() -> None:
     ap.add_argument("--factors", nargs="+", type=int, default=[1, 8, 64])
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--keep", default=None)
+    ap.add_argument(
+        "--skip-isolated",
+        action="store_true",
+        help="skip the automatic isolated A/B for gate-flagged queries",
+    )
     args = ap.parse_args()
 
     cur, cur_path = newest_spread_record()
@@ -219,6 +333,18 @@ def main() -> None:
 
     prev = previous_spread_record(args.round, exclude_path=cur_path) if cur else None
     regressions = find_regressions(cur, prev) if cur and prev else []
+    # Two-gate flagged set (ratio + prior-band exit, IQR veto off):
+    # every member gets an automatic isolated fresh-process A/B and the
+    # isolated median is baked into the spread files, so BENCH_r{N}
+    # carries the adjudication instead of owing it (VERDICT r11 item 4).
+    flagged = (
+        find_regressions(cur, prev, iqr_veto=False) if cur and prev else []
+    )
+    isolated = adjudicate_isolated(
+        [f["query"] for f in flagged], sf_dir=None, skip=args.skip_isolated
+    )
+    if isolated:
+        bake_isolated_medians(isolated, [live, archive])
 
     cmd = [
         sys.executable,
@@ -263,21 +389,58 @@ def main() -> None:
     lines += ["", "## Host-normalized cross-round regression check", ""]
     if prev is None:
         lines.append("No archived prior-round spread to compare against.")
-    elif not regressions:
+    else:
+        if cur and parallelism_mismatch(cur, prev):
+            lines.append(
+                f"**probe_parallelism mismatch** (cur "
+                f"{cur.get('probe_parallelism')} vs prev "
+                f"{prev.get('probe_parallelism')}): host factors not "
+                "comparable — verdicts below are raw-median candidates "
+                "deferred to the isolated A/B, not normalized findings."
+            )
+        if not regressions:
+            lines.append(
+                f"No query's normalized median is >=1.25x its prior-round value "
+                f"outside the prior noise band (prev host_factor "
+                f"{prev.get('host_factor', 1.0)})."
+            )
+        else:
+            lines += [
+                "| query | prev norm s | cur norm s | ratio |",
+                "|---|---|---|---|",
+                *[
+                    f"| {r['query']} | {r['prev_norm_s']} | {r['cur_norm_s']} | {r['ratio']} |"
+                    for r in regressions
+                ],
+            ]
+    lines += ["", "## Gate-flagged isolated adjudication", ""]
+    if not flagged:
+        lines.append("No query cleared the two raw gates (ratio + prior-band exit).")
+    elif not isolated:
         lines.append(
-            f"No query's normalized median is >=1.25x its prior-round value "
-            f"outside the prior noise band (prev host_factor "
-            f"{prev.get('host_factor', 1.0)})."
+            f"Flagged but NOT adjudicated this run "
+            f"({'--skip-isolated' if args.skip_isolated else 'isolated A/B failed'}): "
+            + ", ".join(f["query"] for f in flagged)
         )
     else:
         lines += [
-            "| query | prev norm s | cur norm s | ratio |",
-            "|---|---|---|---|",
-            *[
-                f"| {r['query']} | {r['prev_norm_s']} | {r['cur_norm_s']} | {r['ratio']} |"
-                for r in regressions
-            ],
+            "Isolated fresh-process medians (2 procs x 2 reps, baked into "
+            "bench_spread.json as `isolated_median`):",
+            "",
+            "| query | ratio (interleaved) | isolated norm s | prev norm s | verdict |",
+            "|---|---|---|---|---|",
         ]
+        for f in flagged:
+            iso = isolated.get(f["query"])
+            if iso is None:
+                lines.append(f"| {f['query']} | {f['ratio']} | — | {f['prev_norm_s']} | no isolated data |")
+                continue
+            cleared = iso["median_norm_s"] <= f["prev_norm_s"] * 1.25
+            verdict = "cleared (contention/JIT)" if cleared else "REGRESSION CONFIRMED"
+            lines.append(
+                f"| {f['query']} | {f['ratio']} | {iso['median_norm_s']} "
+                f"| {f['prev_norm_s']} | {verdict} |"
+            )
     text = "\n".join(lines) + "\n"
     dest = os.path.join(ROOT, f"SCALE_r{args.round}.md")
     open(dest, "w").write(text)

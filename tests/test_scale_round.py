@@ -187,3 +187,73 @@ def test_find_regressions_invariant_under_uniform_host_rescale():
         assert base == rescaled
 
     check()
+
+
+def test_parallelism_mismatch_detection():
+    # Present-and-unequal -> mismatch; missing on either side (pre-r10
+    # records) -> nothing to compare, treated as compatible.
+    a = _rec({"q": 1.0})
+    b = _rec({"q": 1.0})
+    assert not scale_round.parallelism_mismatch(a, b)
+    a["probe_parallelism"] = 32
+    assert not scale_round.parallelism_mismatch(a, b)
+    b["probe_parallelism"] = 16
+    assert scale_round.parallelism_mismatch(a, b)
+    b["probe_parallelism"] = 32
+    assert not scale_round.parallelism_mismatch(a, b)
+
+
+def test_find_regressions_defers_on_parallelism_mismatch(capsys):
+    # r11 ADVICE: a round probed at different parallelism must not get
+    # normalization-based verdicts. Factors are forced to 1.0 (raw
+    # compare), findings are tagged for isolated-A/B routing, and a
+    # loud warning lands on stderr. Here the 1.4x raw move would be
+    # fully explained by the slow host IF the factors were comparable —
+    # under mismatch it must surface as a deferred candidate instead of
+    # being silently normalized away.
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.9, 1.1]})
+    cur = _rec({"q": 1.4}, host_factor=1.4)
+    prev["probe_parallelism"] = 32
+    cur["probe_parallelism"] = 8
+    regs = scale_round.find_regressions(cur, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    assert regs[0]["parallelism_mismatch"] is True
+    assert regs[0]["ratio"] == 1.4  # raw, not normalized
+    assert "probe_parallelism differs" in capsys.readouterr().err
+    # matching parallelism: normalized away as before, no tag
+    cur["probe_parallelism"] = 32
+    assert scale_round.find_regressions(cur, prev) == []
+
+
+def test_find_regressions_iqr_veto_switch():
+    # The two-gate set (iqr_veto=False) is what gets routed to the
+    # isolated A/B: a current-IQR-vetoed query must still appear there.
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.9, 1.1]})
+    cur = _rec({"q": 1.5}, host_factor=1.0)
+    cur["iqr"] = {"q": [1.05, 1.7]}  # reaches into the prior band
+    assert scale_round.find_regressions(cur, prev) == []
+    flagged = scale_round.find_regressions(cur, prev, iqr_veto=False)
+    assert [r["query"] for r in flagged] == ["q"]
+
+
+def test_bake_isolated_medians_merges_without_corruption(tmp_path):
+    p = tmp_path / "bench_spread.json"
+    rec = _rec({"q": 1.5, "r": 0.5})
+    p.write_text(json.dumps(rec))
+    missing = tmp_path / "nope.json"
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    scale_round.bake_isolated_medians(
+        {"q": {"median_raw_s": 1.1, "median_norm_s": 1.0, "n": 4}},
+        [str(p), str(missing), str(bad)],
+    )
+    out = json.load(open(p))
+    assert out["isolated_median"]["q"] == {"raw_s": 1.1, "norm_s": 1.0, "n": 4}
+    assert out["medians"] == {"q": 1.5, "r": 0.5}  # untouched
+    assert not missing.exists()
+    assert bad.read_text() == "{not json"  # unparsable file left alone
+
+
+def test_adjudicate_isolated_skip_and_empty():
+    assert scale_round.adjudicate_isolated([], skip=False) == {}
+    assert scale_round.adjudicate_isolated(["q"], skip=True) == {}

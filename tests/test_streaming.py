@@ -397,11 +397,17 @@ def test_watermark_drop_audit_accounts_planted_late_rows(spark, sf_dir):
         for op in p.get("stateOperators", [])
     )
     assert wm_dropped_state_rows == len(late_windows)
+    # Parse progress watermarks to datetimes before comparing (ADVICE
+    # r11): they are 'Z'-suffixed millisecond ISO strings while
+    # isoformat() emits suffix-free microseconds, so a lexicographic
+    # compare misorders equal timestamps ('Z' > any digit).
     final_wm = max(
-        p["eventTime"]["watermark"] for p in prog if p.get("eventTime", {}).get("watermark")
-    )
+        dt.datetime.fromisoformat(p["eventTime"]["watermark"].replace("Z", "+00:00"))
+        for p in prog
+        if p.get("eventTime", {}).get("watermark")
+    ).replace(tzinfo=None)
     hi_ts = dt.datetime.fromtimestamp(hi_us / 1e6, dt.timezone.utc).replace(tzinfo=None)
-    assert final_wm > hi_ts.isoformat()  # sentinel advanced the watermark past the horizon
+    assert final_wm > hi_ts  # sentinel advanced the watermark past the horizon
 
 
 def test_wmdedup_state_bounded_vs_plain_dropduplicates(spark, sf_dir):
