@@ -570,6 +570,9 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # build step clustering/SemDeDup/label-prop pipelines consume
         "query:knn_graph",
         "test:tests/test_approx.py::test_knn_graph_matches_brute_force_within_cells",
+        # the shipped hierarchical-routing plan strict-hashes against a
+        # routing-aware DuckDB oracle at engaged scale (66 cells)
+        "test:tests/test_derived_cells.py::test_routing_arm_strict_hashes_routing_aware_oracle",
     ],
     "sampling-weighted-without-replacement": [
         # Efraimidis-Spirakis u^(1/w) keys from the md5 uniform — exact

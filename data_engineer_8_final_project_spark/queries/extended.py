@@ -918,6 +918,97 @@ def _knn_ctes(d2: str) -> str:
     )
 
 
+#: Routing-aware variant of the shared knn CTE block (VERDICT r11
+#: item 5): replays the ENGAGED hierarchical-routing assignment —
+#: parents = the first isqrt(n_cells) seeded medoids, leaf→parent
+#: grouping and both argmin levels on the same reduced ``-2·dot + c2``
+#: score with the engine's exact tie orders (level-1 tie → lower
+#: parent id, leaf tie → lower cell id; similarity.two_level_cells /
+#: two_level_assignment_sql) — then the same pairs/ranked tail. This
+#: is NOT the registered oracle (fixture SFs stay flat below
+#: ROUTING_MIN_CELLS); tests/test_derived_cells.py strict-hashes the
+#: shipped routing plan against it at engaged scale.
+_KNN_ROUTING_CTES = """    params AS (
+      SELECT GREATEST({floor}, CAST(COUNT(*) // {target} AS BIGINT)) AS n_cells,
+             CAST(floor(sqrt(GREATEST({floor},
+                  CAST(COUNT(*) // {target} AS BIGINT)))) AS BIGINT) AS n_parents
+      FROM emb),
+    cents AS (
+      SELECT vec_id AS cell, v AS cv, ROW_NUMBER() OVER (ORDER BY vec_id) AS pos
+      FROM emb ORDER BY vec_id LIMIT (SELECT n_cells FROM params)),
+    parents AS (
+      SELECT cell AS pid, cv AS pv FROM cents
+      WHERE pos <= (SELECT n_parents FROM params)),
+    leafgrp AS (
+      SELECT cell, cell AS pid FROM cents
+      WHERE pos <= (SELECT n_parents FROM params)
+      UNION ALL
+      SELECT cell, pid FROM (
+        SELECT c.cell, p.pid,
+               ROW_NUMBER() OVER (PARTITION BY c.cell
+                 ORDER BY {d2p_leaf} ASC, p.pid ASC) AS rn
+        FROM cents c CROSS JOIN parents p
+        WHERE c.pos > (SELECT n_parents FROM params)) t
+      WHERE rn = 1),
+    vparent AS (
+      SELECT vec_id, pid FROM (
+        SELECT e.vec_id, p.pid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2p} ASC, p.pid ASC) AS rn
+        FROM emb e CROSS JOIN parents p) t
+      WHERE rn = 1),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {d2} ASC, c.cell ASC) AS rn
+        FROM emb e
+        JOIN vparent vp ON vp.vec_id = e.vec_id
+        JOIN leafgrp g ON g.pid = vp.pid
+        JOIN cents c ON c.cell = g.cell) t
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cosine
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+      FROM pairs
+    )"""
+
+
+def _knn_graph_routing_oracle(k: int) -> str:
+    """knn_graph with the ROUTING arm's assignment replayed bit-exactly
+    (same reduced-d2 score, same literal-centroid values via the
+    parquet source, same tie orders at both levels). Engaged-scale
+    evidence for the shipped two-level plan — the registered query
+    keeps the flat oracle because every fixture SF derives <
+    ROUTING_MIN_CELLS cells."""
+    d2 = "-2*list_dot_product(e.v, c.cv) + list_dot_product(c.cv, c.cv)"
+    d2p = "-2*list_dot_product(e.v, p.pv) + list_dot_product(p.pv, p.pv)"
+    d2p_leaf = "-2*list_dot_product(c.cv, p.pv) + list_dot_product(p.pv, p.pv)"
+    ctes = _KNN_ROUTING_CTES.format(
+        floor=similarity.CELL_FLOOR,
+        target=similarity.CELL_TARGET,
+        d2=d2,
+        d2p=d2p,
+        d2p_leaf=d2p_leaf,
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+{ctes}
+    SELECT src, CAST(rnk AS BIGINT) AS nn_rank, dst, cosine FROM ranked
+    WHERE rnk <= {k}
+    ORDER BY src, nn_rank
+    """
+
+
 def _knn_cells(sf_dir: str) -> tuple[int, int | None]:
     """(n_cells, n_parents) for the knn family at this fixture: cell
     count derived from the embeddings row count (parquet footer — no
