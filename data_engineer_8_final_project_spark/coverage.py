@@ -715,7 +715,10 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "stream-stream-join": ["query:view_click_stream_join"],
     "stream-static-join": ["query:events_by_segment_stream"],
     "rocksdb-state-store": [
-        "test:tests/test_streaming.py::test_rocksdb_state_store_matches_default"
+        "test:tests/test_streaming.py::test_rocksdb_state_store_matches_default",
+        # changelog checkpointing (per-batch state deltas + resume):
+        # the production recovery path for large state
+        "test:tests/test_streaming.py::test_rocksdb_changelog_checkpointing_resume",
     ],
     "watermark-drop-observability": [
         # late-data accounting per window on a planted-late replay:

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from data_engineer_8_final_project_spark import catalog
 from data_engineer_8_final_project_spark.streaming import events as ev
 
@@ -481,3 +483,80 @@ def test_wmdedup_state_bounded_vs_plain_dropduplicates(spark, sf_dir):
     assert all(b >= a for a, b in zip(plain_rows, plain_rows[1:])), plain_rows
     assert plain_rows[-1] == n  # one state row per distinct key, forever
     assert wm_rows[-1] < plain_rows[-1]  # the bound, made visible
+
+
+def test_rocksdb_changelog_checkpointing_resume(spark, sf_dir, tmp_path):
+    """VERDICT r11 stretch item 8: Spark 4's RocksDB changelog
+    checkpointing is the production recovery path for large state —
+    per-batch deltas (.changelog files) land in the checkpoint instead
+    of full snapshot uploads, and restart replays snapshot + changelog.
+
+    Replay half the events into a windowed aggregation under
+    RocksDB + changelogCheckpointing with an explicit checkpoint, then
+    deliver the second half and RESUME from that checkpoint: the
+    resumed complete-mode emission must equal the full-data batch
+    aggregate — counts covering only the second half would mean the
+    changelog-recovered state was lost. Also pins that changelog files
+    actually materialized (the knob engaged, not silently ignored).
+    """
+    import glob as _glob
+
+    events = catalog.load(spark, sf_dir)["events"]
+    half_a = events.filter("event_id % 2 = 0")
+    half_b = events.filter("event_id % 2 = 1")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    half_a.coalesce(1).write.mode("append").parquet(src)
+
+    want = sorted(
+        (r.window_start, r.event_type, r.n_events)
+        for r in ev.hourly_window_agg(events).collect()
+    )
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+
+    def run(name):
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            ev.hourly_window_agg(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        run("clog_first")
+        first = sorted(
+            (r.window_start, r.event_type, r.n_events)
+            for r in spark.sql("select * from clog_first").collect()
+        )
+        assert first == sorted(
+            (r.window_start, r.event_type, r.n_events)
+            for r in ev.hourly_window_agg(half_a).collect()
+        )
+        # the knob engaged: per-batch deltas exist in the state checkpoint
+        changelogs = _glob.glob(os.path.join(ckpt, "state", "**", "*.changelog"),
+                                recursive=True)
+        assert changelogs, "changelog checkpointing enabled but no .changelog written"
+
+        half_b.coalesce(1).write.mode("append").parquet(src)
+        run("clog_resumed")  # recovery: snapshot + changelog replay
+        got = sorted(
+            (r.window_start, r.event_type, r.n_events)
+            for r in spark.sql("select * from clog_resumed").collect()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v else spark.conf.unset(k)
+    assert got == want and len(got) > 0
