@@ -720,6 +720,11 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         # the production recovery path for large state
         "test:tests/test_streaming.py::test_rocksdb_changelog_checkpointing_resume",
     ],
+    "state-store-introspection": [
+        # Spark 4 state data source: batch-read a checkpoint's live
+        # state; pinned equal to the batch aggregate it mirrors
+        "test:tests/test_streaming.py::test_statestore_reader_exposes_live_aggregation_state",
+    ],
     "watermark-drop-observability": [
         # late-data accounting per window on a planted-late replay:
         # the oracle hash-pins that the watermark dropped exactly the

@@ -560,3 +560,42 @@ def test_rocksdb_changelog_checkpointing_resume(spark, sf_dir, tmp_path):
         for k, v in saved.items():
             spark.conf.set(k, v) if v else spark.conf.unset(k)
     assert got == want and len(got) > 0
+
+
+def test_statestore_reader_exposes_live_aggregation_state(spark, sf_dir, tmp_path):
+    """Spark 4 state data source: `spark.read.format("statestore")` over
+    a checkpoint is the production tool for inspecting (and debugging)
+    live streaming state without stopping the query. Pin that the state
+    it exposes for the hourly windowed aggregation IS the aggregation:
+    one state row per (window, event_type) carrying the running
+    count/sums, exactly matching the batch groupBy over the same data —
+    so state-surgery tooling built on this reader sees true values.
+    """
+    events = catalog.load(spark, sf_dir)["events"]
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        ev.hourly_window_agg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sds_probe")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # state value struct = the agg's INTERNAL buffers in declaration
+    # order: count(1), sum(value) UNROUNDED (round() applies on emit),
+    # sum(k) — read positionally (the two sums share a field name).
+    got = sorted(
+        (r.key[0][0], r.key[1], r.value[0], round(r.value[1], 2), r.value[2])
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    )
+    want = sorted(
+        (r.window_start, r.event_type, r.n_events, r.sum_value, r.sum_k)
+        for r in ev.hourly_window_agg(events).collect()
+    )
+    assert got == want and len(got) > 0
