@@ -385,10 +385,13 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay produces exactly the batch join result.
     """
     def side(evt: str, prefix: str) -> DataFrame:
+        # through read_events_stream, NOT a raw pathGlobFilter reader:
+        # on a directory-shaped events.parquet (the scale harness's
+        # shape) the glob matches nothing and the stream silently
+        # replays ZERO rows — caught when the r12 64x leg finished in
+        # 3.5 s (the r11 session-stream finding, unapplied here)
         return (
-            spark.readStream.schema(EVENTS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            read_events_stream(spark, sf_dir)
             .filter(F.col("event_type") == evt)
             .select(
                 F.col("event_id").alias(f"{prefix}_event_id"),
@@ -434,13 +437,10 @@ def segment_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir}/customer.parquet")
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
     )
-    enriched = (
-        spark.readStream.schema(EVENTS)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .join(segments, "user_id")
-    )
+    # read_events_stream handles directory-shaped events sources (a raw
+    # pathGlobFilter reader silently replays zero rows there — the r11
+    # session-stream finding, swept to every event-stream site in r12)
+    enriched = read_events_stream(spark, sf_dir).join(segments, "user_id")
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),

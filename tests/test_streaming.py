@@ -599,3 +599,84 @@ def test_statestore_reader_exposes_live_aggregation_state(spark, sf_dir, tmp_pat
         for r in ev.hourly_window_agg(events).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_event_streams_consume_directory_shaped_sources(spark, sf_dir, tmp_path):
+    """The scale harness writes events.parquet as a DIRECTORY of part
+    files; a raw pathGlobFilter reader matches nothing there and
+    silently replays ZERO rows. r11 fixed read_events_stream; the r12
+    64x leg caught view_click_stream_join finishing in 3.5 s because it
+    (and segment_enriched_stream) still built raw readers. Pin every
+    event-stream consumer on a directory-shaped fixture against its
+    batch equivalent — zero-row replays fail loudly here.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark import staging
+
+    events = catalog.load(spark, sf_dir)["events"]
+    d = tmp_path / "dirshaped"
+    d.mkdir()
+    # three TIME-SPLIT parts with increasing mtimes: a random split
+    # (repartition) would make later files arrive behind the watermark
+    # and the stream-stream join would drop them as late — a real
+    # semantics of out-of-order replay, but not what this test pins
+    # (directory-shaped sources must not silently replay zero rows).
+    edir = str(d / "events.parquet")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    pinned: set = set()
+    for i, cond in enumerate(
+        [F.col("ts") < t1, (F.col("ts") >= t1) & (F.col("ts") < t2), F.col("ts") >= t2]
+    ):
+        events.filter(cond).coalesce(1).write.mode("append").parquet(edir)
+        staging.pin_new_file_mtimes(edir, 1_000_000_000 + i, pinned)
+    for t in catalog.TABLE_NAMES:
+        if t == "events":
+            continue
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            os.link(src, str(d / f"{t}.parquet"))
+        except OSError:
+            shutil.copy2(src, str(d / f"{t}.parquet"))
+    sf2 = str(d)
+
+    assert ev.run_available_now(
+        ev.read_events_stream(spark, sf2), output_mode="append"
+    ).count() == events.count()
+
+    got_join = ev.view_click_stream_join(spark, sf2)
+    views = events.filter("event_type = 'view'").select(
+        F.col("event_id").alias("v_event_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    clicks = events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want_join = views.join(
+        clicks,
+        (views.user_id == clicks.c_user)
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    assert got_join.count() == want_join.count() > 0
+
+    got_seg = ev.segment_enriched_stream(spark, sf2)
+    want_seg = (
+        events.join(
+            catalog.load(spark, sf_dir)["customer"].select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .count()
+    )
+    assert got_seg.count() == want_seg.count() > 0
+    assert int(got_seg.agg(F.sum("n_events")).collect()[0][0]) == want_seg.agg(
+        F.sum("count")
+    ).collect()[0][0]
