@@ -336,6 +336,66 @@ def run_available_now(
     return out
 
 
+def run_available_now_spilled(
+    stream_df: DataFrame,
+    state_partitions: int | None = 8,
+    progress_out: list | None = None,
+) -> DataFrame:
+    """Row-level drain for streaming outputs that scale WITH the corpus.
+
+    The memory sink holds every emitted row on the driver heap, which
+    is right for bounded aggregates but caps row-per-input drains at
+    roughly the heap size (r12 finding: the 128x dedup_stream_
+    watermarked leg emitted ~14M rows and OOMed the 8g driver). This
+    variant lands each micro-batch in a temp parquet sink via
+    foreachBatch (``_epoch``-partitioned dynamic overwrite — the
+    exactly-once pattern of :func:`stream_to_parquet_exactly_once`) and
+    returns the batch read-back: emitted rows never accumulate in one
+    JVM, which is also the only shape that works on a real cluster.
+    Append-mode semantics only (each batch's NEW rows land once).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    spark = stream_df.sparkSession
+    root = tempfile.mkdtemp(prefix="spark_graft_drain_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    out_dir = os.path.join(root, "out")
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    if state_partitions:
+        spark.conf.set(key, str(state_partitions))
+    try:
+
+        def write_batch(df: DataFrame, epoch_id: int) -> None:
+            (
+                df.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(out_dir)
+            )
+
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if progress_out is not None:
+            import json as _json
+
+            progress_out.extend(_json.loads(p.json) for p in q.recentProgress)
+    finally:
+        if state_partitions:
+            spark.conf.set(key, saved)
+    return spark.read.parquet(out_dir).drop("_epoch")
+
+
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream replay → windowed agg → final table."""
     agg = hourly_window_agg(read_events_stream(spark, sf_dir))
@@ -757,9 +817,12 @@ def dedup_stream_watermarked(
     # Keyspace scales with the corpus (one state row per live event_id)
     # → width sized by the state-width law, like the other per-key
     # stateful streams.
-    emitted = run_available_now(
+    # spilled drain, not the memory sink: this stream emits one row per
+    # INPUT, so the drained volume scales with the corpus (the 128x leg
+    # OOMed the driver before this; bounded-aggregate streams keep the
+    # memory sink)
+    emitted = run_available_now_spilled(
         stream.select("event_id", "ts"),
-        output_mode="append",
         state_partitions=state_width_for(src),
         progress_out=progress_out,
     )
