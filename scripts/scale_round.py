@@ -31,6 +31,7 @@ import json
 import os
 import re
 import shutil
+import statistics
 import subprocess
 import sys
 
@@ -215,6 +216,39 @@ def previous_spread_record(
     return None
 
 
+#: Stable CONTROL queries for the isolated adjudication: cheap,
+#: code-stable paths run alongside every flagged set. If the controls
+#: inflate with the flagged queries, the host degraded in a way the
+#: calibration probe does not measure — r12 finding: child probes read
+#: 0.92-1.04 while EVERY query (flagged and control alike, all
+#: byte-identical to r11) ran 1.4-1.7x its r11 normalized median — and
+#: no isolated verdict from that window is trustworthy.
+CONTROL_QUERIES = ("ivf2_ann_topk", "rfm_segments")
+CONTROL_VETO_RATIO = 1.25
+
+
+def control_inflation(
+    isolated: dict[str, dict], prev: dict | None
+) -> tuple[dict[str, float], bool]:
+    """(per-control normalized ratio vs prev round, vetoed?).
+
+    Vetoed when the median control ratio clears CONTROL_VETO_RATIO:
+    the environment shifted under the probe, so flagged-query
+    confirmations from the same window are unsound.
+    """
+    if not prev:
+        return {}, False
+    prev_norm = normalized_medians(prev)
+    ratios = {}
+    for c in CONTROL_QUERIES:
+        r = isolated.get(c)
+        p = prev_norm.get(c)
+        if r and p and p > 0:
+            ratios[c] = round(r["median_norm_s"] / p, 3)
+    vetoed = bool(ratios) and statistics.median(ratios.values()) >= CONTROL_VETO_RATIO
+    return ratios, vetoed
+
+
 def adjudicate_isolated(
     names: list[str], sf_dir: str | None = None, skip: bool = False
 ) -> dict[str, dict]:
@@ -340,9 +374,13 @@ def main() -> None:
     flagged = (
         find_regressions(cur, prev, iqr_veto=False) if cur and prev else []
     )
-    isolated = adjudicate_isolated(
-        [f["query"] for f in flagged], sf_dir=None, skip=args.skip_isolated
-    )
+    # controls ride along with every flagged set (dedup: a control that
+    # is itself flagged still runs once)
+    to_isolate = list(
+        dict.fromkeys([f["query"] for f in flagged] + list(CONTROL_QUERIES))
+    ) if flagged else []
+    isolated = adjudicate_isolated(to_isolate, sf_dir=None, skip=args.skip_isolated)
+    control_ratios, controls_vetoed = control_inflation(isolated, prev)
     if isolated:
         bake_isolated_medians(isolated, [live, archive])
 
@@ -427,6 +465,23 @@ def main() -> None:
             "Isolated fresh-process medians (2 procs x 2 reps, baked into "
             "bench_spread.json as `isolated_median`):",
             "",
+        ]
+        if control_ratios:
+            lines += [
+                "Control queries (code-stable, run alongside the flagged "
+                "set): "
+                + ", ".join(f"{c} {r}x" for c, r in control_ratios.items())
+                + (
+                    f" — **median control inflation >= {CONTROL_VETO_RATIO}x: "
+                    "the environment shifted under the probe, all "
+                    "confirmations from this window are VETOED** (re-run "
+                    "the A/B in a clean window before believing any)."
+                    if controls_vetoed
+                    else " — controls stable, verdicts below stand."
+                ),
+                "",
+            ]
+        lines += [
             "| query | ratio (interleaved) | isolated norm s | prev norm s | verdict |",
             "|---|---|---|---|---|",
         ]
@@ -436,7 +491,12 @@ def main() -> None:
                 lines.append(f"| {f['query']} | {f['ratio']} | — | {f['prev_norm_s']} | no isolated data |")
                 continue
             cleared = iso["median_norm_s"] <= f["prev_norm_s"] * 1.25
-            verdict = "cleared (contention/JIT)" if cleared else "REGRESSION CONFIRMED"
+            if cleared:
+                verdict = "cleared (contention/JIT)"
+            elif controls_vetoed:
+                verdict = "VETOED (control inflation — host drift the probe missed)"
+            else:
+                verdict = "REGRESSION CONFIRMED"
             lines.append(
                 f"| {f['query']} | {f['ratio']} | {iso['median_norm_s']} "
                 f"| {f['prev_norm_s']} | {verdict} |"

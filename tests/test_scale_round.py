@@ -257,3 +257,24 @@ def test_bake_isolated_medians_merges_without_corruption(tmp_path):
 def test_adjudicate_isolated_skip_and_empty():
     assert scale_round.adjudicate_isolated([], skip=False) == {}
     assert scale_round.adjudicate_isolated(["q"], skip=True) == {}
+
+
+def test_control_inflation_veto():
+    # Controls inflated alongside the flagged set -> environment moved
+    # under the probe, confirmations vetoed. Stable controls -> stand.
+    prev = _rec({"ivf2_ann_topk": 1.0, "rfm_segments": 1.5, "q": 1.0})
+    inflated = {
+        "ivf2_ann_topk": {"median_norm_s": 1.7, "median_raw_s": 1.7, "n": 4},
+        "rfm_segments": {"median_norm_s": 2.2, "median_raw_s": 2.2, "n": 4},
+    }
+    ratios, vetoed = scale_round.control_inflation(inflated, prev)
+    assert vetoed and ratios == {"ivf2_ann_topk": 1.7, "rfm_segments": 1.467}
+    stable = {
+        "ivf2_ann_topk": {"median_norm_s": 1.05, "median_raw_s": 1.05, "n": 4},
+        "rfm_segments": {"median_norm_s": 1.4, "median_raw_s": 1.4, "n": 4},
+    }
+    ratios, vetoed = scale_round.control_inflation(stable, prev)
+    assert not vetoed
+    # no prior record / no control data -> never vetoes
+    assert scale_round.control_inflation(inflated, None) == ({}, False)
+    assert scale_round.control_inflation({}, prev) == ({}, False)
