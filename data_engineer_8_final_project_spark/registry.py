@@ -275,6 +275,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk",
     "weighted_sample_per_source",
     # -- new in r12 (no driver evidence yet; joins the r13 rotation) --
+    # NOTE for the r13 rotation: also head the window with
+    # "dedup_stream" (r10 green, drain switched to the spilled sink in
+    # r12 after its newest driver row — re-verified strict-hash at both
+    # SFs in-round, but the driver hasn't seen the new drain).
     "dedup_stream_watermarked",
 )
 
