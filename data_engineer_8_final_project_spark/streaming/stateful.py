@@ -77,8 +77,15 @@ def user_running_totals(events: DataFrame) -> DataFrame:
 
     Emits one row per user per micro-batch that touched that user; the
     emission after the final batch carries the complete totals.
+
+    Only the three consumed columns cross the Arrow boundary: the
+    Python worker is the operator's bottleneck (~1M pandas groups per
+    batch at 64x), and shipping the full event row — props is a JSON
+    string wider than the rest combined — pays serialization for bytes
+    the UDF never reads. The projection also prunes the parquet scan
+    (ReadSchema drops event_id/event_type/props).
     """
-    return events.groupBy("user_id").applyInPandasWithState(
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -169,7 +176,9 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     (the only provider transformWithState supports, and the right one
     for 100 TB keyspaces anyway) — the caller pins it for the query.
     """
-    return events.groupBy("user_id").transformWithStateInPandas(
+    # same consumed-columns projection as the GroupState twin: only
+    # (user_id, ts, value) cross the Arrow boundary
+    return events.select("user_id", "ts", "value").groupBy("user_id").transformWithStateInPandas(
         _UserTotalsProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="update",
@@ -256,7 +265,9 @@ def user_funnel_stream(events: DataFrame) -> DataFrame:
     a batch never touch their state store (GroupState cost scales with
     touched-keys-per-batch, not rows)."""
     events = events.filter(F.col("event_type").isin("view", "click", "purchase"))
-    return events.groupBy("user_id").applyInPandasWithState(
+    # only the consumed columns cross the Arrow boundary (same
+    # projection rationale as user_running_totals)
+    return events.select("user_id", "ts", "event_type").groupBy("user_id").applyInPandasWithState(
         _update_funnel,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
