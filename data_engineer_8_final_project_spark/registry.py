@@ -275,10 +275,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample_topk",
     "weighted_sample_per_source",
     # -- new in r12 (no driver evidence yet; joins the r13 rotation) --
-    # NOTE for the r13 rotation: also head the window with
-    # "dedup_stream" (r10 green, drain switched to the spilled sink in
-    # r12 after its newest driver row — re-verified strict-hash at both
-    # SFs in-round, but the driver hasn't seen the new drain).
+    # NOTE for the r13 rotation: also head the window with the queries
+    # whose code changed in r12 AFTER their newest driver row — each
+    # re-verified strict-hash at both SFs in-round, but the driver
+    # hasn't seen the new code:
+    #   - "dedup_stream" (r10 green; drain switched to the spilled sink)
+    #   - "event_funnel_stream" (r11 green; consumed-columns projection
+    #     before the Arrow boundary)
+    # (user_totals_stateful and view_click_stream_join also changed in
+    # r12, but they sit in the r12 window head, so their fresh driver
+    # rows postdate the change.)
     "dedup_stream_watermarked",
 )
 
