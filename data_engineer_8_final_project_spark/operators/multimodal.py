@@ -121,7 +121,11 @@ def media_feature_extract(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+    # consumed columns only — the unused meta struct should not ride
+    # the Arrow exchange (same rationale as the stateful streams)
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        extract, MEDIA_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(
