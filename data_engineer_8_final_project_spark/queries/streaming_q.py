@@ -82,7 +82,9 @@ def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stateful.user_running_totals(ev.read_events_stream(spark, sf_dir))
     # per-USER GroupState scales with the corpus — size the state width
     width = ev.state_width_for(os.path.join(sf_dir, "events.parquet"))
-    sink = ev.run_available_now(stream, output_mode="update", state_partitions=width)
+    # spilled drain: update-mode emissions = users x batches — corpus-
+    # scaling (r12 memory-sink liability sweep)
+    sink = ev.run_available_now_spilled(stream, output_mode="update", state_partitions=width)
     return stateful.finalize_totals(sink).orderBy("user_id")
 
 
@@ -654,7 +656,7 @@ def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         stream = stateful.user_running_totals_tws(ev.read_events_stream(spark, sf_dir))
         width = ev.state_width_for(os.path.join(sf_dir, "events.parquet"))
-        sink = ev.run_available_now(stream, output_mode="update", state_partitions=width)
+        sink = ev.run_available_now_spilled(stream, output_mode="update", state_partitions=width)
     finally:
         if saved:
             spark.conf.set(key, saved)
@@ -1083,7 +1085,8 @@ def q_event_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-USER GroupState scales with the keyspace — size the state
     # width from source volume (ev.state_width_for documents the cost
     # law; the r6 scale run's 64x wall was 8-wide-bound at 29.6x).
-    sink = ev.run_available_now(
+    # spilled drain: update-mode emissions scale with users x batches
+    sink = ev.run_available_now_spilled(
         stateful.user_funnel_stream(events),
         output_mode="update",
         state_partitions=ev.state_width_for(src),

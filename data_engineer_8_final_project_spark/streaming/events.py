@@ -243,9 +243,10 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     # corpora multiply state rows, and the fixed width-8 that is right
     # at sf0.1 serializes per-store work at scale — measured 563 s at
     # 128x (10.5x wall for 2x data over 64x) before this sizing, r11.
-    out = run_available_now(
+    # spilled drain: one output row per SESSION — corpus-scaling (r12
+    # memory-sink liability sweep)
+    out = run_available_now_spilled(
         session_window_agg(events, gap),
-        output_mode="append",
         state_partitions=state_width_for(src),
     )
     return out.filter(F.col("user_id") >= 0)  # drop the sentinel's own session
@@ -338,6 +339,7 @@ def run_available_now(
 
 def run_available_now_spilled(
     stream_df: DataFrame,
+    output_mode: str = "append",
     state_partitions: int | None = 8,
     progress_out: list | None = None,
 ) -> DataFrame:
@@ -352,7 +354,9 @@ def run_available_now_spilled(
     exactly-once pattern of :func:`stream_to_parquet_exactly_once`) and
     returns the batch read-back: emitted rows never accumulate in one
     JVM, which is also the only shape that works on a real cluster.
-    Append-mode semantics only (each batch's NEW rows land once).
+    Append and update modes both land each batch's emitted rows once —
+    the same multiset the memory sink would hold (the memory sink also
+    APPENDS update-mode emissions, it does not compact them).
     """
     import atexit
     import os
@@ -379,7 +383,7 @@ def run_available_now_spilled(
             )
 
         q = (
-            stream_df.writeStream.outputMode("append")
+            stream_df.writeStream.outputMode(output_mode)
             .foreachBatch(write_batch)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .trigger(availableNow=True)
@@ -473,8 +477,9 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     width = state_width_for(_os.path.join(sf_dir, "events.parquet"))
-    return run_available_now(
-        joined, output_mode="append", state_partitions=width
+    # spilled drain: one output row per JOIN MATCH — corpus-scaling
+    return run_available_now_spilled(
+        joined, state_partitions=width
     ).select(
         "v_event_id", "c_event_id", F.col("v_user").alias("user_id"), "v_ts", "c_ts"
     )
