@@ -186,9 +186,19 @@ def main() -> None:
     # when the whole line still fits comfortably under the buffer, so
     # small ad-hoc runs keep the original self-contained shape.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "bench_spread.json"), "w") as f:
+    spread_path = os.path.join(repo_dir, "bench_spread.json")
+    # Carry the adjudication forward: scale_round bakes isolated
+    # fresh-process medians into this file (r12); a bench re-run must
+    # not silently drop them — they describe the same round until the
+    # round rolls over and the archive snapshots them.
+    try:
+        prior_isolated = json.load(open(spread_path)).get("isolated_median")
+    except (ValueError, OSError):
+        prior_isolated = None
+    with open(spread_path, "w") as f:
         json.dump(
             {
+                **({"isolated_median": prior_isolated} if prior_isolated else {}),
                 "medians": timings,
                 "spread": spread,
                 "total_sec": round(sum(timings.values()), 4),
