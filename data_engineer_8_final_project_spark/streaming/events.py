@@ -309,18 +309,37 @@ def run_available_now(
     """
     spark = agg.sparkSession
     name = f"stream_sink_{next(_sink_ids)}"
-    key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(key)
-    if state_partitions:
-        spark.conf.set(key, str(state_partitions))
-    try:
-        q = (
+    _drive_available_now(
+        spark,
+        lambda: (
             agg.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
             .start()
-        )
+        ),
+        state_partitions,
+        progress_out,
+    )
+    # copy the sink out (lineage-free) and drop the memory table — each
+    # sink holds its full result in executor memory, and leaving every
+    # run's table registered leaks storage across a long session
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
+def _drive_available_now(spark, start, state_partitions, progress_out) -> None:
+    """Shared drive scaffolding for both drains (review r12: the two
+    siblings duplicated it verbatim and had already drifted): pin the
+    state-shuffle width, start via ``start()``, drain to completion,
+    surface StreamingQueryProgress, restore the session conf."""
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    if state_partitions:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = start()
         q.awaitTermination()
         if progress_out is not None:
             import json as _json
@@ -329,12 +348,6 @@ def run_available_now(
     finally:
         if state_partitions:
             spark.conf.set(key, saved)
-    # copy the sink out (lineage-free) and drop the memory table — each
-    # sink holds its full result in executor memory, and leaving every
-    # run's table registered leaks storage across a long session
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return out
 
 
 def run_available_now_spilled(
@@ -359,6 +372,7 @@ def run_available_now_spilled(
     APPENDS update-mode emissions, it does not compact them).
     """
     import atexit
+    import glob as _glob
     import os
     import shutil
     import tempfile
@@ -367,36 +381,36 @@ def run_available_now_spilled(
     root = tempfile.mkdtemp(prefix="spark_graft_drain_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     out_dir = os.path.join(root, "out")
-    key = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(key)
-    if state_partitions:
-        spark.conf.set(key, str(state_partitions))
-    try:
+    schema = stream_df.schema  # captured for the zero-row read-back
 
-        def write_batch(df: DataFrame, epoch_id: int) -> None:
-            (
-                df.withColumn("_epoch", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .partitionBy("_epoch")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(out_dir)
-            )
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
 
-        q = (
+    _drive_available_now(
+        spark,
+        lambda: (
             stream_df.writeStream.outputMode(output_mode)
             .foreachBatch(write_batch)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .trigger(availableNow=True)
             .start()
-        )
-        q.awaitTermination()
-        if progress_out is not None:
-            import json as _json
-
-            progress_out.extend(_json.loads(p.json) for p in q.recentProgress)
-    finally:
-        if state_partitions:
-            spark.conf.set(key, saved)
+        ),
+        state_partitions,
+        progress_out,
+    )
+    # Zero emitted rows overall -> no parquet files land (an empty
+    # batch writes only _SUCCESS) and a bare read would raise 'Unable
+    # to infer schema'; return an empty frame with the stream's schema
+    # instead, matching the memory sink's graceful empty result
+    # (review r12).
+    if not _glob.glob(os.path.join(out_dir, "_epoch=*", "*.parquet")):
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(out_dir).drop("_epoch")
 
 
@@ -437,6 +451,66 @@ def stream_to_parquet_exactly_once(
     q.awaitTermination()
 
 
+#: time-ordered stage dirs already scheduled for atexit removal.
+_TORDER_STAGES: set[str] = set()
+
+
+def _stage_time_ordered_replay(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage the events fixture as ``n_chunks`` time-ASCENDING
+    micro-batches with pinned increasing mtimes.
+
+    Replay arrival order then mirrors event time — the realistic
+    production arrival shape — so watermarked consumers don't drop most
+    rows as late when the raw source is a randomly-split directory
+    (r12 review finding: the scale harness's 32 random parts advanced
+    the stream-stream join's watermark near the horizon after one file
+    and the 64x/128x legs measured mostly the late-drop path; a
+    time-split replay has zero drops because a chunk boundary orders
+    both join sides together). Cuts are integer epoch-us slices
+    ``lo + k*span//n`` — deterministic for any consumer that wants to
+    reason about batch contents.
+    """
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .. import staging
+    from ..catalog import _assert_events_ts_format
+
+    src = os.path.join(sf_dir, "events.parquet")
+    _assert_events_ts_format(src)
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"torder-v1:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{n_chunks}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    staging.sweep_stale_stage_dirs("spark_graft_torder_")
+    stage = os.path.join(tempfile.gettempdir(), f"spark_graft_torder_{key}")
+    done = os.path.join(stage, "_staged_ok")
+    if stage not in _TORDER_STAGES:
+        _TORDER_STAGES.add(stage)
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    if not os.path.exists(done):
+        batch = spark.read.schema(EVENTS).parquet(src)
+        lo_us, hi_us = batch.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).collect()[0]  # bounded: two scalars
+        span = hi_us - lo_us
+        us = F.unix_micros(F.col("ts"))
+        shutil.rmtree(stage, ignore_errors=True)
+        staged: set[str] = set()
+        for i in range(n_chunks):
+            lo_cut = lo_us + i * span // n_chunks
+            hi_cut = lo_us + (i + 1) * span // n_chunks
+            cond = (us >= lo_cut) & (us < hi_cut) if i < n_chunks - 1 else (us >= lo_cut)
+            batch.filter(cond).coalesce(1).write.mode("append").parquet(stage)
+            # whole seconds: coarse-fs safe
+            staging.pin_new_file_mtimes(stage, st.st_mtime + 1 + i, staged)
+        open(done, "w").close()
+    return stage
+
+
 def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: click attribution to a preceding view.
 
@@ -447,15 +521,24 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes, keeping state finite on an unbounded feed. Inner-join
     matches emit as soon as both sides arrive, so an availableNow
     replay produces exactly the batch join result.
+
+    Both sides replay the TIME-ORDERED staging
+    (:func:`_stage_time_ordered_replay`), never the raw source reader:
+    a randomly-split multi-part source (the scale harness's shape)
+    advances the watermark near the horizon after one file and the
+    join silently drops most rows as late — a plausible-but-partial
+    result, worse than the zero-row symptom the r12 directory fix
+    caught. Time-ascending chunks drop nothing (a chunk boundary
+    orders both sides together), so the drained result equals the
+    batch join at every replica shape.
     """
+    stage = _stage_time_ordered_replay(spark, sf_dir)
+
     def side(evt: str, prefix: str) -> DataFrame:
-        # through read_events_stream, NOT a raw pathGlobFilter reader:
-        # on a directory-shaped events.parquet (the scale harness's
-        # shape) the glob matches nothing and the stream silently
-        # replays ZERO rows — caught when the r12 64x leg finished in
-        # 3.5 s (the r11 session-stream finding, unapplied here)
         return (
-            read_events_stream(spark, sf_dir)
+            spark.readStream.schema(EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
             .filter(F.col("event_type") == evt)
             .select(
                 F.col("event_id").alias(f"{prefix}_event_id"),

@@ -88,6 +88,26 @@ def parallelism_mismatch(cur: dict, prev: dict) -> bool:
     return cp is not None and pp is not None and cp != pp
 
 
+def iqr_vetoes(name: str, cur: dict, prev: dict) -> bool:
+    """The third gate as a standalone predicate: the current run's own
+    (normalized) IQR low still reaches into the prior round's
+    normalized band — a contention-skewed sample, not a move. Shared
+    by find_regressions and main's flagged→surviving filter so the
+    gate has one definition. Under a parallelism mismatch both sides
+    fall back to raw (idempotent with find_regressions' own forcing).
+    """
+    if parallelism_mismatch(cur, prev):
+        cur = {**cur, "host_factor": 1.0}
+        prev = {**prev, "host_factor": 1.0}
+    cur_f = cur.get("host_factor") or 1.0
+    prev_f = prev.get("host_factor") or 1.0
+    band_hi_raw = prev.get("spread", {}).get(name, [None, None])[1]
+    iqr_lo_raw = cur.get("iqr", {}).get(name, [None, None])[0]
+    if band_hi_raw is None or iqr_lo_raw is None:
+        return False
+    return iqr_lo_raw / cur_f <= band_hi_raw / prev_f
+
+
 def find_regressions(
     cur: dict, prev: dict, threshold: float = 1.25, iqr_veto: bool = True
 ) -> list[dict]:
@@ -127,10 +147,8 @@ def find_regressions(
         cur = {**cur, "host_factor": 1.0}
         prev = {**prev, "host_factor": 1.0}
     cur_norm, prev_norm = normalized_medians(cur), normalized_medians(prev)
-    cur_f = cur.get("host_factor") or 1.0
     prev_f = prev.get("host_factor") or 1.0
     prev_spread = prev.get("spread", {})
-    cur_iqr = cur.get("iqr", {})
     out = []
     for name, cur_n in cur_norm.items():
         prev_n = prev_norm.get(name)
@@ -143,13 +161,7 @@ def find_regressions(
         band_hi = band_hi_raw / prev_f if band_hi_raw is not None else None
         if band_hi is not None and cur_n <= band_hi:
             continue
-        iqr_lo_raw = cur_iqr.get(name, [None, None])[0]
-        if (
-            iqr_veto
-            and band_hi is not None
-            and iqr_lo_raw is not None
-            and iqr_lo_raw / cur_f <= band_hi
-        ):
+        if iqr_veto and iqr_vetoes(name, cur, prev):
             continue
         rec = {
             "query": name,
@@ -264,6 +276,12 @@ def adjudicate_isolated(
 
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         json_out = tf.name
+    # sf pinned to the bench default, NOT inherited from the caller's
+    # $SPARK_GRAFT_SF_DIR (code-review r12): the cur/prev records this
+    # adjudication compares against are strictly sf0.1, and an
+    # env-exported scale dir would measure the flagged queries at the
+    # wrong scale and bake those medians into the sf0.1 record — the
+    # caller-env failure class BENCH_DEFAULT_SF exists to prevent.
     cmd = [
         sys.executable,
         os.path.join(ROOT, "scripts", "isolated_query_ab.py"),
@@ -274,33 +292,44 @@ def adjudicate_isolated(
         "2",
         "--json-out",
         json_out,
+        "--sf",
+        sf_dir or f"/root/testdata/sf{BENCH_DEFAULT_SF}",
     ]
-    if sf_dir:
-        cmd += ["--sf", sf_dir]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        print(
-            f"isolated A/B failed (exit {proc.returncode}); flagged queries "
-            f"stay unadjudicated this round\n{proc.stderr[-2000:]}",
-            file=sys.stderr,
-        )
-        return {}
     try:
-        results = json.load(open(json_out)).get("results", {})
-    except (ValueError, OSError):
-        return {}
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            print(
+                f"isolated A/B failed (exit {proc.returncode}); flagged queries "
+                f"stay unadjudicated this round\n{proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            return {}
+        try:
+            return json.load(open(json_out)).get("results", {})
+        except (ValueError, OSError):
+            return {}
     finally:
-        os.unlink(json_out)
-    return results
+        # covers the subprocess-failure path too (review: the early
+        # return leaked the temp file)
+        try:
+            os.unlink(json_out)
+        except OSError:
+            pass
 
 
-def bake_isolated_medians(results: dict[str, dict], paths: list[str]) -> None:
+def bake_isolated_medians(
+    results: dict[str, dict], paths: list[str], round_no: int | None = None
+) -> None:
     """Merge ``isolated_median`` per query into each spread file.
 
     The key sits beside ``spread``/``iqr`` so cross-round consumers see
     the adjudicated steady-state, not just the contended interleaved
-    sample. Files that are missing or unparsable are skipped — baking
-    must never corrupt a good archive with a half-write.
+    sample. Each entry carries the round it was measured in (``round``)
+    because bench.py carries the key forward across re-runs — without
+    the stamp, a later round's archive would present stale
+    adjudications as current (code-review r12). Files that are missing
+    or unparsable are skipped — baking must never corrupt a good
+    archive with a half-write.
     """
     for path in paths:
         rec = load_spread(path)
@@ -312,6 +341,7 @@ def bake_isolated_medians(results: dict[str, dict], paths: list[str]) -> None:
                 "raw_s": r["median_raw_s"],
                 "norm_s": r["median_norm_s"],
                 "n": r["n"],
+                **({"round": round_no} if round_no is not None else {}),
             }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -366,14 +396,17 @@ def main() -> None:
     queries = list(dict.fromkeys(slowest + args.extra))
 
     prev = previous_spread_record(args.round, exclude_path=cur_path) if cur else None
-    regressions = find_regressions(cur, prev) if cur and prev else []
-    # Two-gate flagged set (ratio + prior-band exit, IQR veto off):
-    # every member gets an automatic isolated fresh-process A/B and the
-    # isolated median is baked into the spread files, so BENCH_r{N}
+    # ONE comparison pass (review: two passes duplicated the work and
+    # the parallelism warning): the two-gate flagged set, with the IQR
+    # veto applied afterwards as a filter to derive the surviving
+    # regressions (the three-gate set is a strict subset). Every
+    # flagged member gets an automatic isolated fresh-process A/B and
+    # the isolated median is baked into the spread files, so BENCH_r{N}
     # carries the adjudication instead of owing it (VERDICT r11 item 4).
     flagged = (
         find_regressions(cur, prev, iqr_veto=False) if cur and prev else []
     )
+    regressions = [f for f in flagged if not iqr_vetoes(f["query"], cur, prev)]
     # controls ride along with every flagged set (dedup: a control that
     # is itself flagged still runs once)
     to_isolate = list(
@@ -382,7 +415,7 @@ def main() -> None:
     isolated = adjudicate_isolated(to_isolate, sf_dir=None, skip=args.skip_isolated)
     control_ratios, controls_vetoed = control_inflation(isolated, prev)
     if isolated:
-        bake_isolated_medians(isolated, [live, archive])
+        bake_isolated_medians(isolated, [live, archive], round_no=args.round)
 
     cmd = [
         sys.executable,
@@ -491,7 +524,16 @@ def main() -> None:
                 lines.append(f"| {f['query']} | {f['ratio']} | — | {f['prev_norm_s']} | no isolated data |")
                 continue
             cleared = iso["median_norm_s"] <= f["prev_norm_s"] * 1.25
-            if cleared:
+            if f.get("parallelism_mismatch"):
+                # review r12: under a mismatch prev_norm_s is RAW while
+                # the isolated median is probe-normalized — comparing
+                # them confirms/clears in mixed units. No automatic
+                # verdict is sound here.
+                verdict = (
+                    "INDETERMINATE (parallelism mismatch — prev is raw, "
+                    "isolated is normalized; compare raw reps manually)"
+                )
+            elif cleared:
                 verdict = "cleared (contention/JIT)"
             elif controls_vetoed:
                 verdict = "VETOED (control inflation — host drift the probe missed)"

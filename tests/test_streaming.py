@@ -629,11 +629,16 @@ def test_event_streams_consume_directory_shaped_sources(spark, sf_dir, tmp_path)
     t1 = lo + (hi - lo) / 3
     t2 = lo + 2 * (hi - lo) / 3
     pinned: set = set()
-    for i, cond in enumerate(
-        [F.col("ts") < t1, (F.col("ts") >= t1) & (F.col("ts") < t2), F.col("ts") >= t2]
-    ):
-        events.filter(cond).coalesce(1).write.mode("append").parquet(edir)
-        staging.pin_new_file_mtimes(edir, 1_000_000_000 + i, pinned)
+    prev_ts_type = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        for i, cond in enumerate(
+            [F.col("ts") < t1, (F.col("ts") >= t1) & (F.col("ts") < t2), F.col("ts") >= t2]
+        ):
+            events.filter(cond).coalesce(1).write.mode("append").parquet(edir)
+            staging.pin_new_file_mtimes(edir, 1_000_000_000 + i, pinned)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts_type)
     for t in catalog.TABLE_NAMES:
         if t == "events":
             continue
@@ -680,3 +685,16 @@ def test_event_streams_consume_directory_shaped_sources(spark, sf_dir, tmp_path)
     assert int(got_seg.agg(F.sum("n_events")).collect()[0][0]) == want_seg.agg(
         F.sum("count")
     ).collect()[0][0]
+
+
+def test_spilled_drain_returns_empty_frame_on_zero_emissions(spark, sf_dir):
+    """review r12: a stream that emits nothing lands no parquet files,
+    and a bare read of the spill dir would raise 'Unable to infer
+    schema' — the drain must return an empty frame with the stream's
+    schema, matching the memory sink's graceful empty result."""
+    stream = ev.read_events_stream(spark, sf_dir).filter(
+        "event_type = '__no_such_type__'"
+    )
+    out = ev.run_available_now_spilled(stream.select("event_id", "ts"))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["event_id", "ts"]
