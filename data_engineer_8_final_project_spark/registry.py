@@ -58,23 +58,187 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-12 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r11 item 1): the 49 r8-green queries -- the
-    # oldest driver evidence in the repo -- plus watermark_drop_audit
-    # (registered 200th in r11, after that round's window was fixed, so
-    # it has no driver row yet). Head of the window = the queries whose
-    # CODE changed after their newest driver row: the three streams
-    # whose state width is now sized by the r11 state_width_for law
-    # (their r8 rows predate it) and knn_pagerank (its r8 row predates
-    # the r9 derived-cells knn rewrite). Post-r12, no registered
-    # query's newest green is older than r9.
-    # -- code-changed-after-evidence head (4) + never-driver-seen (1) --
+    # ---- Round-13 window (first 50; the driver verifies only these). ----
+    # Rotation (VERDICT r12 item 1). Head of the window = the four
+    # queries whose newest driver evidence predates their current code:
+    #   - dedup_stream_watermarked: registered 201st in r12 (after that
+    #     round's window was fixed) -- zero driver rows ever; judge-
+    #     verified MATCH at sf0.01 in the r12 session.
+    #   - dedup_stream: r10 green predates the r12 spilled-drain switch.
+    #   - event_funnel_stream / events_by_segment_stream: r11 greens
+    #     predate the r12 Arrow-boundary projection + drain sweep +
+    #     read_events_stream rerouting.
+    # Then 46 of the 50 r9-green queries (the oldest remaining driver
+    # evidence). The four r9 greens that miss the 50-slot cut are named
+    # for the r14 window head (see the boundary comment below).
+    # -- never-driver-seen (1) + code-changed-after-evidence (3) --
+    "dedup_stream_watermarked",
+    "dedup_stream",
+    "event_funnel_stream",
+    "events_by_segment_stream",
+    # -- 46 of the 50-query r9-green cohort --
+    "matches_clean",
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "table_profile",
+    "knn_bfs_hops",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "maxsim_multivector_topk",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "snapshot_reconcile",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    "curation_pipeline",
+    "embedding_covariance",
+    "token_cms_heavy_hitters",
+    "embedding_pca_scores",
+    "revenue_bootstrap_ci",
+    # ---- driver window boundary (50) ----
+    # -- r9 greens deferred from the r13 window (HEAD OF THE r14
+    # -- WINDOW): each was chosen because a sibling query with fresher
+    # -- driver evidence exercises the same operator family --
+    # -- event_sessions_native (event_sessions r12), grouping_sets_revenue
+    # -- (rollup_region_nation r12 / cube_flag_status r10),
+    # -- revenue_mom_growth (forecast_revenue_change r11),
+    # -- weekday_seasonality (events_time_rollup r12) --
+    "event_sessions_native",
+    "grouping_sets_revenue",
+    "revenue_mom_growth",
+    "weekday_seasonality",
+    # -- r10/r11 greens --
+    "group_count",
+    "group_sum_multi",
+    "revenue_by_nation",
+    "top_orders",
+    "order_gaps_lag",
+    "part_price_rank",
+    "custkey_set_ops",
+    "cube_flag_status",
+    "promo_revenue_share",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "order_value_quartiles",
+    "doc_fingerprints",
+    "simhash_near_dup",
+    "text_normalize",
+    "unpivot_order_metrics",
+    "standings",
+    "media_decode_fake",
+    "reference_standings",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "dup_clusters",
+    "training_manifest",
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "dup_clusters_twostar",
+    "ngram_decontamination",
+    "vocab_build",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
+    "minhash_lsh_pairs",
+    "skewed_user_join",
+    "pq_adc_topk",
+    "knn_graph",
+    "semantic_dedup",
+    "semantic_decontamination",
+    "knn_triangle_stats",
+    "knn_label_vote",
+    "knn_communities",
+    "jaccard_near_dup",
+    "full_outer_coalesce",
+    "dedup_exact",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "html_matches_extract",
+    "scalar_cleaning_suite",
+    "lsh_near_dup_pairs",
+    "events_json_extract",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "events_hourly",
+    "dup_span_stats",
+    "order_chains_recursive",
+    "events_props_variant",
+    "dup_cluster_representatives",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "session_path_topk",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
+    # -- r12 greens: freshest evidence in the repo --
     "events_session_stream",
     "user_totals_stateful",
     "view_click_stream_join",
     "knn_pagerank",
     "watermark_drop_audit",
-    # -- rest of the r8-green cohort (45) --
     "pricing_summary",
     "customers_without_orders",
     "high_value_customers_semi",
@@ -120,172 +284,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    # ---- driver window boundary (50) ----
-    # -- r9 greens (oldest remaining evidence; head of the r13 window) --
-    "matches_clean",
-    "event_type_drift",
-    "scd2_point_in_time_join",
-    "kmeans_clusters",
-    "bm25_doc_ranking",
-    "table_profile",
-    "knn_bfs_hops",
-    "quality_model_filter",
-    "cluster_balanced_sample",
-    "maxsim_multivector_topk",
-    "attribution_last_touch",
-    "ewma_user_value",
-    "value_outliers_mad",
-    "revenue_trend_by_nation",
-    "rfm_segments",
-    "brand_affinity_pairs",
-    "conversion_latency_stats",
-    "lang_source_contingency",
-    "quality_percentile_norm",
-    "pq_reconstruction_error",
-    "session_bounce_stats",
-    "knn_kcore",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "revenue_pareto_deciles",
-    "event_sessions_native",
-    "grouping_sets_revenue",
-    "hourly_volume_spikes",
-    "fd_violation_audit",
-    "revenue_trend_theilsen",
-    "benford_first_digit",
-    "revenue_gini",
-    "token_prefix_completions",
-    "part_price_boxplot",
-    "cohort_ltv",
-    "snapshot_reconcile",
-    "ab_test_conversion",
-    "activity_heatmap",
-    "revenue_mom_growth",
-    "embedding_norm_outliers",
-    "rolling_wau",
-    "weekday_seasonality",
-    "user_churn_rate",
-    "brand_hhi_by_year",
-    "supplier_latency_league",
-    "curation_pipeline",
-    "embedding_covariance",
-    "token_cms_heavy_hitters",
-    "embedding_pca_scores",
-    "revenue_bootstrap_ci",
-    # -- r10 greens: freshest evidence in the repo --
-    "group_count",
-    "group_sum_multi",
-    "revenue_by_nation",
-    "top_orders",
-    "order_gaps_lag",
-    "part_price_rank",
-    "custkey_set_ops",
-    "cube_flag_status",
-    "promo_revenue_share",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "order_value_quartiles",
-    "doc_fingerprints",
-    "simhash_near_dup",
-    "text_normalize",
-    "unpivot_order_metrics",
-    "standings",
-    "media_decode_fake",
-    "reference_standings",
-    "orders_by_month",
-    "day_name_dimension",
-    "season_year_inference",
-    "completed_before_cutoff",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    "dup_clusters",
-    "training_manifest",
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "doc_unigram_logprob",
-    "dedup_stream",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    "dup_clusters_twostar",
-    "ngram_decontamination",
-    "vocab_build",
-    "tfidf_topk_terms",
-    "lang_mixture_weights",
-    "minhash_lsh_pairs",
-    "skewed_user_join",
-    "pq_adc_topk",
-    "knn_graph",
-    # -- r11 greens: freshest evidence in the repo --
-    "semantic_dedup",
-    "semantic_decontamination",
-    "knn_triangle_stats",
-    "knn_label_vote",
-    "knn_communities",
-    "jaccard_near_dup",
-    "full_outer_coalesce",
-    "dedup_exact",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "html_matches_extract",
-    "scalar_cleaning_suite",
-    "lsh_near_dup_pairs",
-    "events_json_extract",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "events_by_segment_stream",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    "events_hourly",
-    "dup_span_stats",
-    "order_chains_recursive",
-    "events_props_variant",
-    "dup_cluster_representatives",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "session_path_topk",
-    "event_funnel_stream",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "weighted_sample_topk",
-    "weighted_sample_per_source",
-    # -- new in r12 (no driver evidence yet; joins the r13 rotation) --
-    # NOTE for the r13 rotation: also head the window with the queries
-    # whose code changed in r12 AFTER their newest driver row — each
-    # re-verified strict-hash at both SFs in-round, but the driver
-    # hasn't seen the new code:
-    #   - "dedup_stream" (r10 green; drain switched to the spilled sink)
-    #   - "event_funnel_stream" (r11 green; consumed-columns projection
-    #     before the Arrow boundary)
-    # (user_totals_stateful and view_click_stream_join also changed in
-    # r12, but they sit in the r12 window head, so their fresh driver
-    # rows postdate the change.)
-    "dedup_stream_watermarked",
 )
 
 def all_queries() -> dict[str, Query]:

@@ -14,63 +14,65 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-12 rotation (VERDICT r11 item 1): the 49 r8-green queries (the
-#: oldest driver evidence in the repo) plus watermark_drop_audit (no
-#: driver row yet). Head = queries whose code changed after their
-#: newest driver row: the three streams re-sized by the r11
-#: state_width_for law, then knn_pagerank (r8 row predates the r9 knn
-#: rewrite). Post-r12 no query's newest green is older than r9.
+#: Round-13 rotation (VERDICT r12 item 1): dedup_stream_watermarked
+#: (registered 201st in r12, zero driver rows ever), then dedup_stream /
+#: event_funnel_stream / events_by_segment_stream (code changed in r12
+#: after their newest driver rows), then 46 of the 50 r9-green queries
+#: (the oldest remaining driver evidence). The four deferred r9 greens
+#: (event_sessions_native, grouping_sets_revenue, revenue_mom_growth,
+#: weekday_seasonality) head the r14 window. Post-r13 only those four
+#: have evidence older than r10.
 MUST_BE_IN_WINDOW = {
-    "events_session_stream",
-    "user_totals_stateful",
-    "view_click_stream_join",
-    "knn_pagerank",
-    "watermark_drop_audit",
-    "pricing_summary",
-    "customers_without_orders",
-    "high_value_customers_semi",
-    "top_customers_per_nation",
-    "rollup_region_nation",
-    "shipping_priority",
-    "returned_items",
-    "distinct_customers_salted",
-    "text_stats_by_lang",
-    "doc_quality_scores",
-    "token_topk",
-    "lang_id_heuristic",
-    "embedding_near_dup_pairs",
-    "bpe_token_topk",
-    "doc_winnow_fingerprints",
-    "corpus_clean_pipeline",
-    "media_manifest",
-    "media_features",
-    "media_frame_sample",
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "standings_stream",
-    "event_sessions",
-    "clicks_last_error",
-    "purchases_in_sessions",
-    "events_time_rollup",
-    "doc_repetition_scores",
-    "stratified_sample",
-    "events_sliding",
-    "events_hourly_gapfill",
-    "latest_event_snapshot",
-    "events_trailing_hour_window",
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "ivfpq_ann_topk",
-    "source_shingle_kmv",
-    "incremental_ingest_dedup",
-    "leakage_safe_split",
-    "hard_negative_mining",
-    "token_budget_pack",
-    "source_overlap_matrix",
-    "source_minhash_similarity",
-    "near_dup_rate_by_source",
-    "ivf2_ann_topk",
+    "dedup_stream_watermarked",
+    "dedup_stream",
+    "event_funnel_stream",
+    "events_by_segment_stream",
+    "matches_clean",
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "table_profile",
+    "knn_bfs_hops",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "maxsim_multivector_topk",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "snapshot_reconcile",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    "curation_pipeline",
+    "embedding_covariance",
+    "token_cms_heavy_hitters",
+    "embedding_pca_scores",
+    "revenue_bootstrap_ci",
 }
 
 
