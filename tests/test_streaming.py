@@ -698,3 +698,30 @@ def test_spilled_drain_returns_empty_frame_on_zero_emissions(spark, sf_dir):
     out = ev.run_available_now_spilled(stream.select("event_id", "ts"))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["event_id", "ts"]
+
+
+def test_spilled_drain_reclaims_spill_root_eagerly(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r12 #1: the spill root (parquet + checkpoint) must be
+    removed before the drain returns — a long bench/scale session
+    running many corpus-scaling drains must not accumulate temp disk
+    until process exit. The read-back is localCheckpoint-ed first, so
+    the returned frame survives the removal."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    stream = ev.read_events_stream(spark, sf_dir).select("event_id", "ts")
+    out = ev.run_available_now_spilled(stream)
+    leftovers = list(tmp_path.glob("spark_graft_drain_*"))
+    assert leftovers == [], f"spill roots not reclaimed: {leftovers}"
+    # the frame is lineage-free: still readable after its files are gone
+    n = out.count()
+    assert n > 0 and out.count() == n
+
+    # the zero-emission path reclaims too
+    empty = ev.run_available_now_spilled(
+        ev.read_events_stream(spark, sf_dir)
+        .filter("event_type = '__no_such_type__'")
+        .select("event_id", "ts")
+    )
+    assert empty.count() == 0
+    assert list(tmp_path.glob("spark_graft_drain_*")) == []
