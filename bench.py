@@ -79,6 +79,49 @@ def _host_probe(spark) -> tuple[float, int]:
     return statistics.median(ts), par
 
 
+def _current_round(repo_dir: str) -> int | None:
+    """The round this bench run belongs to: newest BENCH_r{N}.json + 1.
+
+    The driver archives BENCH_r{N}.json at the END of round N, so a
+    live run always belongs to max(N)+1. Used only to stale-tag
+    carried isolated_median adjudications (ADVICE r12 #2); None when
+    no archive exists (fresh clone) — nothing is tagged.
+    """
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in os.listdir(repo_dir)
+        for m in [re.match(r"BENCH_r(\d+)\.json$", p)]
+        if m
+    ]
+    return max(rounds) + 1 if rounds else None
+
+
+def _stale_tag_isolated(prior: dict | None, current_round: int | None) -> dict | None:
+    """Tag carried isolated_median entries from earlier rounds stale.
+
+    ADVICE r12 #2: bench.py carries baked adjudications forward across
+    re-runs, so without this a new round's fresh live spread presents
+    an old round's isolated medians as current, distinguishable only
+    by a per-entry stamp downstream consumers must remember to check.
+    Entries stamped with the current round pass through untouched;
+    everything else (older stamp, no stamp) gets ``stale: True``.
+    """
+    if not prior or current_round is None:
+        return prior
+    return {
+        name: (
+            entry
+            if isinstance(entry, dict) and entry.get("round") == current_round
+            else {**entry, "stale": True}
+            if isinstance(entry, dict)
+            else entry
+        )
+        for name, entry in prior.items()
+    }
+
+
 def _sf_label(sf_dir: str) -> float | str:
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
@@ -103,7 +146,7 @@ def main() -> None:
     # host's current throughput so a uniform cross-round drift is
     # measured, not argued (see PROBE_REFERENCE_SEC note).
     probe_sec, probe_parallelism = _host_probe(spark)
-    host_factor = round(probe_sec / PROBE_REFERENCE_SEC, 3)
+    host_factor_start = round(probe_sec / PROBE_REFERENCE_SEC, 3)
 
     # Timed region covers plan construction AND execution (streaming
     # queries do their work inside fn(); ivf's bounded centroid collect
@@ -141,7 +184,9 @@ def main() -> None:
     # 5-rep light-contention sampled one round and 3-rep full-
     # interleave sampled the next — a regime change that biases
     # cross-round sub-2 s ratios (PROBES.md).
-    micro_cut = 2.0 * (host_factor if host_factor > 0 else 1.0)
+    # (the start factor is the only estimate available mid-run; the
+    # recorded host_factor below folds in the end probe too)
+    micro_cut = 2.0 * (host_factor_start if host_factor_start > 0 else 1.0)
     micro = [n for n, ts in reps.items() if ts and statistics.median(ts) < micro_cut]
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_PASSES", "2"))):
         if time.perf_counter() - bench_t0 > budget or passes_done < n_passes:
@@ -154,10 +199,18 @@ def main() -> None:
     # End-of-run probe (r11 finding: the host's throughput drifted
     # 0.94x -> 1.22x of reference WITHIN one session hour, so a single
     # start-of-run snapshot can misstate the factor for the whole
-    # bench). Both probes are recorded; host_factor stays the start
-    # probe's (comparable with r10), and a wide start/end gap is the
-    # documented reason to distrust small cross-round deltas.
+    # bench; r12 finding: the recorded factor was 0.862 from the start
+    # probe while the end probe read 1.83 s — a ~1.2x swing inside one
+    # run, normalized by the wrong number). Since r13 ``host_factor``
+    # is the MEAN of the start and end factors — the least-biased
+    # single summary of the run window — and both one-sided factors
+    # are recorded as host_factor_start/host_factor_end so
+    # find_regressions can use the CONSERVATIVE bound per side
+    # (PROBES.md r13 entry). Pre-r13 records carry only host_factor
+    # (start-probe semantics); consumers treat it as both bounds.
     probe_sec_end, _ = _host_probe(spark)
+    host_factor_end = round(probe_sec_end / PROBE_REFERENCE_SEC, 3)
+    host_factor = round((host_factor_start + host_factor_end) / 2, 3)
 
     # statistics.median interpolates even-count reps (a budget-truncated
     # 2-pass run would otherwise report the UPPER of the two timings,
@@ -190,11 +243,17 @@ def main() -> None:
     # Carry the adjudication forward: scale_round bakes isolated
     # fresh-process medians into this file (r12); a bench re-run must
     # not silently drop them — they describe the same round until the
-    # round rolls over and the archive snapshots them.
+    # round rolls over and the archive snapshots them. Entries whose
+    # round stamp predates the CURRENT round (or that have no stamp)
+    # are tagged stale at write time (ADVICE r12 #2) so a new round's
+    # fresh live spread never presents an old adjudication as current;
+    # downstream consumers no longer have to remember to check the
+    # stamp themselves.
     try:
         prior_isolated = json.load(open(spread_path)).get("isolated_median")
     except (ValueError, OSError):
         prior_isolated = None
+    prior_isolated = _stale_tag_isolated(prior_isolated, _current_round(repo_dir))
     with open(spread_path, "w") as f:
         json.dump(
             {
@@ -209,6 +268,8 @@ def main() -> None:
                 "probe_sec_end": round(probe_sec_end, 4),
                 "probe_parallelism": probe_parallelism,
                 "host_factor": host_factor,
+                "host_factor_start": host_factor_start,
+                "host_factor_end": host_factor_end,
             },
             f,
             indent=1,

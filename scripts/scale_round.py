@@ -63,9 +63,49 @@ def normalized_medians(rec: dict) -> dict[str, float]:
 
     host_factor = probe_sec / PROBE_REFERENCE_SEC (bench.py); missing
     (pre-r10 records) means "assume reference speed" — factor 1.0.
+    Since r13 the recorded host_factor is the MEAN of the start/end
+    probes (best single estimate, used for reporting); the regression
+    GATES use the one-sided bounds from :func:`host_factor_bounds`.
     """
     factor = rec.get("host_factor") or 1.0
     return {name: sec / factor for name, sec in rec["medians"].items()}
+
+
+def host_factor_bounds(rec: dict) -> tuple[float, float]:
+    """(low, high) host-factor bounds for a spread record's run window.
+
+    r12 finding: the recorded factor came from the START probe alone
+    (0.862) while the same run's END probe read 1.046 — a ~1.2x swing
+    inside one bench that normalized every median by the wrong number.
+    Since r13 bench.py records host_factor_start / host_factor_end;
+    the gates in find_regressions / iqr_vetoes pick the CONSERVATIVE
+    bound per side (current medians divided by the HIGH bound, prior
+    medians and bands by the LOW bound) so a regression verdict holds
+    under every factor the run actually exhibited. Pre-r13 records
+    carry only host_factor: both bounds collapse to it.
+    """
+    fs = [
+        f
+        for f in (rec.get("host_factor_start"), rec.get("host_factor_end"))
+        if f
+    ]
+    if not fs:
+        f = rec.get("host_factor") or 1.0
+        return f, f
+    return min(fs), max(fs)
+
+
+def _force_raw(rec: dict) -> dict:
+    """Copy of ``rec`` with every host factor forced to 1.0 (the
+    parallelism-mismatch fallback must neutralize the start/end bounds
+    too, or host_factor_bounds would resurrect the incomparable
+    factors the fallback exists to discard)."""
+    return {
+        **rec,
+        "host_factor": 1.0,
+        "host_factor_start": None,
+        "host_factor_end": None,
+    }
 
 
 def pick_slowest(medians: dict[str, float], n: int = 5) -> list[str]:
@@ -97,15 +137,18 @@ def iqr_vetoes(name: str, cur: dict, prev: dict) -> bool:
     fall back to raw (idempotent with find_regressions' own forcing).
     """
     if parallelism_mismatch(cur, prev):
-        cur = {**cur, "host_factor": 1.0}
-        prev = {**prev, "host_factor": 1.0}
-    cur_f = cur.get("host_factor") or 1.0
-    prev_f = prev.get("host_factor") or 1.0
+        cur, prev = _force_raw(cur), _force_raw(prev)
+    # conservative bounds (see host_factor_bounds): the veto fires if
+    # the current IQR low reaches the prior band under ANY factor the
+    # two runs exhibited — current side divided by its HIGH bound,
+    # prior side by its LOW bound.
+    _, cur_hi = host_factor_bounds(cur)
+    prev_lo, _ = host_factor_bounds(prev)
     band_hi_raw = prev.get("spread", {}).get(name, [None, None])[1]
     iqr_lo_raw = cur.get("iqr", {}).get(name, [None, None])[0]
     if band_hi_raw is None or iqr_lo_raw is None:
         return False
-    return iqr_lo_raw / cur_f <= band_hi_raw / prev_f
+    return iqr_lo_raw / cur_hi <= band_hi_raw / prev_lo
 
 
 def find_regressions(
@@ -134,6 +177,14 @@ def find_regressions(
     tagged ``"parallelism_mismatch": True``, and the caller must route
     the result to the isolated A/B instead of reporting it as a
     normalization-based verdict.
+
+    Since r13 the normalization is CONSERVATIVE against intra-run host
+    drift (VERDICT r12 item 3): each record's start/end probes give a
+    factor band (:func:`host_factor_bounds`), and a query is flagged
+    only if the regression holds under the least-favorable combination
+    — current medians divided by the HIGH bound, prior medians and
+    bands by the LOW bound. The r12 record's 0.862-start/1.046-end
+    swing could previously manufacture or mask a 1.2x "move" by itself.
     """
     mismatch = parallelism_mismatch(cur, prev)
     if mismatch:
@@ -144,10 +195,12 @@ def find_regressions(
             "and deferring every verdict to the isolated A/B protocol",
             file=sys.stderr,
         )
-        cur = {**cur, "host_factor": 1.0}
-        prev = {**prev, "host_factor": 1.0}
-    cur_norm, prev_norm = normalized_medians(cur), normalized_medians(prev)
-    prev_f = prev.get("host_factor") or 1.0
+        cur, prev = _force_raw(cur), _force_raw(prev)
+    _, cur_hi_f = host_factor_bounds(cur)
+    prev_lo_f, _ = host_factor_bounds(prev)
+    cur_norm = {n: s / cur_hi_f for n, s in cur["medians"].items()}
+    prev_norm = {n: s / prev_lo_f for n, s in prev["medians"].items()}
+    prev_f = prev_lo_f
     prev_spread = prev.get("spread", {})
     out = []
     for name, cur_n in cur_norm.items():
@@ -247,14 +300,26 @@ def control_inflation(
     Vetoed when the median control ratio clears CONTROL_VETO_RATIO:
     the environment shifted under the probe, so flagged-query
     confirmations from the same window are unsound.
+
+    Baseline regime (ADVICE r12 #3): the controls run ISOLATED
+    (fresh-process, no interleave contention), so comparing them
+    against the prior round's INTERLEAVED medians biases their ratios
+    low and blunts the veto. When the prior record carries a baked
+    ``isolated_median`` for a control (same regime, not stale-tagged),
+    that is the baseline; the interleaved median is the fallback.
     """
     if not prev:
         return {}, False
     prev_norm = normalized_medians(prev)
+    prev_isolated = prev.get("isolated_median") or {}
     ratios = {}
     for c in CONTROL_QUERIES:
         r = isolated.get(c)
-        p = prev_norm.get(c)
+        iso = prev_isolated.get(c)
+        if isinstance(iso, dict) and not iso.get("stale") and iso.get("norm_s"):
+            p = iso["norm_s"]
+        else:
+            p = prev_norm.get(c)
         if r and p and p > 0:
             ratios[c] = round(r["median_norm_s"] / p, 3)
     vetoed = bool(ratios) and statistics.median(ratios.values()) >= CONTROL_VETO_RATIO

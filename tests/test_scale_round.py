@@ -278,3 +278,109 @@ def test_control_inflation_veto():
     # no prior record / no control data -> never vetoes
     assert scale_round.control_inflation(inflated, None) == ({}, False)
     assert scale_round.control_inflation({}, prev) == ({}, False)
+
+
+def test_host_factor_bounds_from_start_end_probes():
+    # r13: start/end probes give a factor band; pre-r13 records (no
+    # start/end fields) collapse both bounds to host_factor.
+    rec = _rec({"q": 1.0}, host_factor=0.954)
+    rec.update(host_factor_start=0.862, host_factor_end=1.046)
+    assert scale_round.host_factor_bounds(rec) == (0.862, 1.046)
+    assert scale_round.host_factor_bounds(_rec({"q": 1.0}, host_factor=1.3)) == (1.3, 1.3)
+    assert scale_round.host_factor_bounds({"medians": {}}) == (1.0, 1.0)
+
+
+def test_find_regressions_conservative_under_asymmetric_probes():
+    """VERDICT r12 item 3: the r12 record's 0.862-start/1.046-end probe
+    swing could manufacture a 1.2x 'move' when only the start factor
+    normalized. A raw 1.3x delta that disappears under the conservative
+    bound combination (cur / high, prev / low) must not flag; a move
+    that survives even the least-favorable factors must still flag."""
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.95, 1.05]})
+    # current round drifted mid-run: start probe fast, end probe slow.
+    cur = _rec({"q": 1.3}, host_factor=1.04)
+    cur.update(host_factor_start=0.862, host_factor_end=1.3)
+    # conservative: 1.3 / 1.3 = 1.0 vs prev 1.0 -> no regression,
+    # even though 1.3 / 0.862 = 1.51x would have flagged under the
+    # old start-probe-only normalization.
+    assert scale_round.find_regressions(cur, prev) == []
+    # a true move survives the conservative bounds
+    big = _rec({"q": 2.6}, host_factor=1.04)
+    big.update(host_factor_start=0.862, host_factor_end=1.3)
+    regs = scale_round.find_regressions(big, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    # ... and the prior side uses its LOW bound (raising prev_norm):
+    prev_drifty = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.95, 1.05]})
+    prev_drifty.update(host_factor_start=0.8, host_factor_end=1.2)
+    # prev_norm = 1.0/0.8 = 1.25; cur_norm = 1.3/1.0 = 1.3 -> 1.04x, no flag
+    cur_flat = _rec({"q": 1.3}, host_factor=1.0)
+    assert scale_round.find_regressions(cur_flat, prev_drifty) == []
+
+
+def test_force_raw_neutralizes_probe_bounds_on_mismatch(capsys):
+    # parallelism mismatch must discard the start/end bounds too, not
+    # just host_factor — otherwise the raw fallback re-normalizes.
+    prev = _rec({"q": 1.0}, host_factor=1.0, spread={"q": [0.95, 1.05]})
+    prev["probe_parallelism"] = 32
+    cur = _rec({"q": 1.5}, host_factor=3.0)
+    cur.update(host_factor_start=3.0, host_factor_end=3.0, probe_parallelism=16)
+    regs = scale_round.find_regressions(cur, prev)
+    assert [r["query"] for r in regs] == ["q"]  # raw 1.5x, factors ignored
+    assert regs[0]["parallelism_mismatch"] is True
+
+
+def test_control_inflation_prefers_same_regime_isolated_baseline():
+    """ADVICE r12 #3: isolated control runs must baseline against the
+    prior round's ISOLATED medians when baked (same regime); the
+    interleaved median is only the fallback, and stale-tagged entries
+    don't count."""
+    prev = _rec({"ivf2_ann_topk": 2.0, "rfm_segments": 2.0})
+    # isolated runs are typically faster than interleaved ones:
+    prev["isolated_median"] = {
+        "ivf2_ann_topk": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 12},
+        "rfm_segments": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "stale": True},
+    }
+    fresh = {
+        "ivf2_ann_topk": {"median_norm_s": 1.3, "median_raw_s": 1.3, "n": 4},
+        "rfm_segments": {"median_norm_s": 1.3, "median_raw_s": 1.3, "n": 4},
+    }
+    ratios, vetoed = scale_round.control_inflation(fresh, prev)
+    # ivf2: same-regime baseline 1.0 -> 1.3x (the true inflation);
+    # rfm: stale isolated entry skipped -> interleaved 2.0 -> 0.65x.
+    assert ratios == {"ivf2_ann_topk": 1.3, "rfm_segments": 0.65}
+    assert not vetoed  # median(1.3, 0.65) < 1.25
+
+
+def test_bench_stale_tags_carried_isolated_medians(tmp_path):
+    """ADVICE r12 #2: bench.py tags carried isolated_median entries
+    from earlier rounds stale at write time; current-round entries and
+    absent stamps behave as documented."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench_mod",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        ),
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = {
+        "fresh_q": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 13},
+        "old_q": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 12},
+        "unstamped_q": {"raw_s": 1.0, "norm_s": 1.0, "n": 4},
+    }
+    out = bench._stale_tag_isolated(prior, 13)
+    assert "stale" not in out["fresh_q"]
+    assert out["old_q"]["stale"] is True
+    assert out["unstamped_q"]["stale"] is True
+    # no round context -> passthrough; empty prior -> passthrough
+    assert bench._stale_tag_isolated(prior, None) == prior
+    assert bench._stale_tag_isolated(None, 13) is None
+
+    # _current_round derives from the newest BENCH archive
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    assert bench._current_round(str(tmp_path)) == 13
+    assert bench._current_round(str(tmp_path / "..")) in (None, 13)  # robust
