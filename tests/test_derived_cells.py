@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from data_engineer_8_final_project_spark.operators import similarity
 from data_engineer_8_final_project_spark.queries.extended import _knn_cells
 
@@ -187,5 +189,38 @@ def test_routing_arm_strict_hashes_routing_aware_oracle(spark, tmp_path, monkeyp
         routed_pd = q_knn_graph(spark, d).toPandas()
     odf = parity.run_oracle(d, _knn_graph_routing_oracle(k=3))
     assert len(routed_pd) == len(odf) == 3 * 8500
+    assert sorted(routed_pd.columns) == sorted(odf.columns)
+    assert parity._strict_hash(routed_pd) == parity._strict_hash(odf)
+
+
+@pytest.mark.slow
+def test_routing_arm_strict_hashes_at_500_cells(spark, tmp_path, monkeypatch):
+    """VERDICT r12 stretch 7: the routing-aware strict-hash pin ran at
+    66 cells / 8 parents (the engagement edge); the 128x scale leg
+    engages ~2000 derived cells. This second point hash-pins the
+    shipped routing plan at 500 cells / 22 parents (64,000 vectors —
+    the scale the knob exists for), so the evidence covers a deep
+    parent fan-out (22 parents x ~23 leaves/parent), not just the
+    minimum one. Same contract as the 66-cell pin: the registered
+    query's production routing arm must strict-hash-match the
+    routing-aware DuckDB replay (same reduced -2·dot+c2 score, same
+    tie orders at both levels). Marked slow: the DuckDB side replays
+    ~8.2M within-cell pairs."""
+    import warnings as _warnings
+
+    from data_engineer_8_final_project_spark import parity
+    from data_engineer_8_final_project_spark.queries.extended import (
+        _knn_graph_routing_oracle,
+        q_knn_graph,
+    )
+
+    d = _replicated_fixture_dir(tmp_path, factor=128)  # 64,000 vectors
+    monkeypatch.delenv("SPARK_GRAFT_KNN_ROUTING", raising=False)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", UserWarning)  # engagement warning, expected
+        assert _knn_cells(d) == (500, 22)  # deep engagement
+        routed_pd = q_knn_graph(spark, d).toPandas()
+    odf = parity.run_oracle(d, _knn_graph_routing_oracle(k=3))
+    assert len(routed_pd) == len(odf) == 3 * 64_000
     assert sorted(routed_pd.columns) == sorted(odf.columns)
     assert parity._strict_hash(routed_pd) == parity._strict_hash(odf)
