@@ -79,9 +79,17 @@ ORDER BY user_id
 def q_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import stateful
 
-    stream = stateful.user_running_totals(ev.read_events_stream(spark, sf_dir))
+    src = os.path.join(sf_dir, "events.parquet")
+    # Python-worker-bound: wall is ~linear in batch count (r13 A/B:
+    # 360 s -> 55 s at 64x going 32 -> 4 batches, hash unchanged), so
+    # the batch count comes from the replay law, not the file layout.
+    stream = stateful.user_running_totals(
+        ev.read_events_stream(
+            spark, sf_dir, max_files_per_trigger=ev.replay_files_per_trigger(src)
+        )
+    )
     # per-USER GroupState scales with the corpus — size the state width
-    width = ev.state_width_for(os.path.join(sf_dir, "events.parquet"))
+    width = ev.state_width_for(src)
     # spilled drain: update-mode emissions = users x batches — corpus-
     # scaling (r12 memory-sink liability sweep)
     sink = ev.run_available_now_spilled(stream, output_mode="update", state_partitions=width)
@@ -654,7 +662,17 @@ def user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        stream = stateful.user_running_totals_tws(ev.read_events_stream(spark, sf_dir))
+        # same replay-batch law as q_user_totals_stateful: the twin is
+        # equally Python-worker-bound per touched key per batch
+        stream = stateful.user_running_totals_tws(
+            ev.read_events_stream(
+                spark,
+                sf_dir,
+                max_files_per_trigger=ev.replay_files_per_trigger(
+                    os.path.join(sf_dir, "events.parquet")
+                ),
+            )
+        )
         width = ev.state_width_for(os.path.join(sf_dir, "events.parquet"))
         sink = ev.run_available_now_spilled(stream, output_mode="update", state_partitions=width)
     finally:

@@ -34,13 +34,24 @@ _sink_ids = itertools.count()
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, path_glob: str | None = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    path_glob: str | None = "events.parquet",
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """Streaming source over an events directory (explicit schema, 1-file micro-batches).
 
     The default glob picks the single ``events.parquet`` out of a
     fixture dir; pass ``path_glob=None`` for a landing directory of
     arbitrarily-named arriving files (the incremental-MV case).
+
+    ``max_files_per_trigger`` sizes the replay's micro-batches (None =
+    everything available in one batch). The default 1 keeps the
+    fixture replays genuinely multi-batch; Python-worker-bound
+    stateful consumers pass a larger value at scale — per-batch cost
+    there is dominated by touched-keys x per-group pandas invocation,
+    so fewer, larger batches amortize it (r13 A/B on
+    user_totals_stateful, SCALE_r13.md).
 
     When ``events.parquet`` is a DIRECTORY of part files (the scale
     harness writes one), the glob filter would match nothing — the
@@ -53,7 +64,9 @@ def read_events_stream(
 
     # ts is parquet TIMESTAMP(µs); the explicit EVENTS schema reads it
     # directly (no inference) under the UTC session-timezone pin.
-    reader = spark.readStream.schema(EVENTS).option("maxFilesPerTrigger", 1)
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if path_glob:
         target = os.path.join(sf_dir, path_glob)
         if os.path.isdir(target):
@@ -250,6 +263,34 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         state_partitions=state_width_for(src),
     )
     return out.filter(F.col("user_id") >= 0)  # drop the sentinel's own session
+
+
+def replay_files_per_trigger(src: str, target_batches: int = 4) -> int:
+    """maxFilesPerTrigger sizing for a PYTHON-WORKER-BOUND stateful
+    replay (applyInPandasWithState consumers): cap the replay at
+    ``target_batches`` micro-batches regardless of how many part files
+    the source has.
+
+    The cost law (documented on user_running_totals; measured by the
+    r13 A/B, scripts/stateful_batch_ab.py, SCALE_r13.md): per-batch
+    cost is dominated by touched-keys x one pandas invocation per
+    group, so a replay's wall time is ~linear in BATCH COUNT when most
+    keys appear in every batch — at 64x (32 part files, 96k users),
+    32 batches took 360 s, 8 took 92 s, 4 took 55 s, 1 took 21 s,
+    value hash identical across all four. A file-count-shaped batch
+    count (the old maxFilesPerTrigger=1) lets the STAGING layout pick
+    the multiplier; this law pins it. target_batches=4 keeps the
+    replay genuinely multi-batch (the stateful accumulation under
+    demonstration) while paying the per-batch key tax four times, not
+    once per file. Single-file fixture sources derive 1 — bit-identical
+    replay to the old hardcoded setting at every fixture SF. JVM-side
+    windowed aggs don't need this: their per-batch cost is a scan, not
+    a per-group Python call.
+    """
+    from ..catalog import _parquet_parts
+
+    n_files = len(_parquet_parts(src))
+    return max(1, -(-n_files // target_batches))
 
 
 def state_width_for(src: str) -> int:

@@ -725,3 +725,27 @@ def test_spilled_drain_reclaims_spill_root_eagerly(spark, sf_dir, tmp_path, monk
     )
     assert empty.count() == 0
     assert list(tmp_path.glob("spark_graft_drain_*")) == []
+
+
+def test_replay_files_per_trigger_law(sf_dir):
+    """r13 A/B law: batch count capped at target_batches regardless of
+    part-file layout; single-file fixture sources derive 1 (bit-
+    identical replay to the old hardcoded maxFilesPerTrigger=1)."""
+    import os
+
+    # the fixture's events.parquet is a single file -> 1
+    assert ev.replay_files_per_trigger(os.path.join(sf_dir, "events.parquet")) == 1
+
+    # synthetic file counts via a temp dir of empty parquet names
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(32):
+            open(os.path.join(d, f"part-{i:05d}.parquet"), "w").close()
+        assert ev.replay_files_per_trigger(d) == 8  # 32 files / 4 batches
+        assert ev.replay_files_per_trigger(d, target_batches=1) == 32
+        assert ev.replay_files_per_trigger(d, target_batches=32) == 1
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(5):
+            open(os.path.join(d, f"part-{i:05d}.parquet"), "w").close()
+        assert ev.replay_files_per_trigger(d) == 2  # ceil(5/4)
