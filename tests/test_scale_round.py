@@ -114,7 +114,17 @@ def test_committed_spread_schema_invariants():
         s_lo, s_hi = rec["spread"][n]
         assert s_lo <= lo <= hi <= s_hi, n
     assert rec["probe_sec"] > 0 and rec.get("probe_sec_end", 1) > 0
-    assert abs(rec["host_factor"] - rec["probe_sec"] / 1.75) < 0.01
+    if "host_factor_start" in rec:
+        # r13+: host_factor is the MEAN of the start/end probe factors
+        assert abs(rec["host_factor_start"] - rec["probe_sec"] / 1.75) < 0.01
+        assert abs(rec["host_factor_end"] - rec["probe_sec_end"] / 1.75) < 0.01
+        assert (
+            abs(rec["host_factor"] - (rec["host_factor_start"] + rec["host_factor_end"]) / 2)
+            < 0.01
+        )
+    else:
+        # pre-r13 records: start-probe semantics
+        assert abs(rec["host_factor"] - rec["probe_sec"] / 1.75) < 0.01
 
 
 def test_find_regressions_normalizes_prior_band_across_hosts():
