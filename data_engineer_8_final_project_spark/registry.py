@@ -124,13 +124,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pca_scores",
     "revenue_bootstrap_ci",
     # ---- driver window boundary (50) ----
-    # -- r9 greens deferred from the r13 window (HEAD OF THE r14
-    # -- WINDOW): each was chosen because a sibling query with fresher
-    # -- driver evidence exercises the same operator family --
-    # -- event_sessions_native (event_sessions r12), grouping_sets_revenue
-    # -- (rollup_region_nation r12 / cube_flag_status r10),
-    # -- revenue_mom_growth (forecast_revenue_change r11),
-    # -- weekday_seasonality (events_time_rollup r12) --
+    # NOTE for the r14 rotation — head the window with:
+    # (a) the r12 greens whose CODE PATH changed in r13 after their
+    #     newest driver rows (each re-verified strict-hash at both SFs
+    #     in-round, but the driver hasn't seen the new code):
+    #       - "user_totals_stateful" (replay_files_per_trigger law +
+    #         the eager spill-root reclaim in its drain)
+    #       - "events_session_stream", "view_click_stream_join" (their
+    #         shared drain, run_available_now_spilled, now
+    #         localCheckpoints the read-back and reclaims the spill
+    #         root eagerly)
+    #     (dedup_stream / dedup_stream_watermarked / event_funnel_stream
+    #     also consume that drain but sit in the r13 window head, so
+    #     their fresh rows postdate the change.)
+    # (b) the four r9 greens deferred from the r13 window, each chosen
+    #     because a sibling query with fresher driver evidence
+    #     exercises the same operator family: event_sessions_native
+    #     (event_sessions r12), grouping_sets_revenue
+    #     (rollup_region_nation r12 / cube_flag_status r10),
+    #     revenue_mom_growth (forecast_revenue_change r11),
+    #     weekday_seasonality (events_time_rollup r12).
     "event_sessions_native",
     "grouping_sets_revenue",
     "revenue_mom_growth",

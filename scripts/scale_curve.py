@@ -68,16 +68,29 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy2(src, dst)
 
 
-def build_scaled_dir(spark, base: str, factor: int, root: str) -> str:
-    """sf0.1 with documents/orders replicated `factor` x, ids disjoint."""
-    out = os.path.join(root, f"x{factor}")
+def build_scaled_dir(
+    spark, base: str, factor: int, root: str, replicated: set[str] | None = None
+) -> str:
+    """``base`` with the ``replicated`` tables replicated `factor` x
+    (ids disjoint); every other table hard-linked (copy fallback).
+    ``replicated`` defaults to the full REPLICATED set; harnesses that
+    scale a single table pass a subset (e.g. {"events"} for the
+    stateful-replay A/B) so both stagings share one implementation —
+    stride, part count, timestamp pinning, and the _DONE marker can
+    never silently diverge between harnesses (review r13)."""
+    repl = REPLICATED if replicated is None else replicated
+    # subset stagings get their own dir: a root shared between
+    # harnesses must never reuse a _DONE dir staged with a different
+    # replicated set
+    suffix = "" if repl == REPLICATED else "_" + "-".join(sorted(repl))
+    out = os.path.join(root, f"x{factor}{suffix}")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     os.makedirs(out, exist_ok=True)
     for name in catalog.TABLE_NAMES:
         src = os.path.join(base, f"{name}.parquet")
         dst = os.path.join(out, f"{name}.parquet")
-        if name not in REPLICATED:
+        if name not in repl:
             if os.path.isdir(src):
                 shutil.copytree(src, dst, copy_function=_link_or_copy,
                                 dirs_exist_ok=True)

@@ -306,23 +306,33 @@ def control_inflation(
     against the prior round's INTERLEAVED medians biases their ratios
     low and blunts the veto. When the prior record carries a baked
     ``isolated_median`` for a control (same regime, not stale-tagged),
-    that is the baseline; the interleaved median is the fallback.
+    that is the baseline; the interleaved median is the fallback — and
+    the VETO median is computed over the same-regime subset alone when
+    one exists (review r13: blending a regime-biased-low fallback
+    ratio into the median would let one control suppress a genuine
+    same-regime inflation signal).
     """
     if not prev:
         return {}, False
     prev_norm = normalized_medians(prev)
     prev_isolated = prev.get("isolated_median") or {}
     ratios = {}
+    same_regime = []
     for c in CONTROL_QUERIES:
         r = isolated.get(c)
         iso = prev_isolated.get(c)
         if isinstance(iso, dict) and not iso.get("stale") and iso.get("norm_s"):
             p = iso["norm_s"]
+            regime_matched = True
         else:
             p = prev_norm.get(c)
+            regime_matched = False
         if r and p and p > 0:
             ratios[c] = round(r["median_norm_s"] / p, 3)
-    vetoed = bool(ratios) and statistics.median(ratios.values()) >= CONTROL_VETO_RATIO
+            if regime_matched:
+                same_regime.append(ratios[c])
+    pool = same_regime or list(ratios.values())
+    vetoed = bool(pool) and statistics.median(pool) >= CONTROL_VETO_RATIO
     return ratios, vetoed
 
 

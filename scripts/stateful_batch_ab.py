@@ -32,52 +32,34 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-ID_STRIDE = 1_000_000_000  # scale_curve's disjoint-id stride
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def stage(factor: int, root: str) -> str:
     """sf0.1 with ONLY events replicated factor-x (other tables linked).
 
-    Same replication as scale_curve.build_scaled_dir (disjoint
-    event_id/user_id spaces, TIMESTAMP_MICROS pinned, 32 part files)
-    but skips the tables this query never reads at scale.
-    """
-    from pyspark.sql import functions as F
+    Delegates to scale_curve.build_scaled_dir (review r13: the A/B's
+    validity depends on matching that staging bit-for-bit — stride,
+    disjoint event_id/user_id spaces, TIMESTAMP_MICROS pin, 32 part
+    files, link-with-copy-fallback, partial-staging recovery — so it
+    must BE that staging, restricted to the one table this query
+    scales with)."""
+    import importlib.util
 
-    from data_engineer_8_final_project_spark import catalog
     from data_engineer_8_final_project_spark.session import get_spark
 
-    out = os.path.join(root, f"x{factor}")
-    if os.path.exists(os.path.join(out, "_DONE")):
-        return out
-    os.makedirs(out, exist_ok=True)
+    spec = importlib.util.spec_from_file_location(
+        "scale_curve", os.path.join(ROOT, "scripts", "scale_curve.py")
+    )
+    scale_curve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scale_curve)
     spark = get_spark(app_name="stateful_ab_stage")
-    for name in catalog.TABLE_NAMES:
-        src = os.path.join(SF_DIR, f"{name}.parquet")
-        dst = os.path.join(out, f"{name}.parquet")
-        if name != "events":
-            if os.path.isdir(src):
-                shutil.copytree(src, dst, copy_function=os.link, dirs_exist_ok=True)
-            else:
-                os.link(src, dst)
-            continue
-        df = spark.read.schema(catalog.FIXTURE_SCHEMAS[name]).parquet(src)
-        reps = spark.range(factor).withColumnRenamed("id", "_rep")
-        scaled = df.crossJoin(F.broadcast(reps))
-        for c in ("event_id", "user_id"):
-            scaled = scaled.withColumn(
-                c, (F.col(c) + F.col("_rep") * F.lit(ID_STRIDE)).cast("long")
-            )
-        prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType")
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        try:
-            scaled.drop("_rep").repartition(32).write.mode("overwrite").parquet(dst)
-        finally:
-            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
-    spark.stop()
-    open(os.path.join(out, "_DONE"), "w").close()
-    return out
+    try:
+        return scale_curve.build_scaled_dir(
+            spark, SF_DIR, factor, root, replicated={"events"}
+        )
+    finally:
+        spark.stop()
 
 
 def run_leg(mft: int, scaled_dir: str) -> None:
@@ -134,6 +116,8 @@ def main() -> None:
     root = args.keep or tempfile.mkdtemp(prefix="stateful_ab_")
     os.makedirs(root, exist_ok=True)
     legs = []
+    failed = []
+    ok = True
     try:
         scaled = stage(args.factor, root)
         for mft in args.mft:
@@ -147,6 +131,7 @@ def main() -> None:
             )
             if proc.returncode != 0 or line is None:
                 print(f"leg mft={mft} FAILED\n{proc.stderr[-2000:]}", file=sys.stderr)
+                failed.append(mft)
                 continue
             rec = json.loads(line)
             legs.append(rec)
@@ -156,7 +141,13 @@ def main() -> None:
             ok = all(r["hash"] == h0 for r in legs)
             print("\n| maxFilesPerTrigger | batches | wall s | rel | hash |")
             print("|---|---|---|---|---|")
+            # rel is meaningful only against the FIRST REQUESTED leg;
+            # if that leg failed (it is the slowest, most timeout-
+            # prone), renormalizing silently would understate every
+            # ratio — label the column's true base instead.
             base = legs[0]["wall_s"]
+            if failed and args.mft and legs[0]["mft"] != args.mft[0]:
+                print(f"(rel is vs mft={legs[0]['mft']} — the mft={args.mft[0]} leg failed)")
             for r in legs:
                 print(
                     f"| {r['mft']} | {r['n_batches']} | {r['wall_s']} "
@@ -166,6 +157,11 @@ def main() -> None:
     finally:
         if not args.keep:
             shutil.rmtree(root, ignore_errors=True)
+    # a scripted caller must not mistake a broken A/B for a measurement
+    if failed:
+        sys.exit(2)
+    if not ok:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -358,7 +358,15 @@ def test_control_inflation_prefers_same_regime_isolated_baseline():
     # ivf2: same-regime baseline 1.0 -> 1.3x (the true inflation);
     # rfm: stale isolated entry skipped -> interleaved 2.0 -> 0.65x.
     assert ratios == {"ivf2_ann_topk": 1.3, "rfm_segments": 0.65}
-    assert not vetoed  # median(1.3, 0.65) < 1.25
+    # review r13: the veto pool is the SAME-REGIME subset when one
+    # exists — rfm's regime-biased-low fallback ratio must not blend
+    # into the median and suppress ivf2's genuine 1.3x inflation.
+    assert vetoed
+    # with no same-regime baseline anywhere, the pool is all ratios
+    prev_fallback_only = _rec({"ivf2_ann_topk": 2.0, "rfm_segments": 2.0})
+    ratios2, vetoed2 = scale_round.control_inflation(fresh, prev_fallback_only)
+    assert ratios2 == {"ivf2_ann_topk": 0.65, "rfm_segments": 0.65}
+    assert not vetoed2
 
 
 def test_bench_stale_tags_carried_isolated_medians(tmp_path):

@@ -126,20 +126,30 @@ def test_arrow_boundary_sites_project_consumed_columns():
         ("operators/similarity.py", "brute_force_topk_gemm"),
         ("queries/udf_q.py", "q_doc_norm_length_grouped"),
     }
+    # Sites whose projection is UPSTREAM of the call statement (hand-
+    # verified): brute_force_topk_gemm builds `emb` from an explicit
+    # 3-column select earlier in the function, then filters it at the
+    # call. Every other site must show .select( in the call statement
+    # itself — a bare .filter( narrows rows, not width, and must NOT
+    # count as projection evidence (review r13).
+    projected_upstream = {("operators/similarity.py", "brute_force_topk_gemm")}
     got = set()
     for rel, src in _py_sources().items():
         lines = src.splitlines()
         for i, line in enumerate(lines, 1):
             if not arrow_re.search(line.split("#", 1)[0]):
                 continue
-            got.add((rel, _anchor(rel, i)))
+            site = (rel, _anchor(rel, i))
+            got.add(site)
             # the statement (this line + up to 8 before it, one
             # expression chain) must project explicitly
             stmt = "\n".join(lines[max(0, i - 9) : i])
-            assert ".select(" in stmt or ".filter(" in stmt, (
+            assert ".select(" in stmt or site in projected_upstream, (
                 f"{rel}:{i} ships unprojected rows across the Arrow "
                 "boundary — project the consumed columns first "
-                "(r12: 15-25% measured wins on the stateful streams)."
+                "(r12: 15-25% measured wins on the stateful streams); "
+                "if the projection genuinely lives upstream, hand-verify "
+                "and add the site to projected_upstream."
             )
     assert got == allowed, (
         f"Arrow-boundary site set changed: {got ^ allowed}. New sites "
