@@ -290,6 +290,15 @@ def previous_spread_record(
 #: no isolated verdict from that window is trustworthy.
 CONTROL_QUERIES = ("ivf2_ann_topk", "rfm_segments")
 CONTROL_VETO_RATIO = 1.25
+#: r13 finding: with two controls the median is the mean, so one
+#: not-yet-degraded control can drag a 1.416x inflated one to 1.2405 —
+#: a hair under the veto — and four code-stable queries got REGRESSION
+#: CONFIRMED from a window whose re-check 25 minutes later showed BOTH
+#: controls inflated (1.49x/1.06x same-regime, median 1.27). Drift can
+#: hit asymmetrically (the ANN-profile control inflated first), so a
+#: SINGLE code-stable control at >= this bar is itself inconsistent
+#: with a comparable window, regardless of the median.
+CONTROL_VETO_MAX = 1.4
 
 
 def control_inflation(
@@ -332,7 +341,10 @@ def control_inflation(
             if regime_matched:
                 same_regime.append(ratios[c])
     pool = same_regime or list(ratios.values())
-    vetoed = bool(pool) and statistics.median(pool) >= CONTROL_VETO_RATIO
+    vetoed = bool(pool) and (
+        statistics.median(pool) >= CONTROL_VETO_RATIO
+        or max(pool) >= CONTROL_VETO_MAX
+    )
     return ratios, vetoed
 
 

@@ -402,3 +402,28 @@ def test_bench_stale_tags_carried_isolated_medians(tmp_path):
     (tmp_path / "BENCH_r12.json").write_text("{}")
     assert bench._current_round(str(tmp_path)) == 13
     assert bench._current_round(str(tmp_path / "..")) in (None, 13)  # robust
+
+
+def test_control_veto_fires_on_single_extreme_control():
+    """r13 finding: one not-yet-degraded control must not drag an
+    extreme (>= CONTROL_VETO_MAX) code-stable control under the median
+    cut — the exact escape that confirmed four code-stable queries
+    from a degraded window (median 1.2405 with ivf2 at 1.416x)."""
+    prev = _rec({"ivf2_ann_topk": 1.0, "rfm_segments": 1.0})
+    prev["isolated_median"] = {
+        "ivf2_ann_topk": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 12},
+        "rfm_segments": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 12},
+    }
+    asymmetric = {
+        "ivf2_ann_topk": {"median_norm_s": 1.45, "median_raw_s": 1.45, "n": 4},
+        "rfm_segments": {"median_norm_s": 1.02, "median_raw_s": 1.02, "n": 4},
+    }
+    ratios, vetoed = scale_round.control_inflation(asymmetric, prev)
+    assert ratios == {"ivf2_ann_topk": 1.45, "rfm_segments": 1.02}
+    assert vetoed  # median 1.235 < 1.25, but max 1.45 >= CONTROL_VETO_MAX
+    mild = {
+        "ivf2_ann_topk": {"median_norm_s": 1.3, "median_raw_s": 1.3, "n": 4},
+        "rfm_segments": {"median_norm_s": 1.02, "median_raw_s": 1.02, "n": 4},
+    }
+    _, vetoed = scale_round.control_inflation(mild, prev)
+    assert not vetoed  # median 1.16, max 1.3 — below both bars
