@@ -97,6 +97,8 @@ def main() -> None:
     for name in args.names:
         raw: list[float] = []
         norm: list[float] = []
+        steady_raw: list[float] = []
+        steady_norm: list[float] = []
         factors: list[float] = []
         for p in range(args.procs):
             try:
@@ -131,6 +133,15 @@ def main() -> None:
             raw.extend(rec["reps"])
             factors.append(rec["host_factor"])
             norm.extend(t / rec["host_factor"] for t in rec["reps"])
+            # steady state = per-process reps AFTER the first: rep 1
+            # carries the query's own whole-stage-codegen/JIT compile,
+            # and the r13 drift incident showed compile throughput can
+            # degrade independently of execution (ivf2 reps 2.29 ->
+            # 1.15 -> 0.98 -> 0.93 in one JVM while its interleaved
+            # median was stable). median_raw_s stays comparable with
+            # pre-r13 baked baselines; steady_* separates the regimes.
+            steady_raw.extend(rec["reps"][1:])
+            steady_norm.extend(t / rec["host_factor"] for t in rec["reps"][1:])
             print(f"{name} proc {p}: reps={rec['reps']} host_factor={rec['host_factor']}")
         if raw:
             results[name] = {
@@ -140,6 +151,9 @@ def main() -> None:
                 "host_factors": factors,
                 "n": len(raw),
             }
+            if steady_raw:
+                results[name]["steady_raw_s"] = round(statistics.median(steady_raw), 4)
+                results[name]["steady_norm_s"] = round(statistics.median(steady_norm), 4)
     record = {"sf": args.sf, "results": results}
     print(json.dumps(record, indent=1))
     if args.json_out:

@@ -428,6 +428,13 @@ def bake_isolated_medians(
                 "raw_s": r["median_raw_s"],
                 "norm_s": r["median_norm_s"],
                 "n": r["n"],
+                # rep-1-excluded medians (r13: compile throughput can
+                # drift independently of execution; see PROBES.md)
+                **(
+                    {"steady_raw_s": r["steady_raw_s"], "steady_norm_s": r["steady_norm_s"]}
+                    if "steady_raw_s" in r
+                    else {}
+                ),
                 **({"round": round_no} if round_no is not None else {}),
             }
         tmp = path + ".tmp"

@@ -427,3 +427,28 @@ def test_control_veto_fires_on_single_extreme_control():
     }
     _, vetoed = scale_round.control_inflation(mild, prev)
     assert not vetoed  # median 1.16, max 1.3 — below both bars
+
+
+def test_bake_isolated_medians_carries_steady_fields(tmp_path):
+    """r13: the baked record carries the rep-1-excluded steady medians
+    when the harness produced them, and omits them cleanly otherwise
+    (pre-r13 result shapes must keep baking)."""
+    p = tmp_path / "bench_spread.json"
+    p.write_text(json.dumps(_rec({"q": 1.0, "q2": 1.0})))
+    scale_round.bake_isolated_medians(
+        {
+            "q": {
+                "median_raw_s": 1.7, "median_norm_s": 1.9, "n": 4,
+                "steady_raw_s": 0.95, "steady_norm_s": 1.05,
+            },
+            "q2": {"median_raw_s": 1.1, "median_norm_s": 1.0, "n": 4},
+        },
+        [str(p)],
+        round_no=13,
+    )
+    out = json.loads(p.read_text())["isolated_median"]
+    assert out["q"] == {
+        "raw_s": 1.7, "norm_s": 1.9, "n": 4,
+        "steady_raw_s": 0.95, "steady_norm_s": 1.05, "round": 13,
+    }
+    assert out["q2"] == {"raw_s": 1.1, "norm_s": 1.0, "n": 4, "round": 13}
