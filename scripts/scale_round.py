@@ -330,7 +330,12 @@ def control_inflation(
     for c in CONTROL_QUERIES:
         r = isolated.get(c)
         iso = prev_isolated.get(c)
-        if isinstance(iso, dict) and not iso.get("stale") and iso.get("norm_s"):
+        if (
+            isinstance(iso, dict)
+            and not iso.get("stale")
+            and not iso.get("vetoed")  # degraded-window bake (r13): not a baseline
+            and iso.get("norm_s")
+        ):
             p = iso["norm_s"]
             regime_matched = True
         else:

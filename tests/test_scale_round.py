@@ -452,3 +452,23 @@ def test_bake_isolated_medians_carries_steady_fields(tmp_path):
         "steady_raw_s": 0.95, "steady_norm_s": 1.05, "round": 13,
     }
     assert out["q2"] == {"raw_s": 1.1, "norm_s": 1.0, "n": 4, "round": 13}
+
+
+def test_control_inflation_skips_vetoed_isolated_baselines():
+    """r13: isolated medians baked from a window later adjudicated
+    degraded are marked vetoed; using one as a same-regime control
+    baseline would make the next round's ratios read artificially low
+    and under-fire the veto. Vetoed entries fall back to interleaved."""
+    prev = _rec({"ivf2_ann_topk": 1.0, "rfm_segments": 1.0})
+    prev["isolated_median"] = {
+        # degraded-window bake: 1.8x the true level, vetoed
+        "ivf2_ann_topk": {"raw_s": 1.8, "norm_s": 1.8, "n": 4, "round": 13, "vetoed": True},
+    }
+    fresh = {
+        "ivf2_ann_topk": {"median_norm_s": 1.45, "median_raw_s": 1.45, "n": 4},
+    }
+    ratios, vetoed = scale_round.control_inflation(fresh, prev)
+    # against the vetoed 1.8 baseline the ratio would read 0.81 (clean);
+    # against the interleaved 1.0 fallback it reads the true 1.45 -> veto
+    assert ratios == {"ivf2_ann_topk": 1.45}
+    assert vetoed
