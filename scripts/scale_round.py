@@ -622,7 +622,18 @@ def main() -> None:
             if iso is None:
                 lines.append(f"| {f['query']} | {f['ratio']} | — | {f['prev_norm_s']} | no isolated data |")
                 continue
-            cleared = iso["median_norm_s"] <= f["prev_norm_s"] * 1.25
+            # Regime note (r13): prev_norm_s is an INTERLEAVED median,
+            # while the isolated run is fresh-process — for sub-second
+            # JIT-heavy queries the fresh-process regime is
+            # structurally slower (the query's own codegen/JIT tail
+            # spans 3+ reps; r13 measured weighted_sample_topk rep3 at
+            # ~2x its interleaved steady). Judge on the rep-1-excluded
+            # steady median when available — the closest fresh-process
+            # proxy for the interleaved regime — and treat a residual
+            # small-query confirmation as suspect until the interleaved
+            # band check agrees (SCALE_r13.md).
+            metric = iso.get("steady_norm_s", iso["median_norm_s"])
+            cleared = metric <= f["prev_norm_s"] * 1.25
             if f.get("parallelism_mismatch"):
                 # review r12: under a mismatch prev_norm_s is RAW while
                 # the isolated median is probe-normalized — comparing
