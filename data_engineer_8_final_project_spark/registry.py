@@ -58,97 +58,32 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-13 window (first 50; the driver verifies only these). ----
-    # Rotation (VERDICT r12 item 1). Head of the window = the four
-    # queries whose newest driver evidence predates their current code:
-    #   - dedup_stream_watermarked: registered 201st in r12 (after that
-    #     round's window was fixed) -- zero driver rows ever; judge-
-    #     verified MATCH at sf0.01 in the r12 session.
-    #   - dedup_stream: r10 green predates the r12 spilled-drain switch.
-    #   - event_funnel_stream / events_by_segment_stream: r11 greens
-    #     predate the r12 Arrow-boundary projection + drain sweep +
-    #     read_events_stream rerouting.
-    # Then 46 of the 50 r9-green queries (the oldest remaining driver
-    # evidence). The four r9 greens that miss the 50-slot cut are named
-    # for the r14 window head (see the boundary comment below).
-    # -- never-driver-seen (1) + code-changed-after-evidence (3) --
-    "dedup_stream_watermarked",
-    "dedup_stream",
-    "event_funnel_stream",
-    "events_by_segment_stream",
-    # -- 46 of the 50-query r9-green cohort --
-    "matches_clean",
-    "event_type_drift",
-    "scd2_point_in_time_join",
-    "kmeans_clusters",
-    "bm25_doc_ranking",
-    "table_profile",
-    "knn_bfs_hops",
-    "quality_model_filter",
-    "cluster_balanced_sample",
-    "maxsim_multivector_topk",
-    "attribution_last_touch",
-    "ewma_user_value",
-    "value_outliers_mad",
-    "revenue_trend_by_nation",
-    "rfm_segments",
-    "brand_affinity_pairs",
-    "conversion_latency_stats",
-    "lang_source_contingency",
-    "quality_percentile_norm",
-    "pq_reconstruction_error",
-    "session_bounce_stats",
-    "knn_kcore",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "revenue_pareto_deciles",
-    "hourly_volume_spikes",
-    "fd_violation_audit",
-    "revenue_trend_theilsen",
-    "benford_first_digit",
-    "revenue_gini",
-    "token_prefix_completions",
-    "part_price_boxplot",
-    "cohort_ltv",
-    "snapshot_reconcile",
-    "ab_test_conversion",
-    "activity_heatmap",
-    "embedding_norm_outliers",
-    "rolling_wau",
-    "user_churn_rate",
-    "brand_hhi_by_year",
-    "supplier_latency_league",
-    "curation_pipeline",
-    "embedding_covariance",
-    "token_cms_heavy_hitters",
-    "embedding_pca_scores",
-    "revenue_bootstrap_ci",
-    # ---- driver window boundary (50) ----
-    # NOTE for the r14 rotation — head the window with:
-    # (a) the r12 greens whose CODE PATH changed in r13 after their
-    #     newest driver rows (each re-verified strict-hash at both SFs
-    #     in-round, but the driver hasn't seen the new code):
-    #       - "user_totals_stateful" (replay_files_per_trigger law +
-    #         the eager spill-root reclaim in its drain)
-    #       - "events_session_stream", "view_click_stream_join" (their
-    #         shared drain, run_available_now_spilled, now
-    #         localCheckpoints the read-back and reclaims the spill
-    #         root eagerly)
-    #     (dedup_stream / dedup_stream_watermarked / event_funnel_stream
-    #     also consume that drain but sit in the r13 window head, so
-    #     their fresh rows postdate the change.)
-    # (b) the four r9 greens deferred from the r13 window, each chosen
-    #     because a sibling query with fresher driver evidence
-    #     exercises the same operator family: event_sessions_native
-    #     (event_sessions r12), grouping_sets_revenue
-    #     (rollup_region_nation r12 / cube_flag_status r10),
-    #     revenue_mom_growth (forecast_revenue_change r11),
-    #     weekday_seasonality (events_time_rollup r12).
+    # ---- Round-14 window (first 50; the driver verifies only these). ----
+    # Rotation per VERDICT r13 item 1 and the r13 boundary note:
+    # (a) three r12 greens whose code path changed in r13 AFTER their
+    #     newest driver rows (replay-batch law + eager spill-root
+    #     reclaim in user_totals_stateful's drain; the shared
+    #     run_available_now_spilled drain now localCheckpoints the
+    #     read-back for events_session_stream / view_click_stream_join);
+    # (b) the four r9 deferrals (oldest driver evidence in the repo);
+    # (c) 43 of the 49-query r10-green cohort. The six r10 greens
+    #     deferred to the r15 head each have an operator-family sibling
+    #     with fresh evidence: dup_clusters_twostar (dup_clusters is in
+    #     THIS window), tfidf_topk_terms (bm25_doc_ranking r13),
+    #     lang_mixture_weights (lang_source_contingency r13),
+    #     minhash_lsh_pairs (minhash_native_pairs in THIS window),
+    #     pq_adc_topk (pq_reconstruction_error r13), knn_graph
+    #     (knn_kcore / knn_bfs_hops r13).
+    # -- (a) code changed in r13 after newest driver rows --
+    "user_totals_stateful",
+    "events_session_stream",
+    "view_click_stream_join",
+    # -- (b) the four r9 deferrals --
     "event_sessions_native",
     "grouping_sets_revenue",
     "revenue_mom_growth",
     "weekday_seasonality",
-    # -- r10/r11 greens --
+    # -- (c) 43 of the r10-green cohort --
     "group_count",
     "group_sum_multi",
     "revenue_by_nation",
@@ -189,15 +124,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_median_length_udaf",
     "doc_norm_length_grouped",
     "doc_tokens_udtf",
-    "dup_clusters_twostar",
     "ngram_decontamination",
     "vocab_build",
+    "skewed_user_join",
+    # ---- driver window boundary (50) ----
+    # NOTE for the r15 rotation -- head the window with the six r10
+    # deferrals below, then the oldest of the r11-green cohort
+    # (44 of 48 fit; defer four with fresh-sibling rationale).
+    # -- r10 greens deferred from the r14 window (r15 head) --
+    "dup_clusters_twostar",
     "tfidf_topk_terms",
     "lang_mixture_weights",
     "minhash_lsh_pairs",
-    "skewed_user_join",
     "pq_adc_topk",
     "knn_graph",
+    # -- r11 greens --
     "semantic_dedup",
     "semantic_decontamination",
     "knn_triangle_stats",
@@ -246,10 +187,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_logprob",
     "weighted_sample_topk",
     "weighted_sample_per_source",
-    # -- r12 greens: freshest evidence in the repo --
-    "events_session_stream",
-    "user_totals_stateful",
-    "view_click_stream_join",
+    # -- r12 greens (minus the three promoted to the r14 head) --
     "knn_pagerank",
     "watermark_drop_audit",
     "pricing_summary",
@@ -297,6 +235,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
+    # -- r13 greens: freshest evidence in the repo --
+    "dedup_stream_watermarked",
+    "dedup_stream",
+    "event_funnel_stream",
+    "events_by_segment_stream",
+    "matches_clean",
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "table_profile",
+    "knn_bfs_hops",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "maxsim_multivector_topk",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "snapshot_reconcile",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    "curation_pipeline",
+    "embedding_covariance",
+    "token_cms_heavy_hitters",
+    "embedding_pca_scores",
+    "revenue_bootstrap_ci",
 )
 
 def all_queries() -> dict[str, Query]:

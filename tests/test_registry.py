@@ -14,65 +14,65 @@ from data_engineer_8_final_project_spark import registry
 DRIVER_WINDOW = 50
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-13 rotation (VERDICT r12 item 1): dedup_stream_watermarked
-#: (registered 201st in r12, zero driver rows ever), then dedup_stream /
-#: event_funnel_stream / events_by_segment_stream (code changed in r12
-#: after their newest driver rows), then 46 of the 50 r9-green queries
-#: (the oldest remaining driver evidence). The four deferred r9 greens
-#: (event_sessions_native, grouping_sets_revenue, revenue_mom_growth,
-#: weekday_seasonality) head the r14 window. Post-r13 only those four
-#: have evidence older than r10.
+#: Round-14 rotation (VERDICT r13 item 1): user_totals_stateful /
+#: events_session_stream / view_click_stream_join (code changed in r13
+#: after their newest r12 driver rows), then the four r9 deferrals
+#: (oldest driver evidence in the repo), then 43 of the 49-query
+#: r10-green cohort. The six r10 greens deferred to the r15 head each
+#: have a fresh operator-family sibling (see registry.py rotation
+#: comment). Post-r14 no query's newest green is older than r10, and
+#: only six r10 rows remain.
 MUST_BE_IN_WINDOW = {
-    "dedup_stream_watermarked",
-    "dedup_stream",
-    "event_funnel_stream",
-    "events_by_segment_stream",
-    "matches_clean",
-    "event_type_drift",
-    "scd2_point_in_time_join",
-    "kmeans_clusters",
-    "bm25_doc_ranking",
-    "table_profile",
-    "knn_bfs_hops",
-    "quality_model_filter",
-    "cluster_balanced_sample",
-    "maxsim_multivector_topk",
-    "attribution_last_touch",
-    "ewma_user_value",
-    "value_outliers_mad",
-    "revenue_trend_by_nation",
-    "rfm_segments",
-    "brand_affinity_pairs",
-    "conversion_latency_stats",
-    "lang_source_contingency",
-    "quality_percentile_norm",
-    "pq_reconstruction_error",
-    "session_bounce_stats",
-    "knn_kcore",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "revenue_pareto_deciles",
-    "hourly_volume_spikes",
-    "fd_violation_audit",
-    "revenue_trend_theilsen",
-    "benford_first_digit",
-    "revenue_gini",
-    "token_prefix_completions",
-    "part_price_boxplot",
-    "cohort_ltv",
-    "snapshot_reconcile",
-    "ab_test_conversion",
-    "activity_heatmap",
-    "embedding_norm_outliers",
-    "rolling_wau",
-    "user_churn_rate",
-    "brand_hhi_by_year",
-    "supplier_latency_league",
-    "curation_pipeline",
-    "embedding_covariance",
-    "token_cms_heavy_hitters",
-    "embedding_pca_scores",
-    "revenue_bootstrap_ci",
+    "user_totals_stateful",
+    "events_session_stream",
+    "view_click_stream_join",
+    "event_sessions_native",
+    "grouping_sets_revenue",
+    "revenue_mom_growth",
+    "weekday_seasonality",
+    "group_count",
+    "group_sum_multi",
+    "revenue_by_nation",
+    "top_orders",
+    "order_gaps_lag",
+    "part_price_rank",
+    "custkey_set_ops",
+    "cube_flag_status",
+    "promo_revenue_share",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "order_value_quartiles",
+    "doc_fingerprints",
+    "simhash_near_dup",
+    "text_normalize",
+    "unpivot_order_metrics",
+    "standings",
+    "media_decode_fake",
+    "reference_standings",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "dup_clusters",
+    "training_manifest",
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "ngram_decontamination",
+    "vocab_build",
+    "skewed_user_join",
 }
 
 
