@@ -103,6 +103,13 @@ def cosine_sql(a: str, b: str, dim: int) -> Column:
     per-PAIR verify paths (millions of candidate pairs × 64 dims) the
     interpreted form dominated the query: measured ~10× end-to-end on
     the banded-LSH near-dup verify at sf0.1.
+
+    r14 caveat: the full 3-dot form fused into a JOIN consume exceeds
+    Janino's 64 KB method limit at dim=64 (silent interpreted
+    fallback). Pair stages must hoist the per-side norms below the
+    shuffle (``sqrt(dot_sql_str(v, v, dim))`` per row — bit-identical)
+    and keep only the cross dot + divide per pair; the tripwire is
+    tests/test_similarity.py::test_pair_cosine_stages_compile.
     """
     dot = dot_sql_str(a, b, dim)
     na = dot_sql_str(a, a, dim)
@@ -223,11 +230,25 @@ def cosine_near_dup_pairs(
     see :func:`lsh_near_dup_pairs` for the subquadratic path valid at
     duplicate-range thresholds); what this formulation fixes is the
     *plan shape*, not the comparison count.
+
+    The per-side norms are hoisted BELOW the shuffle (computed once per
+    vector, carried through the exchange) rather than inlined in the
+    pair residual: the full 3-dot ``cosine_sql`` residual (192
+    ``element_at`` products) fused with the SHUFFLE_HASH consume blew
+    Janino's 64 KB method limit and silently fell back to interpreted
+    evaluation (observed r13, both local[8]/sf0.01 and local[32]/sf0.1)
+    — exactly the configuration the flat form exists to keep inside
+    whole-stage codegen. ``sqrt(flat self-dot)`` evaluated in the
+    pre-shuffle projection is bit-identical to the same expression
+    inlined post-join, so hashes are unchanged; the pair stage keeps
+    one 64-term dot + divide and compiles. Regression tripwire:
+    ``tests/test_similarity.py::test_pair_cosine_stages_compile`` runs
+    this under ``spark.sql.codegen.fallback=false``.
     """
     spark = embeddings.sparkSession
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
     block_pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "block_a int, block_b int",
@@ -235,12 +256,24 @@ def cosine_near_dup_pairs(
     a = (
         emb.withColumn("block_a", (F.col("vec_id") % n_blocks).cast("int"))
         .join(F.broadcast(block_pairs), "block_a")
-        .select("block_a", "block_b", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+        .select(
+            "block_a",
+            "block_b",
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("nrm_a"),
+        )
     )
     b = (
         emb.withColumn("block_b", (F.col("vec_id") % n_blocks).cast("int"))
         .join(F.broadcast(block_pairs), "block_b")
-        .select("block_a", "block_b", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        .select(
+            "block_a",
+            "block_b",
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nrm_b"),
+        )
     )
     return (
         # SHUFFLE_HASH pin: the sides sit at the broadcast-threshold
@@ -255,7 +288,12 @@ def cosine_near_dup_pairs(
         .select(
             F.least("id_a", "id_b").alias("vec_a"),
             F.greatest("id_a", "id_b").alias("vec_b"),
-            F.round(cosine_sql("va", "vb", dim), decimals).alias("cosine"),
+            # one 64-term dot + divide; norms ride in from below the
+            # shuffle (same sqrt(flat) bits as the inlined form)
+            F.round(
+                F.expr(f"({dot_sql_str('va', 'vb', dim)}) / (nrm_a * nrm_b)"),
+                decimals,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -746,15 +784,28 @@ def lsh_near_dup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    # norms are hoisted into the fetch-back sides (computed once per
+    # vector, below the join) — the full 3-dot cosine_sql residual
+    # fused with the double-join consume blew Janino's 64 KB method
+    # limit and ran interpreted (found r14 via the fallback=false
+    # tripwire); the split form is bit-identical and compiles
+    nrm = F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})")
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nrm.alias("nrm_a")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nrm.alias("nrm_b")
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_sql("va", "vb", dim), decimals).alias("cosine"),
+            F.round(
+                F.expr(f"({dot_sql_str('va', 'vb', dim)}) / (nrm_a * nrm_b)"),
+                decimals,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -1096,13 +1147,18 @@ def _cell_self_join(
 
     ``a_names``/``b_names`` rename ``(vec_id, v)`` per side; ``cell``
     is kept once; any ``extra`` columns ride along per side with
-    ``_a``/``_b`` suffixes. NOTE: measured at the 8× scale leg, extra
-    columns riding the join cost more than they save (the pruned
-    4-column join beat a norms-carrying variant ~1.5×) — prefer
-    recomputing per-pair over carrying per-row. Callers pass a STAGED
-    frame
-    (localCheckpoint locally; written-to-parquet at cluster scale) so
-    the assignment expression is evaluated once, not once per side.
+    ``_a``/``_b`` suffixes. NOTE (r14, supersedes the r8-era "pruned
+    join beats norms-carrying ~1.5×" measurement): that A/B predates
+    the discovery that the recompute-per-pair 3-dot residual blew
+    Janino's 64 KB method limit and ran the stage on the
+    non-whole-stage path. With norms hoisted (``extra=("nrm",)``) the
+    pair residual is one dot + divide, which compiles AND stays under
+    HotSpot's JIT huge-method limit — measured faster than both prior
+    regimes at sf0.1 (see test_similarity.py and the session-level
+    ``spark.sql.codegen.hugeMethodLimit=8000`` rationale). Callers pass
+    a STAGED frame (localCheckpoint locally; written-to-parquet at
+    cluster scale) so the assignment expression is evaluated once, not
+    once per side.
     """
     a, b = assigned.alias("a"), assigned.alias("b")
     cols = [
@@ -1283,15 +1339,27 @@ def semantic_dedup_verdicts(
     # n_cells·dim quantizer expression evaluates once, not three times.
     # localCheckpoint locally; at cluster scale write the assigned
     # table to parquet and join that.
+    # nrm rides the staged frame: the 3-dot cosine_sql residual fused
+    # with the cell self-join consume blew Janino's 64 KB limit and ran
+    # interpreted (found r14, fallback=false tripwire) — hoisting the
+    # per-vector norms below the shuffle keeps the pair stage compiled;
+    # sqrt(flat self-dot) is bit-identical to the inlined form
     assigned = (
         _spread_if_undersplit(emb)
         .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+        .withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
         .localCheckpoint(eager=True)
     )
     dropped = (
-        _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"])
+        _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"], extra=("nrm",))
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine_sql("va", "vb", dim), decimals) >= threshold)
+        .filter(
+            F.round(
+                F.expr(f"({dot_sql_str('va', 'vb', dim)}) / (nrm_a * nrm_b)"),
+                decimals,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

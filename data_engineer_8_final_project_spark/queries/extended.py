@@ -1761,9 +1761,14 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     _, structs_sql = similarity.seeded_medoid_cells(emb, 16)
+    # nrm computed once per vector below the cell join — the inlined
+    # 3-dot cosine_sql residual fused with the join consume blew
+    # Janino's 64 KB limit and ran interpreted (found r14,
+    # fallback=false tripwire); sqrt(flat self-dot) is bit-identical
     assigned = (
         similarity._spread_if_undersplit(emb)
         .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+        .withColumn("nrm", F.expr(f"sqrt({similarity.dot_sql_str('v', 'v', 64)})"))
         .withColumn("bucket", hash_bucket(F.col("vec_id").cast("string"), 100))
         .withColumn(
             "split",
@@ -1773,14 +1778,26 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     test = assigned.filter(F.col("split") == "test").select(
-        "cell", F.col("vec_id").alias("t_id"), F.col("v").alias("tv")
+        "cell",
+        F.col("vec_id").alias("t_id"),
+        F.col("v").alias("tv"),
+        F.col("nrm").alias("nrm_t"),
     )
     train = assigned.filter(F.col("split") == "train").select(
-        "cell", F.col("vec_id").alias("r_id"), F.col("v").alias("rv")
+        "cell",
+        F.col("vec_id").alias("r_id"),
+        F.col("v").alias("rv"),
+        F.col("nrm").alias("nrm_r"),
     )
     contaminated = (
         test.join(train, "cell")
-        .filter(F.round(similarity.cosine_sql("tv", "rv", 64), 6) >= 0.35)
+        .filter(
+            F.round(
+                F.expr(f"({similarity.dot_sql_str('tv', 'rv', 64)}) / (nrm_t * nrm_r)"),
+                6,
+            )
+            >= 0.35
+        )
         .select(F.col("t_id").alias("vec_id"))
         .distinct()
         .withColumn("_hit", F.lit(True))

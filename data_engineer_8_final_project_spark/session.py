@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # HotSpot never JIT-compiles methods past ~8000 bytecodes
+        # (-XX:DontCompileHugeMethods): a whole-stage method between
+        # 8 KB and Janino's 64 KB limit compiles but runs in the
+        # bytecode INTERPRETER — measured 7x slower than the row path
+        # on the unrolled pair-cosine stages, whose per-expression
+        # codegen splits into small JIT-able methods. Cap generated
+        # methods at the JIT limit so such stages take the fast split
+        # path automatically; fused stages under 8 KB are untouched.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

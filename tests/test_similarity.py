@@ -1,0 +1,49 @@
+"""Codegen-compile tripwires for the pair-stage cosine paths.
+
+Round-13 finding (VERDICT r13 "What's wrong" #1): the flat 3-dot
+``cosine_sql`` residual (192 ``element_at`` products at dim=64), fused
+with a join consume into one whole-stage-codegen method, exceeded
+Janino's 64 KB method limit — Spark logged ``ERROR CodeGenerator: Code
+grows beyond 64 KB`` and silently fell back to interpreted evaluation,
+which is exactly the cost the flat form exists to avoid (the r6
+rewrite measured ~10× on the verify stage). The r14 fallback=false
+sweep found FOUR such stages: embedding_near_dup_pairs,
+lsh_near_dup_pairs, semantic_dedup, semantic_decontamination. All were
+fixed by hoisting the per-vector ``sqrt(flat self-dot)`` below the
+shuffle (bit-identical values, one 64-term dot + divide per pair).
+
+These tests pin the fix: with ``spark.sql.codegen.fallback=false`` a
+64 KB blowout RAISES instead of silently interpreting, so any future
+residual growth (dim bump, extra predicate fused into the pair stage)
+fails CI loudly instead of quietly shipping an interpreted hot path.
+
+Run at sf0.01 — the config where the fallback was observed (the fused
+stage shape depends on the planned join strategy, which can differ at
+smoke scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineer_8_final_project_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+PAIR_COSINE_QUERIES = [
+    "embedding_near_dup_pairs",
+    "lsh_near_dup_pairs",
+    "semantic_dedup",
+    "semantic_decontamination",
+]
+
+
+@pytest.mark.parametrize("name", PAIR_COSINE_QUERIES)
+def test_pair_cosine_stages_compile(spark, name):
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        # count() forces every stage; a 64 KB compile failure raises
+        assert all_queries()[name].fn(spark, SF).count() >= 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
