@@ -80,15 +80,20 @@ def _host_probe(spark) -> tuple[float, int]:
 
 
 def _current_round(repo_dir: str) -> int | None:
-    """The round this bench run belongs to: newest BENCH_r{N}.json + 1.
+    """The round this bench run belongs to: ``$SPARK_GRAFT_ROUND`` when
+    set (authoritative — archive-file timing can misattribute, r13
+    ADVICE), else newest BENCH_r{N}.json + 1.
 
     The driver archives BENCH_r{N}.json at the END of round N, so a
-    live run always belongs to max(N)+1. Used only to stale-tag
+    live run normally belongs to max(N)+1. Used only to stale-tag
     carried isolated_median adjudications (ADVICE r12 #2); None when
     no archive exists (fresh clone) — nothing is tagged.
     """
     import re
 
+    explicit = os.environ.get("SPARK_GRAFT_ROUND")
+    if explicit:
+        return int(explicit)
     rounds = [
         int(m.group(1))
         for p in os.listdir(repo_dir)
@@ -105,15 +110,22 @@ def _stale_tag_isolated(prior: dict | None, current_round: int | None) -> dict |
     re-runs, so without this a new round's fresh live spread presents
     an old round's isolated medians as current, distinguishable only
     by a per-entry stamp downstream consumers must remember to check.
-    Entries stamped with the current round pass through untouched;
-    everything else (older stamp, no stamp) gets ``stale: True``.
+    Entries stamped with the current round OR NEWER pass through
+    untouched; only strictly-older stamps (or no stamp) get ``stale:
+    True``. The >= comparison (r13 ADVICE) keeps round attribution
+    robust to archive-file timing: a bench re-run after BENCH_r{N}
+    lands but while same-round isolated bakes are still current would
+    otherwise stale-tag them, and an entry stamped NEWER than the
+    inferred round (archive deleted) is plainly not stale.
     """
     if not prior or current_round is None:
         return prior
     return {
         name: (
             entry
-            if isinstance(entry, dict) and entry.get("round") == current_round
+            if isinstance(entry, dict)
+            and isinstance(entry.get("round"), int)
+            and entry["round"] >= current_round
             else {**entry, "stale": True}
             if isinstance(entry, dict)
             else entry
@@ -171,6 +183,16 @@ def main() -> None:
             queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(time.perf_counter() - t0)
         passes_done += 1
+        # Reap dead localCheckpoint blocks between passes (ADVICE r13
+        # #2): the spilled streaming drain returns eager-checkpointed
+        # frames whose blocks stay pinned in block-manager storage
+        # after the noop write consumes them — 3+ interleaved passes
+        # over all streaming queries accumulate the emitted-row sets
+        # in spark.local.dir for the whole session. Every rep rebuilds
+        # its frames from scratch, so nothing live is dropped; outside
+        # the timed region, same pattern as scale_curve's per-rep reap.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     # Micro-query noise taming (VERDICT r10 item 6): sub-2 s queries
     # showed +-0.4 s spreads in the 77-query interleaved run — wide
@@ -254,10 +276,20 @@ def main() -> None:
     except (ValueError, OSError):
         prior_isolated = None
     prior_isolated = _stale_tag_isolated(prior_isolated, _current_round(repo_dir))
+    # One run_id stamped into BOTH artifacts this run writes (the
+    # printed line -> BENCH_r{N}.json, and bench_spread.json): the two
+    # same-round archives can come from DIFFERENT runs (the builder's
+    # in-round spread vs the driver's end-of-round line), and their
+    # host factors are only interchangeable when the run_id matches —
+    # scale_round.same_run() is the guard (VERDICT r13 item 5).
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
     with open(spread_path, "w") as f:
         json.dump(
             {
                 **({"isolated_median": prior_isolated} if prior_isolated else {}),
+                "run_id": run_id,
                 "medians": timings,
                 "spread": spread,
                 "total_sec": round(sum(timings.values()), 4),
@@ -284,7 +316,10 @@ def main() -> None:
         "passes": passes_done,
         "sf": _sf_label(SF_DIR),
         "host_factor": host_factor,
+        "host_factor_start": host_factor_start,
+        "host_factor_end": host_factor_end,
         "probe_parallelism": probe_parallelism,
+        "run_id": run_id,
         "queries": timings,
     }
     if len(json.dumps(line)) > 1500:  # stay far clear of the 2000-char tail buffer

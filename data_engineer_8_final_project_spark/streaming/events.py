@@ -419,7 +419,11 @@ def run_available_now_spilled(
     bench/scale session running many corpus-scaling drains does not
     accumulate gigabytes under /tmp (ADVICE r12 #1 — the disk analogue
     of the driver-heap leak this drain exists to avoid). Dead
-    checkpoint blocks are reaped between scale runs by scale_curve.
+    checkpoint blocks are reaped by the long-lived harnesses that
+    interleave many drains in one JVM — scale_curve per rep, bench.py
+    between passes (ADVICE r13 #2); one-shot consumers (the grading
+    driver, pytest) hold at most one drain's blocks, bounded by the
+    emitted-row set, until session exit.
     """
     import glob as _glob
     import os

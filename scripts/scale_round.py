@@ -58,6 +58,27 @@ def load_spread(path: str) -> dict | None:
     return rec
 
 
+def same_run(a: dict | None, b: dict | None) -> bool | None:
+    """Whether two bench artifacts came from the SAME bench run.
+
+    VERDICT r13 item 5 (host_factor bookkeeping): BENCH_r{N}.json (the
+    driver's end-of-round run) and bench_spread_r{N}.json (the
+    builder's archived in-round run) can be DIFFERENT runs with
+    different host factors (r13: 0.878 vs 0.904). A factor is canonical
+    ONLY for the medians recorded by its own run — mixing one
+    artifact's medians with the other's factor manufactures phantom
+    deltas. Since r14 bench.py stamps one ``run_id`` into both
+    artifacts it writes; this helper is the guard: True/False when both
+    records carry a run_id, None when either predates the stamp (treat
+    as NOT interchangeable).
+    """
+    ra = a.get("run_id") if isinstance(a, dict) else None
+    rb = b.get("run_id") if isinstance(b, dict) else None
+    if ra is None or rb is None:
+        return None
+    return ra == rb
+
+
 def normalized_medians(rec: dict) -> dict[str, float]:
     """Per-query medians divided by the round's host_factor.
 
@@ -219,6 +240,16 @@ def find_regressions(
         rec = {
             "query": name,
             "prev_norm_s": round(prev_n, 4),
+            # mean-factor baseline for the ISOLATED adjudication gate
+            # (r13 ADVICE): prev_norm_s is deliberately inflated by the
+            # LOW host-factor bound so the FLAG errs conservative, but
+            # stacking that inflation under the clearance's own 1.25x
+            # slack would let a real regression in a drifty prior
+            # window clear as contention/JIT. The adjudication compares
+            # against the prior round's best single estimate instead.
+            "prev_mean_norm_s": round(
+                prev["medians"][name] / (prev.get("host_factor") or 1.0), 4
+            ),
             "cur_norm_s": round(cur_n, 4),
             "ratio": round(ratio, 3),
         }
@@ -614,7 +645,7 @@ def main() -> None:
                 "",
             ]
         lines += [
-            "| query | ratio (interleaved) | isolated norm s | prev norm s | verdict |",
+            "| query | ratio (interleaved) | isolated norm s | prev norm s (mean-f baseline) | verdict |",
             "|---|---|---|---|---|",
         ]
         for f in flagged:
@@ -633,7 +664,12 @@ def main() -> None:
             # small-query confirmation as suspect until the interleaved
             # band check agrees (SCALE_r13.md).
             metric = iso.get("steady_norm_s", iso["median_norm_s"])
-            cleared = metric <= f["prev_norm_s"] * 1.25
+            # clearance bar uses the MEAN-factor baseline (r13 ADVICE):
+            # the low-bound prev_norm_s stays in the flag/veto gates
+            # only — stacked with the 1.25x slack it would clear real
+            # regressions measured against a drifty prior window
+            baseline = f.get("prev_mean_norm_s", f["prev_norm_s"])
+            cleared = metric <= baseline * 1.25
             if f.get("parallelism_mismatch"):
                 # review r12: under a mismatch prev_norm_s is RAW while
                 # the isolated median is probe-normalized — comparing
@@ -651,7 +687,7 @@ def main() -> None:
                 verdict = "REGRESSION CONFIRMED"
             lines.append(
                 f"| {f['query']} | {f['ratio']} | {iso['median_norm_s']} "
-                f"| {f['prev_norm_s']} | {verdict} |"
+                f"| {baseline} | {verdict} |"
             )
     text = "\n".join(lines) + "\n"
     dest = os.path.join(ROOT, f"SCALE_r{args.round}.md")

@@ -472,3 +472,88 @@ def test_control_inflation_skips_vetoed_isolated_baselines():
     # against the interleaved 1.0 fallback it reads the true 1.45 -> veto
     assert ratios == {"ivf2_ann_topk": 1.45}
     assert vetoed
+
+
+def test_bench_stale_tag_keeps_future_and_current_stamps_fresh():
+    """ADVICE r13 #3: round attribution must not depend on archive-file
+    timing — an entry stamped with the current round or NEWER (archive
+    deleted, or the round was inferred low) is fresh; only strictly
+    older stamps go stale."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench_mod2",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        ),
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prior = {
+        "current_q": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 14},
+        "future_q": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 15},
+        "old_q": {"raw_s": 1.0, "norm_s": 1.0, "n": 4, "round": 13},
+    }
+    out = bench._stale_tag_isolated(prior, 14)
+    assert "stale" not in out["current_q"]
+    assert "stale" not in out["future_q"]
+    assert out["old_q"]["stale"] is True
+
+
+def test_bench_current_round_env_override(tmp_path, monkeypatch):
+    """ADVICE r13 #3: $SPARK_GRAFT_ROUND beats archive inference."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "bench_mod3",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        ),
+    )
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    (tmp_path / "BENCH_r12.json").write_text("{}")
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    assert bench._current_round(str(tmp_path)) == 13
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "14")
+    assert bench._current_round(str(tmp_path)) == 14
+
+
+def test_same_run_rejects_mixed_run_factors():
+    """VERDICT r13 item 5: BENCH_r{N}.json and bench_spread_r{N}.json
+    can be different runs with different host factors (r13: 0.878 vs
+    0.904); a factor is canonical only for its own run's medians.
+    same_run() is the guard consumers must pass before treating the
+    factors as interchangeable; records predating the run_id stamp are
+    never interchangeable (None)."""
+    a = _rec({"q": 1.0})
+    b = _rec({"q": 1.1}, host_factor=0.9)
+    # pre-r14 records carry no run_id -> not interchangeable
+    assert scale_round.same_run(a, b) is None
+    a["run_id"], b["run_id"] = "abc123", "abc123"
+    assert scale_round.same_run(a, b) is True
+    b["run_id"] = "def456"
+    assert scale_round.same_run(a, b) is False
+    assert scale_round.same_run(None, b) is None
+
+
+def test_find_regressions_adjudication_baseline_uses_mean_factor():
+    """ADVICE r13 #1: the FLAG stays conservative (prev normalized by
+    the LOW factor bound), but the isolated-adjudication baseline
+    (prev_mean_norm_s) uses the prior round's MEAN factor — otherwise
+    the low-bound inflation stacks under the clearance's 1.25x slack
+    and a real regression in a drifty prior window clears as
+    contention/JIT."""
+    prev = _rec({"q": 1.0}, host_factor=1.0)
+    prev["host_factor_start"], prev["host_factor_end"] = 0.8, 1.2
+    cur = _rec({"q": 2.0}, host_factor=1.0)
+    cur["host_factor_start"], cur["host_factor_end"] = 1.0, 1.0
+    out = scale_round.find_regressions(cur, prev, threshold=1.2)
+    assert len(out) == 1
+    rec = out[0]
+    # flag baseline: prev median / LOW bound = 1.0 / 0.8 = 1.25
+    assert abs(rec["prev_norm_s"] - 1.25) < 1e-9
+    # adjudication baseline: prev median / MEAN factor = 1.0 / 1.0
+    assert abs(rec["prev_mean_norm_s"] - 1.0) < 1e-9
