@@ -177,7 +177,9 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+def session_window_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", n_chunks: int = 2
+) -> DataFrame:
     """Streaming session windows over the events replay, flushed exactly.
 
     Append mode only emits a session once the watermark passes its end —
@@ -209,7 +211,7 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
     # stale /tmp stage written by older code would be silently replayed.
     st = os.stat(src)
     key = hashlib.md5(
-        f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"v2:{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}:{n_chunks}".encode()
     ).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"spark_graft_events_eos_{key}")
     done_marker = os.path.join(stage, "_staged_ok")
@@ -228,12 +230,16 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
         # Staging is input prep (deterministic from the fixture), done
         # once per fixture content and reused across runs.
         shutil.rmtree(stage, ignore_errors=True)
-        cuts = [lo + (hi - lo) * i // 2 for i in range(3)]
+        # n_chunks ascending time slices + the sentinel file; the
+        # default 2 keeps the replay bit-identical to the pre-r14
+        # staging, and the A/B harness raises it to measure the
+        # batch-count cost law on this JVM-side consumer
+        cuts = [lo + (hi - lo) * i // n_chunks for i in range(n_chunks + 1)]
         cuts[-1] = hi + dt.timedelta(microseconds=1)
         from .. import staging
 
         staged_so_far: set[str] = set()
-        for i in range(2):
+        for i in range(n_chunks):
             batch.filter((F.col("ts") >= cuts[i]) & (F.col("ts") < cuts[i + 1])).coalesce(
                 1
             ).write.mode("append").parquet(stage)
@@ -244,7 +250,7 @@ def session_window_stream(spark: SparkSession, sf_dir: str, gap: str = "30 minut
             EVENTS,
         )
         sentinel.coalesce(1).write.mode("append").parquet(stage)
-        staging.pin_new_file_mtimes(stage, st.st_mtime + 3, staged_so_far)
+        staging.pin_new_file_mtimes(stage, st.st_mtime + 1 + n_chunks, staged_so_far)
         open(done_marker, "w").close()
     events = (
         spark.readStream.schema(EVENTS)
@@ -566,7 +572,9 @@ def _stage_time_ordered_replay(spark: SparkSession, sf_dir: str, n_chunks: int =
     return stage
 
 
-def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def view_click_stream_join(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
     """Stream-stream inner join: click attribution to a preceding view.
 
     Two independent streams over the same replay (views, clicks), both
@@ -587,7 +595,7 @@ def view_click_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders both sides together), so the drained result equals the
     batch join at every replica shape.
     """
-    stage = _stage_time_ordered_replay(spark, sf_dir)
+    stage = _stage_time_ordered_replay(spark, sf_dir, n_chunks=n_chunks)
 
     def side(evt: str, prefix: str) -> DataFrame:
         return (

@@ -62,25 +62,46 @@ def stage(factor: int, root: str) -> str:
         spark.stop()
 
 
-def run_leg(mft: int, scaled_dir: str) -> None:
+def run_leg(mft: int, scaled_dir: str, query: str = "user_totals") -> None:
     """One fresh-JVM leg: the registered query's exact pipeline at the
-    given maxFilesPerTrigger. Prints one JSON line on stdout."""
+    given batch-count knob. Prints one JSON line on stdout.
+
+    The knob's meaning is per-query: ``user_totals`` replays the raw
+    part files, so it is maxFilesPerTrigger; ``session`` /``vcjoin``
+    replay FIXED-CHUNK time-ordered stagings (their batch count is set
+    by construction, not by the file count), so there the knob is the
+    staging's n_chunks — 32 vs 4 compares a many-small-batch replay
+    against the shipped default on the same corpus, hashes pinned.
+    These two are JVM-side consumers (native session_window agg /
+    stream-stream join): the r13 cost law (per-batch pandas call per
+    touched key) does NOT apply; what batch count costs them is
+    per-batch state-store commit + shuffle rounds, measured here
+    (VERDICT r13 item 4)."""
     from data_engineer_8_final_project_spark.session import get_spark
     from data_engineer_8_final_project_spark.streaming import events as ev
     from data_engineer_8_final_project_spark.streaming import stateful
 
-    spark = get_spark(app_name=f"stateful_ab_mft{mft}")
+    spark = get_spark(app_name=f"stateful_ab_{query}_{mft}")
     spark.sparkContext.setLogLevel("ERROR")
     width = ev.state_width_for(os.path.join(scaled_dir, "events.parquet"))
     progress: list = []
     t0 = time.perf_counter()
-    stream = stateful.user_running_totals(
-        ev.read_events_stream(spark, scaled_dir, max_files_per_trigger=mft)
-    )
-    sink = ev.run_available_now_spilled(
-        stream, output_mode="update", state_partitions=width, progress_out=progress
-    )
-    pdf = stateful.finalize_totals(sink).orderBy("user_id").toPandas()
+    if query == "user_totals":
+        stream = stateful.user_running_totals(
+            ev.read_events_stream(spark, scaled_dir, max_files_per_trigger=mft)
+        )
+        sink = ev.run_available_now_spilled(
+            stream, output_mode="update", state_partitions=width, progress_out=progress
+        )
+        pdf = stateful.finalize_totals(sink).orderBy("user_id").toPandas()
+    elif query == "session":
+        out = ev.session_window_stream(spark, scaled_dir, n_chunks=mft)
+        pdf = out.orderBy("user_id", "session_start").toPandas()
+    elif query == "vcjoin":
+        out = ev.view_click_stream_join(spark, scaled_dir, n_chunks=mft)
+        pdf = out.orderBy("v_event_id", "c_event_id").toPandas()
+    else:
+        raise SystemExit(f"unknown query {query!r}")
     wall = time.perf_counter() - t0
     cols = sorted(pdf.columns)
     canon = pdf[cols].astype(str).sort_values(by=cols, ignore_index=True)
@@ -89,7 +110,9 @@ def run_leg(mft: int, scaled_dir: str) -> None:
             {
                 "mft": mft,
                 "wall_s": round(wall, 1),
-                "n_batches": len(progress),
+                # session/vcjoin drain inside their pipeline (no
+                # progress hook); their batch count is the knob itself
+                "n_batches": len(progress) if query == "user_totals" else mft,
                 "rows": len(pdf),
                 "hash": hashlib.md5(canon.to_csv(index=False).encode()).hexdigest(),
                 "state_width": width,
@@ -105,12 +128,19 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=64)
     ap.add_argument("--mft", nargs="+", type=int, default=[1, 4, 8, 32])
     ap.add_argument("--keep", default=None, help="reuse/keep staged corpus here")
+    ap.add_argument(
+        "--query",
+        default="user_totals",
+        choices=["user_totals", "session", "vcjoin"],
+        help="pipeline to A/B (knob = maxFilesPerTrigger for "
+        "user_totals, staging n_chunks for session/vcjoin)",
+    )
     ap.add_argument("--one", type=int, default=None, help="(internal) run one leg")
     ap.add_argument("--dir", default=None, help="(internal) staged corpus dir")
     args = ap.parse_args()
 
     if args.one is not None:
-        run_leg(args.one, args.dir)
+        run_leg(args.one, args.dir, args.query)
         return
 
     root = args.keep or tempfile.mkdtemp(prefix="stateful_ab_")
@@ -122,7 +152,16 @@ def main() -> None:
         scaled = stage(args.factor, root)
         for mft in args.mft:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", str(mft), "--dir", scaled],
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--one",
+                    str(mft),
+                    "--dir",
+                    scaled,
+                    "--query",
+                    args.query,
+                ],
                 capture_output=True,
                 text=True,
             )
