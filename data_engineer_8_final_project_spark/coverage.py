@@ -111,6 +111,7 @@ SURVEY_COVERAGE: dict[str, list[str]] = {
 EXTENDED_COVERAGE: dict[str, list[str]] = {
     "dedup-exact": ["query:dedup_exact"],
     "dedup-jaccard": ["query:jaccard_near_dup"],
+    "dedup-containment": ["query:ngram_containment_pairs"],
     "dedup-simhash": ["query:simhash_near_dup"],
     "dedup-minhash-lsh": [
         "query:minhash_lsh_pairs",

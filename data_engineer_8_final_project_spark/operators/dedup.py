@@ -71,15 +71,18 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_candidate_pairs(
+def _shared_shingle_pairs(
     documents: DataFrame,
-    shingle_n: int = 3,
-    min_shared: int = 2,
-    max_df: int = 100,
-) -> DataFrame:
-    """Near-duplicate candidate pairs by n-gram Jaccard similarity.
+    shingle_n: int,
+    min_shared: int,
+    max_df: int,
+) -> tuple[DataFrame, DataFrame]:
+    """``(pairs, sizes)``: unordered co-shingle counts per doc pair
+    (doc_a < doc_b, shared_shingles ≥ min_shared) and per-doc distinct
+    shingle counts — the blocking core shared by
+    :func:`jaccard_candidate_pairs` (resemblance) and
+    :func:`containment_pairs` (asymmetric overlap).
 
-    Returns (doc_a, doc_b, shared_shingles, jaccard) with doc_a < doc_b.
     ``max_df`` drops shingles present in more than that many documents
     before any pair is produced — the skew/blowup guard: a stop-shingle
     shared by 10 k docs would alone produce 10k²/2 candidate pairs.
@@ -89,7 +92,7 @@ def jaccard_candidate_pairs(
             "doc_id", F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh")
         )
     )
-    # distinct shingle count per doc (for the union term of Jaccard)
+    # distinct shingle count per doc (union term / containment denominator)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # One shuffle on sh builds the posting list per shingle; the df cap
     # (drop stop-shingles) and the singleton drop apply BEFORE any pair
@@ -120,6 +123,21 @@ def jaccard_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= min_shared)
     )
+    return pairs, sizes
+
+
+def jaccard_candidate_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by n-gram Jaccard similarity.
+
+    Returns (doc_a, doc_b, shared_shingles, jaccard) with doc_a < doc_b.
+    See :func:`_shared_shingle_pairs` for the blocking/scale design.
+    """
+    pairs, sizes = _shared_shingle_pairs(documents, shingle_n, min_shared, max_df)
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -135,6 +153,57 @@ def jaccard_candidate_pairs(
                 4,
             ).alias("jaccard"),
         )
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    max_df: int = 100,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: ``C(d → c) = |S_d ∩ S_c| /
+    |S_d|`` ≥ threshold — quote/subset detection (Broder's containment,
+    "On the resemblance and containment of documents", 1997).
+
+    Resemblance (Jaccard) misses the asymmetric near-dup that matters
+    for training-data curation: a short document quoted wholesale
+    inside a long one has a small union-normalized score but
+    containment ≈ 1 — exactly the "document d is mostly inside
+    container c" verdict a dedup or decontamination gate wants (a test
+    prompt embedded in a train document contaminates regardless of how
+    much OTHER text the train document carries).
+
+    Returns (doc_id, container_id, shared_shingles, containment), both
+    directions of every co-shingle pair scored independently — the
+    shared-shingle count is symmetric, so the unordered pair is counted
+    ONCE (:func:`_shared_shingle_pairs`, df-capped posting lists, no
+    self-join) and mirrored with one generator, same pattern as the
+    semantic-dedup cosine mirror: no second plan branch re-runs the
+    pair stage.
+    """
+    pairs, sizes = _shared_shingle_pairs(documents, shingle_n, min_shared, max_df)
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("d"), F.col("doc_b").alias("c")),
+                F.struct(F.col("doc_b").alias("d"), F.col("doc_a").alias("c")),
+            )
+        ).alias("e"),
+        "shared_shingles",
+    ).select(
+        F.col("e.d").alias("doc_id"), F.col("e.c").alias("container_id"), "shared_shingles"
+    )
+    return (
+        directed.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "container_id",
+            "shared_shingles",
+            F.round(F.col("shared_shingles") / F.col("n_sh"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

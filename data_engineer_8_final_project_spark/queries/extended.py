@@ -233,6 +233,62 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_pairs",
+    # Registered r14 (r15 window head candidate — no driver row yet;
+    # verified strict-hash MATCH vs this oracle at sf0.01 and sf0.001
+    # in the r14 session). Deterministic despite the LIMIT: the sort
+    # key (containment DESC, doc_id, container_id) is unique per row.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT sh.doc_id, sh.sh FROM sh
+      JOIN (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh) d
+        ON sh.sh = d.s2 AND d.df <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_shingles
+      FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+      SELECT doc_a AS doc_id, doc_b AS container_id, shared_shingles FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS container_id, shared_shingles FROM pairs
+    )
+    SELECT d.doc_id, d.container_id, d.shared_shingles,
+           ROUND(d.shared_shingles / s.n_sh, 4) AS containment
+    FROM directed d JOIN sizes s ON d.doc_id = s.doc_id
+    WHERE ROUND(d.shared_shingles / s.n_sh, 4) >= 0.3
+    ORDER BY containment DESC, d.doc_id, d.container_id
+    LIMIT 500
+    """,
+    survey_ref="extended: directed n-gram containment (quote/subset detection)",
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: doc mostly CONTAINED in a container doc
+    (C(d→c) = shared/|S_d| — Broder containment), the quote-detection
+    complement of jaccard_near_dup's resemblance. Same df-capped
+    posting-list blocking core (operators/dedup.containment_pairs);
+    reference has no text dedup at all — this extends the
+    training-data-pipeline surface (brief: dedup family)."""
+    t = tables_for(spark, sf_dir)
+    return (
+        dedup.containment_pairs(
+            t["documents"], shingle_n=3, min_shared=2, max_df=100, threshold=0.3
+        )
+        .orderBy(F.desc("containment"), F.asc("doc_id"), F.asc("container_id"))
+        .limit(500)
+    )
+
+
+@register(
     "minhash_lsh_pairs",
     # Decidable since round 6 (VERDICT r5 item 3): the query emits
     # LSH candidates post-verified by EXACT shingle Jaccard ≥ 0.7, so

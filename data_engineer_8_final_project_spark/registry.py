@@ -286,6 +286,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
     "revenue_bootstrap_ci",
+    # -- registered r14 (no driver rows yet): name for the r15 window
+    #    head alongside the six r10 deferrals above --
+    "ngram_containment_pairs",
 )
 
 def all_queries() -> dict[str, Query]:
