@@ -118,6 +118,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:minhash_native_pairs",
     ],
     "similarity-brute-topk": ["query:embedding_topk"],
+    "similarity-mmr-diverse-topk": ["query:mmr_diverse_topk"],
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
     "similarity-ann-ivf": ["query:ivf_ann_topk"],
     "graph-communities": [

@@ -142,6 +142,110 @@ def brute_force_topk(
     )
 
 
+def _dot_lit_sql(vec_sql: str, lit: list[float]) -> str:
+    """``dot(vec, literal)`` as SQL text — aggregate(zip_with) over an
+    inlined double-literal array: the same left-to-right IEEE sum as
+    DuckDB's ``list_dot_product`` (0.0 + x == x bit-exactly), so scores
+    computed against collected model vectors replay in the oracle."""
+    arr = "array(" + ",".join(_sql_d(x) for x in lit) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+        f"0.0D, (a, b) -> a + b)"
+    )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 8,
+    lam: float = 0.7,
+    div: float = 0.3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedy selection maximizing ``lam·cos(d, q) −
+    div·max_{s∈selected} cos(d, s)`` — the diversity-aware data
+    selection a training-set builder wants when the plain top-k is k
+    paraphrases of the same document.
+
+    Determinism contract: scores are ROUNDED to ``decimals`` and ties
+    break on ascending vec_id, so every greedy step is replayable by
+    the DuckDB recursive-CTE oracle (same doubles: relevance and
+    pairwise cosines are aggregate(zip_with) left-to-right sums, the
+    selected vectors are collected once and re-inlined as literals, and
+    ``lam``/``div`` are passed as independent literals — never derived
+    as ``1 - lam``, whose Python repr would differ from the SQL
+    literal's parse).
+
+    Scale shape: the candidate frame is staged once
+    (localCheckpoint locally; a written top-N relevance gate at cluster
+    scale — MMR over 100 TB runs on a bounded pre-selected candidate
+    set, not the raw corpus); each of the k steps is one distributed
+    scan + TakeOrdered(1) and one BOUNDED collect of a single row
+    (model-parameter class, same budget as the IVF centroid collects).
+    k is a constant, so the driver loop is k bounded probes, not a
+    data-dependent iteration.
+    """
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # bounded: one row — the query vector becomes a literal
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == query_vec_id).head()["v"]]
+    q_arr = "array(" + ",".join(_sql_d(x) for x in qv) + ")"
+    selfdot = "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"
+    qself = (
+        f"aggregate(zip_with({q_arr}, {q_arr}, (x, y) -> x * y), "
+        f"0.0D, (a, b) -> a + b)"
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn(
+            "rel",
+            F.expr(f"({_dot_lit_sql('v', qv)}) / (sqrt({selfdot}) * sqrt({qself}))"),
+        )
+        # staged once: k scans read the staged frame instead of
+        # re-evaluating the relevance expression per step
+        .localCheckpoint(eager=True)
+    )
+    picked: list[tuple[int, int, float]] = []
+    picked_vecs: list[list[float]] = []
+    for step in range(1, k + 1):
+        if not picked_vecs:
+            score = F.expr(f"round({_sql_d(lam)} * rel, {decimals})")
+        else:
+            sims = [
+                f"(({_dot_lit_sql('v', pv)}) / (sqrt({selfdot}) * "
+                f"sqrt({_dot_lit_sql_self(pv)})))"
+                for pv in picked_vecs
+            ]
+            maxsim = f"greatest({', '.join(sims)})" if len(sims) > 1 else sims[0]
+            score = F.expr(
+                f"round({_sql_d(lam)} * rel - {_sql_d(div)} * {maxsim}, {decimals})"
+            )
+        row = (  # bounded: one row per step, k steps total
+            cand.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+            .select("vec_id", "v", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .head()
+        )
+        picked.append((step, row["vec_id"], float(row["score"])))
+        picked_vecs.append([float(x) for x in row["v"]])
+    return spark.createDataFrame(picked, "mmr_rank int, vec_id long, score double")
+
+
+def _dot_lit_sql_self(lit: list[float]) -> str:
+    """``dot(literal, literal)`` as SQL text (see :func:`_dot_lit_sql`):
+    evaluated symbolically by the engine, not pre-folded in Python, so
+    the oracle's ``list_dot_product(e.v, e.v)`` over the stored vector
+    sees bit-identical factors."""
+    arr = "array(" + ",".join(_sql_d(x) for x in lit) + ")"
+    return (
+        f"aggregate(zip_with({arr}, {arr}, (x, y) -> x * y), "
+        f"0.0D, (a, b) -> a + b)"
+    )
+
+
 def brute_force_topk_gemm(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -485,6 +485,67 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mmr_diverse_topk",
+    # Registered r14 (r15 window head candidate — no driver row yet;
+    # verified strict-hash MATCH vs this oracle at sf0.01 and sf0.001
+    # in the r14 session). The greedy loop is replayed by a RECURSIVE
+    # CTE: each step's argmax is a LATERAL subquery over the
+    # not-yet-picked candidates, the picked set rides the recursion as
+    # a LIST. Scores round to 6 with vec_id tiebreaks on both sides;
+    # lam/div are independent literals (0.7 / 0.3 — never 1-lam, whose
+    # Python repr differs from the SQL parse).
+    oracle="""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, v,
+             list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS rel
+      FROM emb, q WHERE vec_id <> 0
+    ),
+    sel AS (
+      SELECT 1 AS mmr_rank, s.vec_id, s.score, [s.vec_id] AS picked
+      FROM (
+        SELECT vec_id, ROUND(0.7 * rel, 6) AS score
+        FROM cand ORDER BY score DESC, vec_id LIMIT 1
+      ) s
+      UNION ALL
+      SELECT sel.mmr_rank + 1, n.vec_id, n.score, list_append(sel.picked, n.vec_id)
+      FROM sel, LATERAL (
+        SELECT c.vec_id,
+               ROUND(0.7 * c.rel - 0.3 * (
+                 SELECT MAX(list_dot_product(c.v, e.v)
+                            / (sqrt(list_dot_product(c.v, c.v))
+                               * sqrt(list_dot_product(e.v, e.v))))
+                 FROM emb e WHERE list_contains(sel.picked, e.vec_id)
+               ), 6) AS score
+        FROM cand c
+        WHERE NOT list_contains(sel.picked, c.vec_id)
+        ORDER BY score DESC, c.vec_id
+        LIMIT 1
+      ) n
+      WHERE sel.mmr_rank < 8
+    )
+    SELECT mmr_rank, vec_id, score FROM sel ORDER BY mmr_rank
+    """,
+    survey_ref="extended: MMR diverse top-k (diversity-aware selection)",
+)
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance selection (Carbonell & Goldstein
+    1998): greedy k-step pick maximizing relevance-to-query minus
+    max-similarity-to-already-picked — diversity-aware sampling for
+    training sets (plain top-k returns k paraphrases; MMR spreads the
+    picks). k bounded driver probes, each step one distributed scan +
+    TakeOrdered(1) (operators/similarity.mmr_topk); reference has no
+    similarity surface — extends the brief's training-data family."""
+    t = tables_for(spark, sf_dir)
+    return similarity.mmr_topk(
+        t["embeddings"], query_vec_id=0, k=8, lam=0.7, div=0.3
+    ).orderBy("mmr_rank")
+
+
+@register(
     "embedding_near_dup_pairs",
     oracle="""
     WITH emb AS (

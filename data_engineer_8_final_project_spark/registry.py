@@ -289,6 +289,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- registered r14 (no driver rows yet): name for the r15 window
     #    head alongside the six r10 deferrals above --
     "ngram_containment_pairs",
+    "mmr_diverse_topk",
 )
 
 def all_queries() -> dict[str, Query]:
