@@ -157,3 +157,48 @@ def test_semantic_dedup_drops_within_cell_near_dups(spark, sf_dir):
     assert dropped <= larger_sides, (
         "a dropped vector must have an earlier near-dup neighbor"
     )
+
+
+def test_containment_directional_contract(spark, sf_dir):
+    """r14: containment is DIRECTED — C(d->c) = shared/|S_d| — so the
+    two orientations of one co-shingle pair score independently, the
+    shared count is symmetric, and a doc's containment never exceeds 1.
+    The short-inside-long asymmetry is the operator's reason to exist:
+    the fixture must contain at least one pair whose two directions
+    land on opposite sides of the threshold."""
+    from data_engineer_8_final_project_spark.operators import dedup
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    docs = tables_for(spark, sf_dir)["documents"]
+    rows = dedup.containment_pairs(docs, threshold=0.0).collect()
+    assert rows, "fixture must produce co-shingle pairs"
+    by_pair = {(r.doc_id, r.container_id): r for r in rows}
+    for r in rows:
+        assert 0.0 <= r.containment <= 1.0
+        mirror = by_pair[(r.container_id, r.doc_id)]  # both directions emitted
+        assert mirror.shared_shingles == r.shared_shingles  # symmetric count
+    asym = [
+        r for r in rows
+        if by_pair[(r.container_id, r.doc_id)].containment > 0
+        and r.containment >= 5 * by_pair[(r.container_id, r.doc_id)].containment
+    ]
+    assert asym, "fixture must contain an asymmetric (quote-like) pair"
+
+
+def test_mmr_trades_relevance_for_diversity(spark, sf_dir):
+    """r14: MMR's contract versus plain top-k — ranks are 1..k, picks
+    are distinct, the first pick is the relevance argmax (no diversity
+    term yet), and adjusted scores are non-increasing down the ranking
+    (greedy argmax over a shrinking candidate set whose per-candidate
+    penalty only grows as picks accumulate)."""
+    from data_engineer_8_final_project_spark.operators import similarity
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    emb = tables_for(spark, sf_dir)["embeddings"]
+    got = similarity.mmr_topk(emb, query_vec_id=0, k=5).orderBy("mmr_rank").collect()
+    assert [r.mmr_rank for r in got] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in got}) == 5
+    top1 = similarity.brute_force_topk(emb, query_vec_id=0, k=1).collect()[0]
+    assert got[0].vec_id == top1.vec_id, "rank 1 must be the relevance argmax"
+    scores = [r.score for r in got]
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
