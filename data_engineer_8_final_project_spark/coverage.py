@@ -112,6 +112,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "dedup-exact": ["query:dedup_exact"],
     "dedup-jaccard": ["query:jaccard_near_dup"],
     "dedup-containment": ["query:ngram_containment_pairs"],
+    "dedup-attrition-sweep": ["query:dedup_attrition_curve"],
     "dedup-simhash": ["query:simhash_near_dup"],
     "dedup-minhash-lsh": [
         "query:minhash_lsh_pairs",

@@ -207,6 +207,45 @@ def containment_pairs(
     )
 
 
+def dedup_attrition_curve(
+    documents: DataFrame,
+    thresholds: list[float] | None = None,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Dedup attrition sweep: at each Jaccard threshold, how many
+    near-dup pairs fire and how many documents the min-id greedy would
+    drop — the tuning curve a curation engineer reads BEFORE committing
+    a corpus-wide dedup threshold (too low: real content lost; too
+    high: near-dups survive into training).
+
+    One pass: the pair stage runs ONCE (:func:`jaccard_candidate_pairs`
+    — df-capped posting lists, no self-join); each pair is then fanned
+    out to the thresholds it clears with a literal-array explode (≤
+    |thresholds| rows per pair, no re-scan per threshold), and the
+    greedy drop count is ``approx-free`` distinct-doc_b per threshold
+    (doc_a < doc_b, so doc_b is the min-id greedy's larger side —
+    exactly the rule ``dedup_exact``/``semantic_dedup`` replay).
+
+    Returns (threshold, n_pairs, n_docs_dropped) for thresholds with at
+    least one firing pair (empty bands drop on both engine and oracle
+    identically — inner-filter semantics).
+    """
+    ts = thresholds if thresholds is not None else [0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    pairs = jaccard_candidate_pairs(documents, shingle_n, min_shared, max_df)
+    t_arr = F.array(*[F.lit(float(t)) for t in ts])
+    return (
+        pairs.select("doc_b", "jaccard", F.explode(t_arr).alias("threshold"))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+    )
+
+
 def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document 60-bit SimHash signature → (doc_id, simhash).
 

@@ -233,6 +233,58 @@ def q_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_attrition_curve",
+    # Registered r14 (r15 window head candidate — no driver row yet;
+    # verified strict-hash MATCH vs this oracle at sf0.01 and sf0.001
+    # in the r14 session). Pairs are the UNCAPPED-by-LIMIT jaccard set
+    # (no top-500 cut — the curve must count every firing pair).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS sh FROM toks
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT sh.doc_id, sh.sh FROM sh
+      JOIN (SELECT sh AS s2, COUNT(*) AS df FROM sh GROUP BY sh) d
+        ON sh.sh = d.s2 AND d.df <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_shingles
+      FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    scored AS (
+      SELECT doc_b,
+             ROUND(shared_shingles / (na.n_sh + nb.n_sh - shared_shingles), 4) AS jaccard
+      FROM pairs
+      JOIN sizes na ON pairs.doc_a = na.doc_id
+      JOIN sizes nb ON pairs.doc_b = nb.doc_id
+    ),
+    bands AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+    FROM scored, bands
+    WHERE jaccard >= threshold
+    GROUP BY threshold
+    ORDER BY threshold
+    """,
+    survey_ref="extended: dedup attrition curve (threshold sweep, one pair pass)",
+)
+def q_dedup_attrition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup attrition per Jaccard threshold: (threshold, n_pairs,
+    n_docs_dropped under the min-id greedy) from ONE pair pass + a
+    literal-threshold explode (operators/dedup.dedup_attrition_curve) —
+    the tuning sweep run before committing a corpus dedup threshold."""
+    t = tables_for(spark, sf_dir)
+    return dedup.dedup_attrition_curve(t["documents"]).orderBy("threshold")
+
+
+@register(
     "ngram_containment_pairs",
     # Registered r14 (r15 window head candidate — no driver row yet;
     # verified strict-hash MATCH vs this oracle at sf0.01 and sf0.001

@@ -290,6 +290,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    head alongside the six r10 deferrals above --
     "ngram_containment_pairs",
     "mmr_diverse_topk",
+    "dedup_attrition_curve",
 )
 
 def all_queries() -> dict[str, Query]:
