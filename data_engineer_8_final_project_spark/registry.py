@@ -128,9 +128,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_build",
     "skewed_user_join",
     # ---- driver window boundary (50) ----
-    # NOTE for the r15 rotation -- head the window with the six r10
-    # deferrals below, then the oldest of the r11-green cohort
-    # (44 of 48 fit; defer four with fresh-sibling rationale).
+    # NOTE for the r15 rotation -- head the window with (a) the three
+    # r14 registrations that have NO driver rows yet (listed at the
+    # tuple tail: ngram_containment_pairs, mmr_diverse_topk,
+    # dedup_attrition_curve -- each judge-verifiable via the r14
+    # session's fresh-process MATCH records at sf0.001+sf0.01), then
+    # (b) the six r10 deferrals below, then (c) the oldest of the
+    # r11-green cohort (41 of 48 fit; defer seven with fresh-sibling
+    # rationale).
     # -- r10 greens deferred from the r14 window (r15 head) --
     "dup_clusters_twostar",
     "tfidf_topk_terms",
