@@ -792,6 +792,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "test:tests/test_sampling_ops.py::test_temperature_rates_monotone_and_bounded",
     ],
     "training-shuffle-order": ["query:training_shuffle_order"],
+    "training-curriculum-order": ["query:curriculum_order"],
     "span-level-dedup": ["query:dup_span_stats"],
     "orc-source-sink": ["test:tests/test_io.py::test_orc_roundtrip_with_pushdown"],
     "runtime-bloom-filter-shuffle": [

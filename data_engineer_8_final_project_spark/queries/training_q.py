@@ -696,6 +696,72 @@ def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curriculum_order",
+    # Registered r14 (r15 window head candidate — no driver row yet;
+    # verified strict-hash MATCH vs this oracle at sf0.01 and sf0.001
+    # in the r14 session). The oracle states the two global windows;
+    # the engine computes both ranks distributed (range-partitioned
+    # local row_number + prefix-summed offsets) so no task ever sorts
+    # the corpus — same equivalence contract as training_shuffle_order.
+    oracle="""
+    -- Curriculum training order: easy -> hard by difficulty decile
+    -- (token count, doc_id-tiebroken), md5-shuffled WITHIN each decile
+    -- so the model sees a random order inside a difficulty band.
+    -- Decile from the difficulty rank by integer floor-division
+    -- (deterministic for any N, no percentile interpolation).
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY n_tokens, doc_id) AS dr,
+             (SELECT COUNT(*) FROM documents) AS n
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST((dr - 1) * 10 // n + 1 AS BIGINT) AS decile,
+           CAST(row_number() OVER (
+             ORDER BY (dr - 1) * 10 // n, k, doc_id
+           ) AS BIGINT) AS curriculum_pos
+    FROM r ORDER BY doc_id
+    """,
+    survey_ref="extended: curriculum training order (difficulty deciles, in-band shuffle)",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-curriculum ordering: documents ranked easy→hard by
+    token count, cut into 10 fixed-width deciles by integer arithmetic
+    on the distributed rank (never ntile's single-task global window),
+    md5-shuffled within each decile — the curriculum counterpart of
+    training_shuffle_order's uniform permutation. Both global ranks run
+    through distributed_row_number, so the plan scales with partitions,
+    not one sort task; the corpus count joins in as a broadcast scalar.
+    """
+    from ..operators.text import token_count
+
+    t = tables_for(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    ranked = sampling.distributed_row_number(toks, ("n_tokens", "doc_id"), rank_col="dr")
+    n = t["documents"].agg(F.count(F.lit(1)).alias("n"))
+    with_decile = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "decile", F.expr("CAST((dr - 1) * 10 DIV n + 1 AS BIGINT)")
+    )
+    return (
+        sampling.distributed_row_number(
+            with_decile, ("decile", "k", "doc_id"), rank_col="curriculum_pos"
+        )
+        .select("doc_id", "n_tokens", "decile", "curriculum_pos")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "dup_span_stats",
     oracle="""
     -- Span-level dedup measurement: an 8-token span is duplicated if

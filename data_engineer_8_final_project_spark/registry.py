@@ -128,13 +128,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_build",
     "skewed_user_join",
     # ---- driver window boundary (50) ----
-    # NOTE for the r15 rotation -- head the window with (a) the three
+    # NOTE for the r15 rotation -- head the window with (a) the four
     # r14 registrations that have NO driver rows yet (listed at the
     # tuple tail: ngram_containment_pairs, mmr_diverse_topk,
-    # dedup_attrition_curve -- each judge-verifiable via the r14
-    # session's fresh-process MATCH records at sf0.001+sf0.01), then
+    # dedup_attrition_curve, curriculum_order -- each verified
+    # strict-hash MATCH at sf0.001+sf0.01 in fresh processes and
+    # shuffle-partition-count deterministic in the r14 session), then
     # (b) the six r10 deferrals below, then (c) the oldest of the
-    # r11-green cohort (41 of 48 fit; defer seven with fresh-sibling
+    # r11-green cohort (40 of 48 fit; defer eight with fresh-sibling
     # rationale).
     # -- r10 greens deferred from the r14 window (r15 head) --
     "dup_clusters_twostar",
@@ -296,6 +297,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_containment_pairs",
     "mmr_diverse_topk",
     "dedup_attrition_curve",
+    "curriculum_order",
 )
 
 def all_queries() -> dict[str, Query]:
