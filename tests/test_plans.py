@@ -455,6 +455,7 @@ _NESTED_LOOP_OK: dict[str, str] = {
     "bigram_logprob": "cross x 1-row distinct-token count (add-1 denominator)",
     "bm25_doc_ranking": "cross x two 1-row stats frames (corpus n/avgdl + per-term dfs)",
     "revenue_bootstrap_ci": "cross x 1-row full-sample mean frame (64 replicate rows x 1)",
+    "curriculum_order": "cross x 1-row corpus count (decile denominator)",
 }
 
 
