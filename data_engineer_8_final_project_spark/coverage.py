@@ -114,6 +114,7 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "dedup-containment": ["query:ngram_containment_pairs"],
     "dedup-attrition-sweep": ["query:dedup_attrition_curve"],
     "dedup-simhash": ["query:simhash_near_dup"],
+    "dedup-simhash-verdicts": ["query:simhash_dedup_verdicts"],
     "dedup-minhash-lsh": [
         "query:minhash_lsh_pairs",
         "query:minhash_native_pairs",

@@ -298,6 +298,24 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 12) -> DataF
     filter keeps output linear in true near-dup count.
     """
     sig = simhash_signatures(documents)
+    return _simhash_pairs(sig, max_hamming).orderBy("doc_a", "doc_b")
+
+
+def _simhash_pairs(
+    sig: DataFrame, max_hamming: int, dedup_pairs: bool = True
+) -> DataFrame:
+    """Banded candidate pairs + hamming verify from a ``(doc_id,
+    simhash)`` frame — the shared core of :func:`simhash_near_dup_pairs`
+    (pair form) and :func:`simhash_dedup_verdicts` (verdict form, which
+    stages the signature frame so the agg runs once).
+
+    ``dedup_pairs=False`` skips the pair-level distinct (a pair
+    colliding in several bands appears once per band): the verdict
+    consumer only needs the distinct DROPPED-doc set, so its own
+    ``distinct(doc_b)`` subsumes pair dedup — and on a high-duplication
+    corpus the pair-level distinct is the dominant hash aggregation
+    (2.45e9 rows at the r14 128x leg, SCALE_r14.md) that the verdict
+    form exists to avoid."""
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = sig.select(
@@ -323,7 +341,7 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 12) -> DataF
     b = bands.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band_no", "band_val"
     )
-    return (
+    cand = (
         a.join(b, ["band_no", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
@@ -331,9 +349,43 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 12) -> DataF
             "doc_b",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias("hamming"),
         )
-        .distinct()  # a pair can collide in several bands
-        .filter(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
+    )
+    if dedup_pairs:
+        cand = cand.distinct()  # a pair can collide in several bands
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dedup_verdicts(documents: DataFrame, max_hamming: int = 12) -> DataFrame:
+    """Per-document keep/drop verdicts from banded SimHash — the form a
+    production dedup CONSUMES (r14 scale lesson, SCALE_r14.md: on a
+    high-duplication corpus the all-pairs set is output-quadratic in
+    dup-group size — 2.45e9 rows at the 128x leg — while the verdict
+    frame is always exactly |documents| rows).
+
+    Deterministic min-id greedy, same rule as ``semantic_dedup`` /
+    ``dedup_exact``: doc ``d`` is dropped iff some ``d' < d`` sits
+    within ``max_hamming`` of it through a shared band. The signature
+    frame is staged once (localCheckpoint locally; written-to-parquet
+    at cluster scale) and feeds the band self-join AND the verdict
+    join, so the 60-column vote aggregation runs once, not three
+    times. Returns (doc_id, simhash, is_kept) — the signature rides
+    along because downstream consumers (incremental ingest, cross-
+    snapshot dedup) re-block against it without re-tokenizing.
+    """
+    sig = simhash_signatures(documents).localCheckpoint(eager=True)
+    # dedup_pairs=False: distinct(doc_b) below subsumes pair dedup and
+    # skips the pair-level hash agg that dominates on dup-heavy corpora
+    dropped = (
+        _simhash_pairs(sig, max_hamming, dedup_pairs=False)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    # unhinted left join: `dropped` is data-sized on an all-dup corpus,
+    # so broadcast is AQE's call, never forced (same rationale as
+    # semantic_dedup_verdicts)
+    return sig.join(dropped, "doc_id", "left").select(
+        "doc_id", "simhash", F.col("_dup").isNull().alias("is_kept")
     )
 
 

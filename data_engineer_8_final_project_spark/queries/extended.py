@@ -434,6 +434,44 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(t["documents"], max_hamming=12)
 
 
+def _simhash_verdict_oracle(max_hamming: int) -> str:
+    """Verdict-form extension of :func:`_simhash_oracle`: same CTE
+    chain up to the verified candidate set, then min-id greedy drops
+    (distinct larger side) left-joined back onto every document."""
+    pair_sql = _simhash_oracle(max_hamming)
+    # reuse the pair oracle's WITH-chain verbatim; rewrap its final
+    # SELECT as a CTE so the greedy verdict reads the identical set
+    head, _, tail = pair_sql.rpartition("SELECT doc_a, doc_b, hamming FROM cand")
+    where_order = tail[: tail.index("ORDER BY")]
+    return f"""{head.rstrip().rstrip(',')},
+    hits AS (
+      SELECT doc_a, doc_b, hamming FROM cand {where_order}
+    ),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM hits)
+    SELECT s.doc_id, s.simhash, (dropped.doc_id IS NULL) AS is_kept
+    FROM s LEFT JOIN dropped ON s.doc_id = dropped.doc_id
+    ORDER BY s.doc_id
+    """
+
+
+@register(
+    "simhash_dedup_verdicts",
+    # Registered r14 (r15 window head candidate — no driver row yet;
+    # verified strict-hash MATCH vs this oracle at sf0.01 and sf0.001
+    # in the r14 session). The production-shaped twin of
+    # simhash_near_dup: |documents| verdict rows instead of the
+    # output-quadratic pair set (SCALE_r14.md measured 2.45e9 pairs at
+    # the 128x leg — the verdict form is what a dedup gate consumes).
+    oracle=_simhash_verdict_oracle(max_hamming=12),
+    survey_ref="extended: SimHash dedup verdicts (min-id greedy, bounded output)",
+)
+def q_simhash_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return dedup.simhash_dedup_verdicts(t["documents"], max_hamming=12).orderBy(
+        "doc_id"
+    )
+
+
 def _minhash_native_oracle(
     num_hashes: int = 24, band_rows: int = 2, max_bucket: int = 100, min_est: float = 0.25
 ) -> str:

@@ -128,15 +128,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_build",
     "skewed_user_join",
     # ---- driver window boundary (50) ----
-    # NOTE for the r15 rotation -- head the window with (a) the four
+    # NOTE for the r15 rotation -- head the window with (a) the five
     # r14 registrations that have NO driver rows yet (listed at the
     # tuple tail: ngram_containment_pairs, mmr_diverse_topk,
-    # dedup_attrition_curve, curriculum_order -- each verified
-    # strict-hash MATCH at sf0.001+sf0.01 in fresh processes and
-    # shuffle-partition-count deterministic in the r14 session), then
-    # (b) the six r10 deferrals below, then (c) the oldest of the
-    # r11-green cohort (40 of 48 fit; defer eight with fresh-sibling
-    # rationale).
+    # dedup_attrition_curve, curriculum_order, simhash_dedup_verdicts
+    # -- each verified strict-hash MATCH at sf0.001+sf0.01 in fresh
+    # processes and shuffle-partition-count deterministic in the r14
+    # session), then (b) the six r10 deferrals below, then (c) the
+    # oldest of the r11-green cohort (39 of 48 fit; defer nine with
+    # fresh-sibling rationale).
     # -- r10 greens deferred from the r14 window (r15 head) --
     "dup_clusters_twostar",
     "tfidf_topk_terms",
@@ -298,6 +298,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mmr_diverse_topk",
     "dedup_attrition_curve",
     "curriculum_order",
+    "simhash_dedup_verdicts",
 )
 
 def all_queries() -> dict[str, Query]:
