@@ -113,7 +113,13 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
     "dedup-jaccard": ["query:jaccard_near_dup"],
     "dedup-containment": ["query:ngram_containment_pairs"],
     "dedup-attrition-sweep": ["query:dedup_attrition_curve"],
-    "dedup-simhash": ["query:simhash_near_dup"],
+    # Primary = the linear-output production form (VERDICT r14 item 4);
+    # the all-pairs form is a registered diagnostic (output quadratic
+    # in dup-group size by contract — see simhash_near_dup_pairs).
+    "dedup-simhash": [
+        "query:simhash_dedup_verdicts",
+        "query:simhash_near_dup",
+    ],
     "dedup-simhash-verdicts": ["query:simhash_dedup_verdicts"],
     "dedup-minhash-lsh": [
         "query:minhash_lsh_pairs",

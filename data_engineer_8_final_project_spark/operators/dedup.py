@@ -294,8 +294,16 @@ def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 12) -> DataF
     The band join is the only pair-producing step and its key space is
     (band_no, 2^15 values) — bounded fan-out per bucket, no all-pairs
     blowup. At 100 TB a hot band bucket (many near-identical docs) is
-    real skew; AQE skew-join splitting handles it, and the verify
-    filter keeps output linear in true near-dup count.
+    real skew; AQE skew-join splitting handles it.
+
+    OUTPUT CONTRACT — quadratic in duplicate-group size, by design: a
+    group of n mutual near-dups emits n(n-1)/2 pairs, so on dup-dense
+    corpora the RESULT itself explodes even though the plan is bucketed
+    (SCALE_r14.md: 128× replication → 2.45e9 pairs). This form is a
+    DIAGNOSTIC for inspecting pair structure; production dedup at scale
+    consumes the linear-output forms instead: per-document
+    :func:`simhash_dedup_verdicts`, or cluster-level ``dup_clusters`` /
+    ``dup_cluster_representatives`` (operators/clusters.py).
     """
     sig = simhash_signatures(documents)
     return _simhash_pairs(sig, max_hamming).orderBy("doc_a", "doc_b")

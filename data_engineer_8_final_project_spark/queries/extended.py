@@ -426,8 +426,11 @@ def _simhash_oracle(max_hamming: int) -> str:
 @register(
     "simhash_near_dup",
     oracle=_simhash_oracle(max_hamming=12),
-    survey_ref="extended: SimHash near-dup (banded LSH over 60-bit signatures)",
-    tags=("bench",),
+    # DIAGNOSTIC form (VERDICT r14 item 4): output is quadratic in
+    # duplicate-group size by contract (see simhash_near_dup_pairs
+    # docstring) — the bench tag and coverage primary moved to the
+    # linear-output production twin simhash_dedup_verdicts in r15.
+    survey_ref="extended: SimHash near-dup pairs (diagnostic; banded LSH over 60-bit signatures)",
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)
@@ -464,6 +467,7 @@ def _simhash_verdict_oracle(max_hamming: int) -> str:
     # the 128x leg — the verdict form is what a dedup gate consumes).
     oracle=_simhash_verdict_oracle(max_hamming=12),
     survey_ref="extended: SimHash dedup verdicts (min-id greedy, bounded output)",
+    tags=("bench",),
 )
 def q_simhash_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables_for(spark, sf_dir)

@@ -58,104 +58,37 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-14 window (first 50; the driver verifies only these). ----
-    # Rotation per VERDICT r13 item 1 and the r13 boundary note:
-    # (a) three r12 greens whose code path changed in r13 AFTER their
-    #     newest driver rows (replay-batch law + eager spill-root
-    #     reclaim in user_totals_stateful's drain; the shared
-    #     run_available_now_spilled drain now localCheckpoints the
-    #     read-back for events_session_stream / view_click_stream_join);
-    # (b) the four r9 deferrals (oldest driver evidence in the repo);
-    # (c) 43 of the 49-query r10-green cohort. The six r10 greens
-    #     deferred to the r15 head each have an operator-family sibling
-    #     with fresh evidence: dup_clusters_twostar (dup_clusters is in
-    #     THIS window), tfidf_topk_terms (bm25_doc_ranking r13),
-    #     lang_mixture_weights (lang_source_contingency r13),
-    #     minhash_lsh_pairs (minhash_native_pairs in THIS window),
-    #     pq_adc_topk (pq_reconstruction_error r13), knn_graph
-    #     (knn_kcore / knn_bfs_hops r13).
-    # -- (a) code changed in r13 after newest driver rows --
-    "user_totals_stateful",
-    "events_session_stream",
-    "view_click_stream_join",
-    # -- (b) the four r9 deferrals --
-    "event_sessions_native",
-    "grouping_sets_revenue",
-    "revenue_mom_growth",
-    "weekday_seasonality",
-    # -- (c) 43 of the r10-green cohort --
-    "group_count",
-    "group_sum_multi",
-    "revenue_by_nation",
-    "top_orders",
-    "order_gaps_lag",
-    "part_price_rank",
-    "custkey_set_ops",
-    "cube_flag_status",
-    "promo_revenue_share",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "order_value_quartiles",
-    "doc_fingerprints",
-    "simhash_near_dup",
-    "text_normalize",
-    "unpivot_order_metrics",
-    "standings",
-    "media_decode_fake",
-    "reference_standings",
-    "orders_by_month",
-    "day_name_dimension",
-    "season_year_inference",
-    "completed_before_cutoff",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    "dup_clusters",
-    "training_manifest",
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "doc_unigram_logprob",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    "ngram_decontamination",
-    "vocab_build",
-    "skewed_user_join",
-    # ---- driver window boundary (50) ----
-    # NOTE for the r15 rotation -- head the window with (a) the five
-    # r14 registrations that have NO driver rows yet (listed at the
-    # tuple tail: ngram_containment_pairs, mmr_diverse_topk,
-    # dedup_attrition_curve, curriculum_order, simhash_dedup_verdicts
-    # -- each verified strict-hash MATCH at sf0.001+sf0.01 in fresh
-    # processes and shuffle-partition-count deterministic in the r14
-    # session), then (b) the six r10 deferrals below, then (c) the
-    # oldest of the r11-green cohort (39 of 48 fit; defer nine with
-    # fresh-sibling rationale).
-    # -- r10 greens deferred from the r14 window (r15 head) --
+    # ---- Round-15 window (first 50; the driver verifies only these). ----
+    # Rotation per VERDICT r14 item 1: head with (a) the five r14
+    # registrations that have NO driver rows yet (each strict-hash
+    # MATCH in the r14 judge's fresh-process emulation at sf0.01),
+    # then (b) the six r10 deferrals (oldest driver evidence in the
+    # repo), then (c) 39 of the 48-query r11-green cohort. The nine
+    # r11 greens deferred to the r16 head each have an operator-family
+    # sibling with fresh evidence: knn_triangle_stats / knn_label_vote
+    # / knn_communities (knn_graph is in THIS window; knn_kcore /
+    # knn_bfs_hops r13), semantic_dedup / semantic_decontamination
+    # (ngram_decontamination r14, embedding_near_dup_pairs r12),
+    # embedding_topk / ann_lsh_topk / label_centroids
+    # (mmr_diverse_topk + pq_adc_topk in THIS window, ivf_ann_topk
+    # r14, kmeans_clusters r13), jaccard_near_dup (minhash_lsh_pairs +
+    # simhash_dedup_verdicts + dedup_attrition_curve in THIS window).
+    # -- (a) r14 registrations without driver rows --
+    "ngram_containment_pairs",
+    "mmr_diverse_topk",
+    "dedup_attrition_curve",
+    "curriculum_order",
+    "simhash_dedup_verdicts",
+    # -- (b) the six r10 deferrals --
     "dup_clusters_twostar",
     "tfidf_topk_terms",
     "lang_mixture_weights",
     "minhash_lsh_pairs",
     "pq_adc_topk",
     "knn_graph",
-    # -- r11 greens --
-    "semantic_dedup",
-    "semantic_decontamination",
-    "knn_triangle_stats",
-    "knn_label_vote",
-    "knn_communities",
-    "jaccard_near_dup",
+    # -- (c) 39 of the r11-green cohort --
     "full_outer_coalesce",
     "dedup_exact",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "label_centroids",
     "html_matches_extract",
     "scalar_cleaning_suite",
     "lsh_near_dup_pairs",
@@ -193,7 +126,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_logprob",
     "weighted_sample_topk",
     "weighted_sample_per_source",
-    # -- r12 greens (minus the three promoted to the r14 head) --
+    # ---- driver window boundary (50) ----
+    # -- r11 greens deferred to the r16 head (rationale above) --
+    "knn_triangle_stats",
+    "knn_label_vote",
+    "knn_communities",
+    "semantic_dedup",
+    "semantic_decontamination",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "jaccard_near_dup",
+    # -- r12 greens --
     "knn_pagerank",
     "watermark_drop_audit",
     "pricing_summary",
@@ -241,7 +185,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    # -- r13 greens: freshest evidence in the repo --
+    # -- r13 greens --
     "dedup_stream_watermarked",
     "dedup_stream",
     "event_funnel_stream",
@@ -292,13 +236,57 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
     "revenue_bootstrap_ci",
-    # -- registered r14 (no driver rows yet): name for the r15 window
-    #    head alongside the six r10 deferrals above --
-    "ngram_containment_pairs",
-    "mmr_diverse_topk",
-    "dedup_attrition_curve",
-    "curriculum_order",
-    "simhash_dedup_verdicts",
+    # -- r14 greens (the r14 driver window; freshest evidence) --
+    "user_totals_stateful",
+    "events_session_stream",
+    "view_click_stream_join",
+    "event_sessions_native",
+    "grouping_sets_revenue",
+    "revenue_mom_growth",
+    "weekday_seasonality",
+    "group_count",
+    "group_sum_multi",
+    "revenue_by_nation",
+    "top_orders",
+    "order_gaps_lag",
+    "part_price_rank",
+    "custkey_set_ops",
+    "cube_flag_status",
+    "promo_revenue_share",
+    "price_quantiles",
+    "pivot_qty_by_status",
+    "order_value_quartiles",
+    "doc_fingerprints",
+    "simhash_near_dup",
+    "text_normalize",
+    "unpivot_order_metrics",
+    "standings",
+    "media_decode_fake",
+    "reference_standings",
+    "orders_by_month",
+    "day_name_dimension",
+    "season_year_inference",
+    "completed_before_cutoff",
+    "minhash_native_pairs",
+    "ivf_ann_topk",
+    "dup_clusters",
+    "training_manifest",
+    "hash_split_assignments",
+    "sequence_packing",
+    "pii_scrub_stats",
+    "doc_unigram_logprob",
+    "dq_audit",
+    "customer_name_fuzzy_pairs",
+    "order_qty_sequences",
+    "sorted_neighborhood_pairs",
+    "events_winsorized_stats",
+    "status_reconciliation_nullsafe",
+    "doc_median_length_udaf",
+    "doc_norm_length_grouped",
+    "doc_tokens_udtf",
+    "ngram_decontamination",
+    "vocab_build",
+    "skewed_user_join",
 )
 
 def all_queries() -> dict[str, Query]:

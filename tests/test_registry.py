@@ -9,71 +9,115 @@ can't silently push a critical query out of the window again.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 from data_engineer_8_final_project_spark import registry
 
 DRIVER_WINDOW = 50
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 #: Queries that MUST land inside the driver's verification window.
-#: Round-14 rotation (VERDICT r13 item 1): user_totals_stateful /
-#: events_session_stream / view_click_stream_join (code changed in r13
-#: after their newest r12 driver rows), then the four r9 deferrals
-#: (oldest driver evidence in the repo), then 43 of the 49-query
-#: r10-green cohort. The six r10 greens deferred to the r15 head each
-#: have a fresh operator-family sibling (see registry.py rotation
-#: comment). Post-r14 no query's newest green is older than r10, and
-#: only six r10 rows remain.
+#: Round-15 rotation (VERDICT r14 item 1): the five r14 registrations
+#: without driver rows, then the six r10 deferrals (oldest driver
+#: evidence in the repo), then 39 of the 48-query r11-green cohort.
+#: The nine r11 greens deferred to the r16 head each have a fresh
+#: operator-family sibling (see registry.py rotation comment).
+#: Post-r15 no query's newest green is older than r11, and only nine
+#: r11 rows remain.
 MUST_BE_IN_WINDOW = {
-    "user_totals_stateful",
-    "events_session_stream",
-    "view_click_stream_join",
-    "event_sessions_native",
-    "grouping_sets_revenue",
-    "revenue_mom_growth",
-    "weekday_seasonality",
-    "group_count",
-    "group_sum_multi",
-    "revenue_by_nation",
-    "top_orders",
-    "order_gaps_lag",
-    "part_price_rank",
-    "custkey_set_ops",
-    "cube_flag_status",
-    "promo_revenue_share",
-    "price_quantiles",
-    "pivot_qty_by_status",
-    "order_value_quartiles",
-    "doc_fingerprints",
-    "simhash_near_dup",
-    "text_normalize",
-    "unpivot_order_metrics",
-    "standings",
-    "media_decode_fake",
-    "reference_standings",
-    "orders_by_month",
-    "day_name_dimension",
-    "season_year_inference",
-    "completed_before_cutoff",
-    "minhash_native_pairs",
-    "ivf_ann_topk",
-    "dup_clusters",
-    "training_manifest",
-    "hash_split_assignments",
-    "sequence_packing",
-    "pii_scrub_stats",
-    "doc_unigram_logprob",
-    "dq_audit",
-    "customer_name_fuzzy_pairs",
-    "order_qty_sequences",
-    "sorted_neighborhood_pairs",
-    "events_winsorized_stats",
-    "status_reconciliation_nullsafe",
-    "doc_median_length_udaf",
-    "doc_norm_length_grouped",
-    "doc_tokens_udtf",
-    "ngram_decontamination",
-    "vocab_build",
-    "skewed_user_join",
+    # r14 registrations without driver rows
+    "ngram_containment_pairs",
+    "mmr_diverse_topk",
+    "dedup_attrition_curve",
+    "curriculum_order",
+    "simhash_dedup_verdicts",
+    # r10 deferrals
+    "dup_clusters_twostar",
+    "tfidf_topk_terms",
+    "lang_mixture_weights",
+    "minhash_lsh_pairs",
+    "pq_adc_topk",
+    "knn_graph",
+    # 39 of the r11-green cohort
+    "full_outer_coalesce",
+    "dedup_exact",
+    "html_matches_extract",
+    "scalar_cleaning_suite",
+    "lsh_near_dup_pairs",
+    "events_json_extract",
+    "large_volume_customers",
+    "small_qty_part_revenue",
+    "lone_late_supplier",
+    "priority_order_counts",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "nation_pair_volume",
+    "top_revenue_supplier",
+    "part_supplier_counts",
+    "cheapest_part_per_brand",
+    "market_share_by_year",
+    "product_profit_by_nation_year",
+    "disjunctive_pred_revenue",
+    "excess_shipped_suppliers",
+    "events_hourly",
+    "dup_span_stats",
+    "order_chains_recursive",
+    "events_props_variant",
+    "dup_cluster_representatives",
+    "doc_chunks",
+    "forecast_revenue_change",
+    "importance_weights",
+    "bpe_merge_candidates",
+    "event_funnel",
+    "retention_cohorts",
+    "session_path_topk",
+    "scd2_event_history",
+    "value_histogram",
+    "late_shipment_priority",
+    "vocab_coverage_oov",
+    "bigram_logprob",
+    "weighted_sample_topk",
+    "weighted_sample_per_source",
 }
+
+
+def newest_green_rounds() -> tuple[dict[str, int], int]:
+    """(newest driver-green round per query, current round).
+
+    A green is a CORRECTNESS row with rows+schema+hash all true. The
+    current round is ``$SPARK_GRAFT_ROUND`` when it parses as an int,
+    else newest CORRECTNESS_r{N}.json + 1 (the driver archives at the
+    END of round N, so a live session belongs to N+1).
+    """
+    newest: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        rounds.append(rnd)
+        try:
+            rows = json.load(open(path))
+        except (ValueError, OSError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                newest[name] = max(newest.get(name, 0), rnd)
+    try:
+        current = int(os.environ["SPARK_GRAFT_ROUND"])
+    except (KeyError, ValueError):
+        current = (max(rounds) + 1) if rounds else 1
+    return newest, current
 
 
 def test_every_window_query_has_an_oracle():
@@ -111,3 +155,30 @@ def test_critical_queries_inside_driver_window():
     window = set(list(registry.all_queries())[:DRIVER_WINDOW])
     missing = MUST_BE_IN_WINDOW - window
     assert not missing, f"critical queries outside driver window: {sorted(missing)}"
+
+
+def test_no_stale_green_outside_window():
+    """Freshness invariant as code (VERDICT r14 item 5).
+
+    The r13 round target "no green older than r11" was missed silently
+    because nothing machine-checked it. This gate parses the archived
+    CORRECTNESS history and fails when any registered query whose
+    newest driver green is OLDER than 4 rounds (or that has no green
+    at all) is NOT staged inside the current driver window — i.e. the
+    rotation forgot it and the staleness can only grow. Rotating the
+    window head each round keeps this green by construction.
+    """
+    newest, current = newest_green_rounds()
+    if current <= 5:  # too little history for a 4-round horizon
+        return
+    cutoff = current - 4
+    window = set(list(registry.all_queries())[:DRIVER_WINDOW])
+    stale = sorted(
+        name
+        for name in registry.DRIVER_PRIORITY
+        if newest.get(name, 0) < cutoff and name not in window
+    )
+    assert not stale, (
+        f"queries with newest driver green older than r{cutoff} left outside "
+        f"the driver window (rotation missed them): {stale}"
+    )
