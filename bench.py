@@ -93,7 +93,17 @@ def _current_round(repo_dir: str) -> int | None:
 
     explicit = os.environ.get("SPARK_GRAFT_ROUND")
     if explicit:
-        return int(explicit)
+        try:
+            return int(explicit)
+        except ValueError:
+            # Malformed value (e.g. "r14") must not abort the whole
+            # bench run at the stale-tag step (r14 ADVICE) — fall
+            # through to archive inference.
+            print(
+                f"WARNING: SPARK_GRAFT_ROUND={explicit!r} is not an integer; "
+                "inferring the round from BENCH archives instead",
+                file=sys.stderr,
+            )
     rounds = [
         int(m.group(1))
         for p in os.listdir(repo_dir)
@@ -156,8 +166,16 @@ def main() -> None:
 
     # Calibration probe (excluded from the headline total): pins the
     # host's current throughput so a uniform cross-round drift is
-    # measured, not argued (see PROBE_REFERENCE_SEC note).
+    # measured, not argued (see PROBE_REFERENCE_SEC note). Since r15
+    # the probe ALSO runs after every pass (VERDICT r14 item 3): the
+    # r14 driver run's probe drifted 0.994 → 0.865 WITHIN one run, so
+    # a single averaged host_factor could not adjudicate a 1.3× swing.
+    # Each pass's timings are normalized by their own probe BRACKET
+    # (mean of the probes immediately before/after the pass), and the
+    # bracket series is recorded so find_regressions can take the
+    # conservative bound over every factor the run exhibited.
     probe_sec, probe_parallelism = _host_probe(spark)
+    probes = [probe_sec]
     host_factor_start = round(probe_sec / PROBE_REFERENCE_SEC, 3)
 
     # Timed region covers plan construction AND execution (streaming
@@ -191,8 +209,24 @@ def main() -> None:
         # in spark.local.dir for the whole session. Every rep rebuilds
         # its frames from scratch, so nothing live is dropped; outside
         # the timed region, same pattern as scale_curve's per-rep reap.
+        #
+        # CONTRACT (r14 ADVICE #5): this blanket unpersist — which
+        # includes eager localCheckpoint blocks whose lineage is
+        # truncated and therefore unrecoverable once dropped — is safe
+        # ONLY because no frame is cached/checkpointed ACROSS query
+        # invocations: every registered query builds its frames from
+        # scratch inside fn() and the noop write fully consumes them
+        # before the reap runs. A future cross-pass cache (e.g. a
+        # shared dimension frame persisted once for the whole bench)
+        # would be silently destroyed here; if one is ever introduced,
+        # scope this reap to the frames the pass created instead.
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
+        # Pass-boundary probe: closes pass p's bracket and opens
+        # pass p+1's. Outside the timed region (per-query timers have
+        # already been recorded); counts toward the wall budget, which
+        # is correct — probes are part of the run's cost.
+        probes.append(_host_probe(spark)[0])
 
     # Micro-query noise taming (VERDICT r10 item 6): sub-2 s queries
     # showed +-0.4 s spreads in the 77-query interleaved run — wide
@@ -210,6 +244,7 @@ def main() -> None:
     # recorded host_factor below folds in the end probe too)
     micro_cut = 2.0 * (host_factor_start if host_factor_start > 0 else 1.0)
     micro = [n for n, ts in reps.items() if ts and statistics.median(ts) < micro_cut]
+    micro_passes_done = 0
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_MICRO_PASSES", "2"))):
         if time.perf_counter() - bench_t0 > budget or passes_done < n_passes:
             break
@@ -217,6 +252,7 @@ def main() -> None:
             t0 = time.perf_counter()
             queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             reps[name].append(time.perf_counter() - t0)
+        micro_passes_done += 1
 
     # End-of-run probe (r11 finding: the host's throughput drifted
     # 0.94x -> 1.22x of reference WITHIN one session hour, so a single
@@ -230,9 +266,48 @@ def main() -> None:
     # find_regressions can use the CONSERVATIVE bound per side
     # (PROBES.md r13 entry). Pre-r13 records carry only host_factor
     # (start-probe semantics); consumers treat it as both bounds.
-    probe_sec_end, _ = _host_probe(spark)
+    # Since r15 probes also run at every pass boundary; the extra end
+    # probe here closes the micro-pass bracket (when micro passes ran
+    # — otherwise the last pass-boundary probe already IS the end).
+    if micro_passes_done:
+        probes.append(_host_probe(spark)[0])
+    probe_sec_end = probes[-1]
     host_factor_end = round(probe_sec_end / PROBE_REFERENCE_SEC, 3)
     host_factor = round((host_factor_start + host_factor_end) / 2, 3)
+
+    # Per-pass bracket factors (VERDICT r14 item 3): pass p's factor is
+    # the mean of the probes immediately before and after it — the
+    # closest available estimate of the host's speed DURING that pass.
+    # Rep i of any query maps to main pass i (one rep per pass, pass
+    # order) for i < passes_done; later reps are micro-pass reps and
+    # share the micro bracket (last pass-boundary probe → end probe).
+    pass_factors = [
+        round(((probes[p] + probes[p + 1]) / 2) / PROBE_REFERENCE_SEC, 3)
+        for p in range(passes_done)
+    ]
+    micro_factor = (
+        round(((probes[passes_done] + probes[-1]) / 2) / PROBE_REFERENCE_SEC, 3)
+        if micro_passes_done
+        else None
+    )
+    # Within-bracket residual: the factor can sit anywhere between a
+    # bracket's two endpoints, so a pass-normalized median carries at
+    # most this multiplicative uncertainty. find_regressions widens
+    # the prior noise band by it when brackets disagree >10%.
+    bracket_pairs = [(probes[p], probes[p + 1]) for p in range(passes_done)]
+    if micro_passes_done:
+        bracket_pairs.append((probes[passes_done], probes[-1]))
+    max_bracket_spread = round(
+        max((max(a, b) / min(a, b)) for a, b in bracket_pairs), 3
+    )
+    probe_drift = round(max(probes) / min(probes), 3)
+
+    def _rep_factor(i: int) -> float:
+        return pass_factors[i] if i < passes_done else (micro_factor or 1.0)
+
+    norm_reps = {
+        n: [t / _rep_factor(i) for i, t in enumerate(ts)] for n, ts in reps.items()
+    }
 
     # statistics.median interpolates even-count reps (a budget-truncated
     # 2-pass run would otherwise report the UPPER of the two timings,
@@ -245,6 +320,21 @@ def main() -> None:
     quart = {
         n: [round(q[0], 4), round(q[2], 4)]
         for n, ts in reps.items()
+        if len(ts) >= 4
+        for q in [statistics.quantiles(ts, n=4)]
+    }
+    # Pass-normalized twins of the three per-query maps: each rep is
+    # divided by ITS OWN bracket factor before the median/band is
+    # taken, so intra-run host drift is corrected per pass instead of
+    # averaged away. find_regressions prefers these when both rounds
+    # carry them.
+    timings_norm = {n: round(statistics.median(ts), 4) for n, ts in norm_reps.items()}
+    spread_norm = {
+        n: [round(min(ts), 4), round(max(ts), 4)] for n, ts in norm_reps.items()
+    }
+    quart_norm = {
+        n: [round(q[0], 4), round(q[2], 4)]
+        for n, ts in norm_reps.items()
         if len(ts) >= 4
         for q in [statistics.quantiles(ts, n=4)]
     }
@@ -293,6 +383,7 @@ def main() -> None:
                 "medians": timings,
                 "spread": spread,
                 "total_sec": round(sum(timings.values()), 4),
+                "total_pass_norm_sec": round(sum(timings_norm.values()), 4),
                 "passes": passes_done,
                 "sf": _sf_label(SF_DIR),
                 "iqr": quart,
@@ -302,6 +393,15 @@ def main() -> None:
                 "host_factor": host_factor,
                 "host_factor_start": host_factor_start,
                 "host_factor_end": host_factor_end,
+                # r15 per-pass normalization (VERDICT r14 item 3)
+                "probe_series": [round(s, 4) for s in probes],
+                "pass_factors": pass_factors,
+                "micro_factor": micro_factor,
+                "probe_drift": probe_drift,
+                "max_bracket_spread": max_bracket_spread,
+                "medians_pass_norm": timings_norm,
+                "spread_pass_norm": spread_norm,
+                "iqr_pass_norm": quart_norm,
             },
             f,
             indent=1,
@@ -318,6 +418,7 @@ def main() -> None:
         "host_factor": host_factor,
         "host_factor_start": host_factor_start,
         "host_factor_end": host_factor_end,
+        "probe_drift": probe_drift,
         "probe_parallelism": probe_parallelism,
         "run_id": run_id,
         "queries": timings,

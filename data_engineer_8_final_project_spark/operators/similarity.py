@@ -191,7 +191,12 @@ def mmr_topk(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # bounded: one row — the query vector becomes a literal
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == query_vec_id).head()["v"]]
+    qrow = emb.filter(F.col("vec_id") == query_vec_id).head()
+    if qrow is None:
+        raise ValueError(
+            f"mmr_topk: query_vec_id={query_vec_id!r} not found in embeddings"
+        )
+    qv = [float(x) for x in qrow["v"]]
     q_arr = "array(" + ",".join(_sql_d(x) for x in qv) + ")"
     selfdot = "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (a, b) -> a + b)"
     qself = (
@@ -229,6 +234,8 @@ def mmr_topk(
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .head()
         )
+        if row is None:  # candidate pool exhausted before k picks
+            break
         picked.append((step, row["vec_id"], float(row["score"])))
         picked_vecs.append([float(x) for x in row["v"]])
     return spark.createDataFrame(picked, "mmr_rank int, vec_id long, score double")

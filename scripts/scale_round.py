@@ -104,12 +104,20 @@ def host_factor_bounds(rec: dict) -> tuple[float, float]:
     medians and bands by the LOW bound) so a regression verdict holds
     under every factor the run actually exhibited. Pre-r13 records
     carry only host_factor: both bounds collapse to it.
+
+    Since r15 bench.py also records per-pass bracket factors
+    (``pass_factors`` + ``micro_factor``); when present they join the
+    candidate set, so the bounds cover every factor the run exhibited
+    at any pass boundary, not just its two endpoints.
     """
     fs = [
         f
         for f in (rec.get("host_factor_start"), rec.get("host_factor_end"))
         if f
     ]
+    fs += [f for f in rec.get("pass_factors") or [] if f]
+    if rec.get("micro_factor"):
+        fs.append(rec["micro_factor"])
     if not fs:
         f = rec.get("host_factor") or 1.0
         return f, f
@@ -126,7 +134,30 @@ def _force_raw(rec: dict) -> dict:
         "host_factor": 1.0,
         "host_factor_start": None,
         "host_factor_end": None,
+        "pass_factors": None,
+        "micro_factor": None,
+        # pass-normalized maps were computed with the incomparable
+        # factors — drop them so the raw fallback stays raw
+        "medians_pass_norm": None,
+        "spread_pass_norm": None,
+        "iqr_pass_norm": None,
     }
+
+
+def _has_pass_norm(rec: dict) -> bool:
+    """True when the record carries the r15 per-pass normalized maps
+    (medians + spread; iqr_pass_norm may be sparse on 3-rep queries)."""
+    return bool(rec.get("medians_pass_norm")) and bool(rec.get("spread_pass_norm"))
+
+
+def _bracket_residual(rec: dict) -> float:
+    """Multiplicative uncertainty left AFTER per-pass normalization:
+    the worst disagreement between any bracket's two probe endpoints
+    (bench.py ``max_bracket_spread``). A pass's true factor lies
+    between its endpoints while the bracket uses their mean, so a
+    pass-normalized median is trustworthy only to within this ratio.
+    1.0 for records without the field (pre-r15)."""
+    return max(1.0, rec.get("max_bracket_spread") or 1.0)
 
 
 def pick_slowest(medians: dict[str, float], n: int = 5) -> list[str]:
@@ -159,6 +190,18 @@ def iqr_vetoes(name: str, cur: dict, prev: dict) -> bool:
     """
     if parallelism_mismatch(cur, prev):
         cur, prev = _force_raw(cur), _force_raw(prev)
+    # Pass-normalized path (r15): when both runs carry per-bracket
+    # normalized bands, compare those directly — each rep was already
+    # divided by its own pass's probe bracket, so no further factor
+    # division applies (residual within-bracket uncertainty is handled
+    # by find_regressions' band widening, not here — the veto erring
+    # toward firing is the conservative direction).
+    if _has_pass_norm(cur) and _has_pass_norm(prev):
+        band_hi = prev["spread_pass_norm"].get(name, [None, None])[1]
+        iqr_lo = (cur.get("iqr_pass_norm") or {}).get(name, [None, None])[0]
+        if band_hi is None or iqr_lo is None:
+            return False
+        return iqr_lo <= band_hi
     # conservative bounds (see host_factor_bounds): the veto fires if
     # the current IQR low reaches the prior band under ANY factor the
     # two runs exhibited — current side divided by its HIGH bound,
@@ -217,12 +260,35 @@ def find_regressions(
             file=sys.stderr,
         )
         cur, prev = _force_raw(cur), _force_raw(prev)
-    _, cur_hi_f = host_factor_bounds(cur)
-    prev_lo_f, _ = host_factor_bounds(prev)
-    cur_norm = {n: s / cur_hi_f for n, s in cur["medians"].items()}
-    prev_norm = {n: s / prev_lo_f for n, s in prev["medians"].items()}
-    prev_f = prev_lo_f
-    prev_spread = prev.get("spread", {})
+    # Pass-normalized path (r15, VERDICT r14 item 3): when both runs
+    # carry per-bracket normalized medians, use them directly — each
+    # pass was normalized by its own probe bracket, so intra-run drift
+    # (the r14 0.994→0.865 in-run swing) is corrected per pass instead
+    # of averaged into one untrustworthy factor. Residual uncertainty
+    # (a pass's true factor lies between its bracket endpoints) widens
+    # the prior noise band when brackets disagree >10%.
+    use_pass_norm = _has_pass_norm(cur) and _has_pass_norm(prev)
+    if use_pass_norm:
+        cur_norm = dict(cur["medians_pass_norm"])
+        prev_norm = dict(prev["medians_pass_norm"])
+        prev_spread = prev["spread_pass_norm"]
+        prev_f = 1.0
+        widen = max(
+            (
+                r
+                for r in (_bracket_residual(cur), _bracket_residual(prev))
+                if r > 1.10
+            ),
+            default=1.0,
+        )
+    else:
+        _, cur_hi_f = host_factor_bounds(cur)
+        prev_lo_f, _ = host_factor_bounds(prev)
+        cur_norm = {n: s / cur_hi_f for n, s in cur["medians"].items()}
+        prev_norm = {n: s / prev_lo_f for n, s in prev["medians"].items()}
+        prev_f = prev_lo_f
+        prev_spread = prev.get("spread", {})
+        widen = 1.0
     out = []
     for name, cur_n in cur_norm.items():
         prev_n = prev_norm.get(name)
@@ -233,7 +299,7 @@ def find_regressions(
             continue
         band_hi_raw = prev_spread.get(name, [None, None])[1]
         band_hi = band_hi_raw / prev_f if band_hi_raw is not None else None
-        if band_hi is not None and cur_n <= band_hi:
+        if band_hi is not None and cur_n <= band_hi * widen:
             continue
         if iqr_veto and iqr_vetoes(name, cur, prev):
             continue
@@ -247,12 +313,21 @@ def find_regressions(
             # slack would let a real regression in a drifty prior
             # window clear as contention/JIT. The adjudication compares
             # against the prior round's best single estimate instead.
+            # On the pass-norm path prev_norm_s IS the best estimate
+            # (no one-sided inflation), so the two coincide.
             "prev_mean_norm_s": round(
-                prev["medians"][name] / (prev.get("host_factor") or 1.0), 4
+                prev_n
+                if use_pass_norm
+                else prev["medians"][name] / (prev.get("host_factor") or 1.0),
+                4,
             ),
             "cur_norm_s": round(cur_n, 4),
             "ratio": round(ratio, 3),
         }
+        if use_pass_norm:
+            rec["pass_normalized"] = True
+            if widen > 1.0:
+                rec["band_widened_by"] = round(widen, 3)
         if mismatch:
             rec["parallelism_mismatch"] = True
         out.append(rec)

@@ -111,8 +111,12 @@ def run_leg(mft: int, scaled_dir: str, query: str = "user_totals") -> None:
                 "mft": mft,
                 "wall_s": round(wall, 1),
                 # session/vcjoin drain inside their pipeline (no
-                # progress hook); their batch count is the knob itself
-                "n_batches": len(progress) if query == "user_totals" else mft,
+                # progress hook); their staging appends a sentinel file
+                # and the stream reads maxFilesPerTrigger=1, so the
+                # TRUE micro-batch count is n_chunks + 1 — reporting
+                # the bare knob undercounted by one (r14 ADVICE) and
+                # skewed the batch-count cost-law fit.
+                "n_batches": len(progress) if query == "user_totals" else mft + 1,
                 "rows": len(pdf),
                 "hash": hashlib.md5(canon.to_csv(index=False).encode()).hexdigest(),
                 "state_width": width,

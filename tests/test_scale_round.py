@@ -557,3 +557,90 @@ def test_find_regressions_adjudication_baseline_uses_mean_factor():
     assert abs(rec["prev_norm_s"] - 1.25) < 1e-9
     # adjudication baseline: prev median / MEAN factor = 1.0 / 1.0
     assert abs(rec["prev_mean_norm_s"] - 1.0) < 1e-9
+
+
+# ---- r15 per-pass probe normalization (VERDICT r14 item 3) ----
+
+
+def _pn_rec(medians_norm, spread_norm=None, bracket_spread=1.0, **extra):
+    """Spread record carrying the r15 pass-normalized maps. Raw medians
+    deliberately DIFFER from the normalized ones so a test fails loudly
+    if the consumer falls back to the raw path."""
+    rec = {
+        "medians": {n: v * 7.0 for n, v in medians_norm.items()},
+        "spread": {n: [v * 7.0, v * 7.0] for n, v in medians_norm.items()},
+        "host_factor": 1.0,
+        "sf": 0.1,
+        "medians_pass_norm": medians_norm,
+        "spread_pass_norm": spread_norm
+        or {n: [v, v] for n, v in medians_norm.items()},
+        "max_bracket_spread": bracket_spread,
+    }
+    rec.update(extra)
+    return rec
+
+
+def test_host_factor_bounds_include_pass_factors():
+    rec = _rec({"q": 1.0}, host_factor=1.0)
+    rec.update(
+        host_factor_start=0.95,
+        host_factor_end=1.0,
+        pass_factors=[0.95, 1.2, 0.9],
+        micro_factor=1.25,
+    )
+    assert scale_round.host_factor_bounds(rec) == (0.9, 1.25)
+
+
+def test_find_regressions_prefers_pass_normalized_medians():
+    """A raw delta that the per-pass brackets fully explain must not
+    flag (the r14 driver-run signature: uniform raw drift, flat after
+    per-pass normalization); a real pass-normalized move must flag and
+    be tagged pass_normalized."""
+    prev = _pn_rec({"q": 1.0}, spread_norm={"q": [0.95, 1.05]})
+    flat = _pn_rec({"q": 1.02})  # raw medians differ 7x; norm flat
+    assert scale_round.find_regressions(flat, prev) == []
+    moved = _pn_rec({"q": 1.6})
+    regs = scale_round.find_regressions(moved, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    assert regs[0]["pass_normalized"] is True
+    assert regs[0]["prev_norm_s"] == 1.0 and regs[0]["cur_norm_s"] == 1.6
+
+
+def test_find_regressions_widens_band_on_bracket_disagreement():
+    """Brackets disagreeing >10% widen the prior noise band by the
+    worst within-bracket residual: a 1.35x 'move' inside that widened
+    band is measurement uncertainty, not a regression."""
+    prev = _pn_rec({"q": 1.0}, spread_norm={"q": [0.9, 1.1]})
+    cur = _pn_rec({"q": 1.35}, bracket_spread=1.3)
+    assert scale_round.find_regressions(cur, prev) == []  # 1.35 <= 1.1*1.3
+    cur_tight = _pn_rec({"q": 1.35}, bracket_spread=1.05)
+    regs = scale_round.find_regressions(cur_tight, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    assert "band_widened_by" not in regs[0]  # <=1.10 residual: no widening
+
+
+def test_find_regressions_pass_norm_iqr_veto():
+    """The IQR veto reads the pass-normalized bands when both records
+    carry them: a current median whose own normalized IQR low reaches
+    the prior normalized band is contention, not a move."""
+    prev = _pn_rec({"q": 1.0}, spread_norm={"q": [0.9, 1.1]})
+    cur = _pn_rec({"q": 1.5})
+    cur["iqr_pass_norm"] = {"q": [1.05, 1.55]}  # low reaches prior band
+    assert scale_round.find_regressions(cur, prev) == []
+    cur["iqr_pass_norm"] = {"q": [1.45, 1.55]}
+    assert [r["query"] for r in scale_round.find_regressions(cur, prev)] == ["q"]
+
+
+def test_parallelism_mismatch_drops_pass_norm(capsys):
+    """Pass factors from different probe parallelism are incomparable:
+    the mismatch fallback must strip the pass-normalized maps and judge
+    raw — otherwise force_raw would resurrect them."""
+    prev = _pn_rec({"q": 1.0}, probe_parallelism=32)
+    cur = _pn_rec({"q": 1.02}, probe_parallelism=16)  # raw: 7.14 vs 7.0, flat
+    regs = scale_round.find_regressions(cur, prev)
+    assert regs == []
+    cur_big = _pn_rec({"q": 2.0}, probe_parallelism=16)
+    regs = scale_round.find_regressions(cur_big, prev)
+    assert [r["query"] for r in regs] == ["q"]
+    assert regs[0].get("parallelism_mismatch") is True
+    assert "pass_normalized" not in regs[0]

@@ -26,9 +26,19 @@ from __future__ import annotations
 
 import pytest
 
+import os
+
 from data_engineer_8_final_project_spark.registry import all_queries
 
+#: Deliberately PINNED to sf0.01, not the conftest sf_dir fixture: the
+#: fused stage shape this tripwire guards depends on the planned join
+#: strategy, which differs at smoke scale (see module docstring). On a
+#: machine without the fixture tree the tests SKIP instead of erroring.
 SF = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason=f"pinned-scale fixture dir {SF} not present"
+)
 
 PAIR_COSINE_QUERIES = [
     "embedding_near_dup_pairs",
