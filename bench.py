@@ -50,6 +50,43 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PROBE_ROWS = 8_000_000_000
 PROBE_REFERENCE_SEC = 1.75
 
+#: Second calibration dimension (r15): the r14 driver run AND the r15
+#: builder run both showed UNIFORM wall drift (~1.2x across all 77
+#: queries) while the pure-CPU probe read FAST (0.88-0.99) — the
+#: drifting dimension was scan/shuffle throughput (page-cache reads,
+#: exchange serialization, spill path), which a register-resident
+#: xxhash loop cannot see. This probe forces every row of a pinned
+#: range through a full exchange (repartition on a modulo key — no
+#: map-side combine), so its wall tracks shuffle machinery throughput.
+#: Reference = median measured in the round-15 session (local[32]);
+#: factors are comparable across rounds only at matching parallelism,
+#: same contract as the CPU probe. Diagnostic: find_regressions does
+#: NOT divide by it — a CPU-vs-shuffle factor disagreement flags "host
+#: drifted in a non-CPU dimension" for the adjudication protocol
+#: instead of leaving a uniform swing unexplained (PROBES.md r15).
+SHUFFLE_PROBE_ROWS = 100_000_000
+SHUFFLE_REFERENCE_SEC = 2.17
+
+
+def _shuffle_probe(spark) -> tuple[float, int]:
+    """Median wall of the pinned full-shuffle plan over 3 runs."""
+    import pyspark.sql.functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, SHUFFLE_PROBE_ROWS, 1, par)
+            .repartition(par, (F.col("id") % 9973).alias("k"))
+            .select(F.sum(F.xxhash64("id") % 1024).alias("h"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts), par
+
 
 def _host_probe(spark) -> tuple[float, int]:
     """Median wall time of the pinned calibration plan over 3 runs.
@@ -177,6 +214,8 @@ def main() -> None:
     probe_sec, probe_parallelism = _host_probe(spark)
     probes = [probe_sec]
     host_factor_start = round(probe_sec / PROBE_REFERENCE_SEC, 3)
+    shuffle_sec_start, _ = _shuffle_probe(spark)
+    shuffle_factor_start = round(shuffle_sec_start / SHUFFLE_REFERENCE_SEC, 3)
 
     # Timed region covers plan construction AND execution (streaming
     # queries do their work inside fn(); ivf's bounded centroid collect
@@ -274,6 +313,9 @@ def main() -> None:
     probe_sec_end = probes[-1]
     host_factor_end = round(probe_sec_end / PROBE_REFERENCE_SEC, 3)
     host_factor = round((host_factor_start + host_factor_end) / 2, 3)
+    shuffle_sec_end, _ = _shuffle_probe(spark)
+    shuffle_factor_end = round(shuffle_sec_end / SHUFFLE_REFERENCE_SEC, 3)
+    shuffle_factor = round((shuffle_factor_start + shuffle_factor_end) / 2, 3)
 
     # Per-pass bracket factors (VERDICT r14 item 3): pass p's factor is
     # the mean of the probes immediately before and after it — the
@@ -393,6 +435,12 @@ def main() -> None:
                 "host_factor": host_factor,
                 "host_factor_start": host_factor_start,
                 "host_factor_end": host_factor_end,
+                # r15 second probe dimension (scan/shuffle throughput)
+                "shuffle_probe_sec": round(shuffle_sec_start, 4),
+                "shuffle_probe_sec_end": round(shuffle_sec_end, 4),
+                "shuffle_factor": shuffle_factor,
+                "shuffle_factor_start": shuffle_factor_start,
+                "shuffle_factor_end": shuffle_factor_end,
                 # r15 per-pass normalization (VERDICT r14 item 3)
                 "probe_series": [round(s, 4) for s in probes],
                 "pass_factors": pass_factors,
@@ -419,6 +467,7 @@ def main() -> None:
         "host_factor_start": host_factor_start,
         "host_factor_end": host_factor_end,
         "probe_drift": probe_drift,
+        "shuffle_factor": shuffle_factor,
         "probe_parallelism": probe_parallelism,
         "run_id": run_id,
         "queries": timings,

@@ -60,7 +60,13 @@ def get_spark(
         # codegen splits into small JIT-able methods. Cap generated
         # methods at the JIT limit so such stages take the fast split
         # path automatically; fused stages under 8 KB are untouched.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Env override exists for isolated A/Bs only (r14 VERDICT item
+        # 2 asked to rule this session-wide conf in/out as the cause
+        # of the uniform r14 driver-run drift): 65535 = Spark default.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -41,7 +41,12 @@ sys.path.insert(0, REPO)
 
 
 def run_child(name: str, sf_dir: str, reps: int) -> None:
-    from bench import PROBE_REFERENCE_SEC, _host_probe
+    from bench import (
+        PROBE_REFERENCE_SEC,
+        SHUFFLE_REFERENCE_SEC,
+        _host_probe,
+        _shuffle_probe,
+    )
     from data_engineer_8_final_project_spark.registry import all_queries
     from data_engineer_8_final_project_spark.session import get_spark
 
@@ -64,6 +69,12 @@ def run_child(name: str, sf_dir: str, reps: int) -> None:
                 "query": name,
                 "probe_sec": round(probe_sec, 4),
                 "host_factor": round(probe_sec / PROBE_REFERENCE_SEC, 4),
+                # diagnostic second dimension (r15): shuffle-machinery
+                # throughput, for attributing drift the CPU probe is
+                # blind to (not used to normalize the verdict)
+                "shuffle_factor": round(
+                    _shuffle_probe(spark)[0] / SHUFFLE_REFERENCE_SEC, 4
+                ),
                 "reps": ts,
             }
         )
