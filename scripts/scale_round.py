@@ -516,9 +516,19 @@ def adjudicate_isolated(
 
 
 def bake_isolated_medians(
-    results: dict[str, dict], paths: list[str], round_no: int | None = None
+    results: dict[str, dict],
+    paths: list[str],
+    round_no: int | None = None,
+    vetoed: bool = False,
 ) -> None:
     """Merge ``isolated_median`` per query into each spread file.
+
+    ``vetoed=True`` stamps every written entry: the window's control
+    queries showed the host degraded during the measurement, so these
+    medians describe the DEGRADED window, not the code — downstream
+    baselines (control_inflation) must skip them. Before r15 the stamp
+    existed in archives but nothing set it at bake time, so a vetoed
+    window's medians could silently become a later round's baseline.
 
     The key sits beside ``spread``/``iqr`` so cross-round consumers see
     the adjudicated steady-state, not just the contended interleaved
@@ -547,6 +557,7 @@ def bake_isolated_medians(
                     else {}
                 ),
                 **({"round": round_no} if round_no is not None else {}),
+                **({"vetoed": True} if vetoed else {}),
             }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -620,7 +631,9 @@ def main() -> None:
     isolated = adjudicate_isolated(to_isolate, sf_dir=None, skip=args.skip_isolated)
     control_ratios, controls_vetoed = control_inflation(isolated, prev)
     if isolated:
-        bake_isolated_medians(isolated, [live, archive], round_no=args.round)
+        bake_isolated_medians(
+            isolated, [live, archive], round_no=args.round, vetoed=controls_vetoed
+        )
 
     cmd = [
         sys.executable,

@@ -25,6 +25,7 @@ UDF_FREE = [
     "top_customers_per_nation",
     "jaccard_near_dup",
     "simhash_near_dup",
+    "simhash_dedup_verdicts",
     "dedup_exact",
 ]
 

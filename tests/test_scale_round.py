@@ -644,3 +644,28 @@ def test_parallelism_mismatch_drops_pass_norm(capsys):
     assert [r["query"] for r in regs] == ["q"]
     assert regs[0].get("parallelism_mismatch") is True
     assert "pass_normalized" not in regs[0]
+
+
+def test_bake_isolated_medians_stamps_vetoed_windows(tmp_path):
+    """r15: when the window's controls vetoed the measurement, every
+    baked entry must carry the vetoed stamp — control_inflation skips
+    vetoed entries as baselines, so an unstamped degraded-window bake
+    would silently become a later round's control baseline."""
+    p = tmp_path / "bench_spread.json"
+    p.write_text(json.dumps(_rec({"q": 1.0})))
+    scale_round.bake_isolated_medians(
+        {"q": {"median_raw_s": 2.0, "median_norm_s": 2.2, "n": 4}},
+        [str(p)],
+        round_no=15,
+        vetoed=True,
+    )
+    out = json.loads(p.read_text())["isolated_median"]
+    assert out["q"]["vetoed"] is True and out["q"]["round"] == 15
+    # default stays unstamped (a clean window's bake is a valid baseline)
+    scale_round.bake_isolated_medians(
+        {"q2": {"median_raw_s": 1.0, "median_norm_s": 1.0, "n": 9}},
+        [str(p)],
+        round_no=15,
+    )
+    out = json.loads(p.read_text())["isolated_median"]
+    assert "vetoed" not in out["q2"]
