@@ -202,3 +202,79 @@ def test_mmr_trades_relevance_for_diversity(spark, sf_dir):
     assert got[0].vec_id == top1.vec_id, "rank 1 must be the relevance argmax"
     scores = [r.score for r in got]
     assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+
+
+# ---- r15: laws for the production verdict form and the attrition sweep ----
+
+
+def test_verdict_frame_is_exactly_corpus_sized_and_keeps_min_id(spark):
+    """simhash_dedup_verdicts contract: exactly |documents| rows, and an
+    exact-duplicate group keeps precisely its min doc_id (hamming 0 ⇒
+    all bands equal ⇒ every in-group pair is a verified candidate)."""
+    rows = [
+        (10, BASE), (11, BASE), (12, BASE),           # group A: keep 10
+        (20, "unrelated corpus of words " * 9),        # singleton: keep
+        (30, "zeta omega theta lambda " * 12),
+        (31, "zeta omega theta lambda " * 12),         # group B: keep 30
+    ]
+    out = {r.doc_id: r.is_kept for r in dedup.simhash_dedup_verdicts(
+        _docs(spark, rows), max_hamming=3).collect()}
+    assert len(out) == len(rows)
+    assert out == {10: True, 11: False, 12: False, 20: True, 30: True, 31: False}
+
+
+def test_verdicts_agree_with_pair_form(spark):
+    """The verdict form and the diagnostic all-pairs form must tell the
+    same story: dropped == distinct doc_b of the verified pair set."""
+    rows = [
+        (1, BASE), (2, BASE),
+        (3, BASE.replace("lazy", "sleepy")),
+        (4, "totally disjoint vocabulary " * 10),
+    ]
+    df = _docs(spark, rows)
+    pairs = dedup.simhash_near_dup_pairs(df, max_hamming=12).collect()
+    dropped_by_pairs = {r.doc_b for r in pairs}
+    verdicts = dedup.simhash_dedup_verdicts(df, max_hamming=12).collect()
+    assert {r.doc_id for r in verdicts if not r.is_kept} == dropped_by_pairs
+
+
+def test_attrition_curve_is_monotone_in_threshold(spark):
+    """Raising the Jaccard threshold can only shrink the firing pair set
+    and the dropped-document set — the tuning curve a curation engineer
+    reads must be non-increasing or it is lying."""
+    rows = [
+        (1, BASE), (2, BASE),
+        (3, BASE.replace("lazy", "sleepy").replace("quick", "swift")),
+        (4, BASE.replace("fox jumps", "cat hops").replace("dog", "cow")),
+        (5, "entirely different set of shingles " * 8),
+    ]
+    curve = {
+        r.threshold: (r.n_pairs, r.n_docs_dropped)
+        for r in dedup.dedup_attrition_curve(
+            _docs(spark, rows), thresholds=[0.2, 0.4, 0.6, 0.8]
+        ).collect()
+    }
+    assert curve, "at least the lowest threshold must fire on exact dups"
+    ts = sorted(curve)
+    for lo, hi in zip(ts, ts[1:]):
+        assert curve[hi][0] <= curve[lo][0], "n_pairs must not grow with threshold"
+        assert curve[hi][1] <= curve[lo][1], "n_docs_dropped must not grow with threshold"
+
+
+def test_mmr_pool_exhaustion_returns_partial_ranking(spark):
+    """r15 (ADVICE r14 #1): k larger than the candidate pool must return
+    the partial ranking (n-1 rows, the query itself excluded), not
+    crash on a None head(); a missing query id must raise clearly."""
+    import pytest as _pytest
+
+    from data_engineer_8_final_project_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.mmr_topk(emb, query_vec_id=0, k=10).collect()
+    assert len(got) == 2 and {r.vec_id for r in got} == {1, 2}
+    assert sorted(r.mmr_rank for r in got) == [1, 2]
+    with _pytest.raises(ValueError, match="query_vec_id"):
+        similarity.mmr_topk(emb, query_vec_id=99, k=2)
