@@ -578,6 +578,112 @@ def ivf_topk(
     )
 
 
+def ann_recall_eval(
+    embeddings: DataFrame,
+    query_vec_ids: tuple[int, ...],
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    decimals: int = 6,
+) -> DataFrame:
+    """Recall@k of the IVF index vs brute-force ground truth, batched
+    over a query sample — the quality metric an ANN deployment tunes
+    ``n_probe`` against (FAISS-style index evaluation; reference
+    ivf_topk recall caveat made measurable).
+
+    Per query id: ground truth = exact cosine top-k over the corpus;
+    ANN answer = the SAME seeded-medoid IVF configuration
+    :func:`ivf_topk` serves (identical centroid literals, probe rule,
+    re-rank and tiebreaks); recall = |ANN ∩ truth| / k. Returns
+    (query_vec_id, n_hits, recall_at_k) ordered by query id.
+
+    Scale shape: ONE distributed pass per side, multi-query. The query
+    sample (|Q| rows) and the (qid, cell) probe pairs (|Q|·n_probe
+    rows) are broadcast; cell assignment is the literal-matrix
+    expression (zero shuffle); both top-k rankings are
+    ``row_number() <= k`` windows partitioned by qid, which
+    InferWindowGroupLimit turns into per-partition top-k before the
+    shuffle — k rows per query cross the wire, not candidates. The
+    ground-truth side is Θ(|Q|·N) dot products BY DEFINITION (it is
+    the exact baseline being recalled against): an evaluation-time
+    cost bounded by the query-sample size, never a serving path.
+    """
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qids = sorted(int(q) for q in query_vec_ids)
+    # bounded collect: n_cells centroid rows are model parameters
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
+    mat_sql = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
+        + ")"
+    )
+    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
+
+    def structs(vec_sql: str) -> str:
+        return (
+            f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+            f"'d2', {_reduced_d2_sql(vec_sql, mat_sql, c2_sql)}, "
+            f"'cell', element_at({ids_sql}, i + 1)))"
+        )
+
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), decimals).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+    probe = (
+        qs.select(
+            "qid",
+            "qv",
+            F.explode(F.expr(f"slice(array_sort({structs('qv')}), 1, {n_probe})")).alias(
+                "pc"
+            ),
+        )
+        .select("qid", "qv", F.col("pc.cell").alias("cell"))
+    )
+    ann = (
+        emb.withColumn("cell", F.expr(f"array_min({structs('v')}).cell"))
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), decimals).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        truth.join(ann, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            F.col("qid").alias("query_vec_id"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_vec_id")
+    )
+
+
 def _dot_ltr(a: list[float], b: list[float]) -> float:
     s = 0.0  # left-to-right, same order as list_dot_product / aggregate(zip_with)
     for x, y in zip(a, b):

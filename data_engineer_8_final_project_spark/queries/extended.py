@@ -751,6 +751,92 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(t["embeddings"], query_vec_id=0, n_cells=16, n_probe=4, k=10)
 
 
+#: Query sample for the recall evaluation: spread across the id space,
+#: valid at every fixture SF (all < 500); id 0 is itself a seeded
+#: centroid, matching ivf_ann_topk's registered query.
+RECALL_QUERY_IDS = (0, 31, 87, 144, 203, 266, 342, 411)
+
+
+def _ann_recall_oracle(
+    query_vec_ids: tuple[int, ...], n_cells: int, n_probe: int, k: int
+) -> str:
+    """Replays :func:`similarity.ann_recall_eval` exactly: ground truth
+    = per-query exact-cosine top-k (ROUND 6, tie → lower vec_id); ANN
+    side = the same seeded-medoid IVF as ``_ivf_oracle`` batched over
+    the query sample; recall = |ANN ∩ truth| / k. Same reduced
+    ``-2·dot + c2`` argmins and left-to-right float sums as the Spark
+    literal-matrix expressions — bit-identical assignments, probe sets
+    and rankings."""
+    ids = ", ".join(str(q) for q in query_vec_ids)
+    d2 = "-2*list_dot_product({x}, c.cv) + list_dot_product(c.cv, c.cv)"
+    cos = (
+        "ROUND(list_dot_product({x}, q.qv)"
+        " / (sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT {n_cells}),
+    qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN ({ids})),
+    gt AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {cos.format(x='e.v')} DESC, e.vec_id ASC) AS rn
+        FROM emb e CROSS JOIN qs q WHERE e.vec_id <> q.qid) t
+      WHERE rn <= {k}
+    ),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {d2.format(x='e.v')} ASC, c.cell ASC) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {d2.format(x='q.qv')} ASC, c.cell ASC) AS rn
+        FROM qs q CROSS JOIN cents c) t
+      WHERE rn <= {n_probe}
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, a.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {cos.format(x='a.v')} DESC, a.vec_id ASC) AS rn
+        FROM asg a JOIN probe p ON a.cell = p.cell JOIN qs q ON p.qid = q.qid
+        WHERE a.vec_id <> q.qid) t
+      WHERE rn <= {k}
+    )
+    SELECT g.qid AS query_vec_id,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {float(k)}, 4) AS recall_at_k
+    FROM gt g LEFT JOIN ann a ON g.qid = a.qid AND g.vec_id = a.vec_id
+    GROUP BY g.qid
+    ORDER BY query_vec_id
+    """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=_ann_recall_oracle(RECALL_QUERY_IDS, n_cells=16, n_probe=4, k=10),
+    survey_ref="extended: ANN recall@k evaluation (IVF vs brute-force ground truth, batched queries)",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables_for(spark, sf_dir)
+    return similarity.ann_recall_eval(
+        t["embeddings"], RECALL_QUERY_IDS, n_cells=16, n_probe=4, k=10
+    )
+
+
 def _ivf2_oracle(
     query_vec_id: int, n_cells: int, n_parents: int, n_probe_l1: int, n_probe: int, k: int
 ) -> str:

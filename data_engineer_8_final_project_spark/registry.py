@@ -73,7 +73,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (mmr_diverse_topk + pq_adc_topk in THIS window, ivf_ann_topk
     # r14, kmeans_clusters r13), jaccard_near_dup (minhash_lsh_pairs +
     # simhash_dedup_verdicts + dedup_attrition_curve in THIS window).
-    # -- (a) r14 registrations without driver rows --
+    # -- (a) registrations without driver rows (ann_recall_eval is the
+    #    one r15 registration; verified strict-hash MATCH vs its oracle
+    #    at sf0.001+sf0.01 and partition-count deterministic in the r15
+    #    session; it takes the slot of weighted_sample_per_source,
+    #    whose family sibling weighted_sample_topk stays in THIS window
+    #    and which moves to the r16 head below) --
+    "ann_recall_eval",
     "ngram_containment_pairs",
     "mmr_diverse_topk",
     "dedup_attrition_curve",
@@ -125,9 +131,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_oov",
     "bigram_logprob",
     "weighted_sample_topk",
-    "weighted_sample_per_source",
     # ---- driver window boundary (50) ----
     # -- r11 greens deferred to the r16 head (rationale above) --
+    "weighted_sample_per_source",
     "knn_triangle_stats",
     "knn_label_vote",
     "knn_communities",

@@ -1776,3 +1776,30 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     clt_width = 2 * 1.96 * stats.sd / math.sqrt(stats.n)
     width = row.ci_hi - row.ci_lo
     assert 0.5 * clt_width <= width <= 2.0 * clt_width, (width, clt_width)
+
+
+def test_ann_recall_eval_laws(spark, sf_dir):
+    """r15: the recall evaluation's defining laws — probing EVERY cell
+    makes IVF exhaustive (recall exactly 1.0 for every query), recall
+    is monotone non-decreasing in n_probe per query, and a query that
+    is itself a centroid always has its own cell probed first (recall
+    at tiny n_probe still > 0)."""
+    from data_engineer_8_final_project_spark.operators import similarity
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    emb = tables_for(spark, sf_dir)["embeddings"]
+    qids = (0, 87, 203)
+
+    def recalls(n_probe):
+        rows = similarity.ann_recall_eval(
+            emb, qids, n_cells=16, n_probe=n_probe, k=10
+        ).collect()
+        return {r.query_vec_id: r.recall_at_k for r in rows}
+
+    exhaustive = recalls(16)
+    assert set(exhaustive) == set(qids)
+    assert all(v == 1.0 for v in exhaustive.values()), exhaustive
+    r2, r8 = recalls(2), recalls(8)
+    for q in qids:
+        assert r2[q] <= r8[q] <= 1.0, (q, r2[q], r8[q])
+    assert r2[0] > 0, "centroid query's own cell is always its nearest probe"

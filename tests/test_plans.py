@@ -27,6 +27,7 @@ UDF_FREE = [
     "simhash_near_dup",
     "simhash_dedup_verdicts",
     "dedup_exact",
+    "ann_recall_eval",
 ]
 
 
@@ -457,6 +458,11 @@ _NESTED_LOOP_OK: dict[str, str] = {
     "bm25_doc_ranking": "cross x two 1-row stats frames (corpus n/avgdl + per-term dfs)",
     "revenue_bootstrap_ci": "cross x 1-row full-sample mean frame (64 replicate rows x 1)",
     "curriculum_order": "cross x 1-row corpus count (decile denominator)",
+    "ann_recall_eval": (
+        "cross x |Q|-row broadcast query sample (8 rows): the exact "
+        "ground-truth pass is Theta(|Q|*N) BY DEFINITION — it is the "
+        "baseline recall is measured against, evaluation-time only"
+    ),
 }
 
 

@@ -29,7 +29,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: Post-r15 no query's newest green is older than r11, and only nine
 #: r11 rows remain.
 MUST_BE_IN_WINDOW = {
-    # r14 registrations without driver rows
+    # registrations without driver rows (ann_recall_eval: r15)
+    "ann_recall_eval",
     "ngram_containment_pairs",
     "mmr_diverse_topk",
     "dedup_attrition_curve",
@@ -81,7 +82,9 @@ MUST_BE_IN_WINDOW = {
     "vocab_coverage_oov",
     "bigram_logprob",
     "weighted_sample_topk",
-    "weighted_sample_per_source",
+    # weighted_sample_per_source ceded its slot to ann_recall_eval
+    # (family sibling weighted_sample_topk stays in-window; it heads
+    # the r16 rotation)
 }
 
 
