@@ -489,6 +489,49 @@ def refine_centroids_lloyd(
     return cents
 
 
+def _seeded_medoids(emb: DataFrame, n_cells: int) -> list[tuple[int, list[float]]]:
+    """The n_cells lowest-vec_id vectors as (cell_id, vector) —
+    bounded collect of model-parameter rows. SHARED by
+    :func:`ivf_topk` and :func:`ann_recall_eval` (r15 review): the
+    recall evaluation's contract is that it measures the exact
+    configuration ivf_topk serves, so the centroid selection cannot be
+    allowed to desynchronize between copies."""
+    return [
+        (r["vec_id"], list(r["v"]))
+        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
+    ]
+
+
+def _centroid_structs(cents: list[tuple[int, list[float]]]):
+    """Builder rendering the (d2, cell) assignment-structs SQL over a
+    literal centroid matrix for any vector column name — the single
+    definition of the IVF assignment expression (see
+    :func:`_seeded_medoids` for why it must not be copied).
+
+    The centroid loop stays SYMBOLIC (transform over a literal matrix,
+    one F.expr): the Column-per-node form paid ~1-2 s of py4j
+    round-trips and Catalyst analysis per call for a 16×64 literal dot
+    tree. Struct ordering (d2 ASC, cell ASC) and the left-to-right
+    IEEE sums match the DuckDB oracles bit for bit.
+    """
+    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
+    mat_sql = (
+        "array("
+        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
+        + ")"
+    )
+    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
+
+    def structs(vec_sql: str) -> str:
+        return (
+            f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
+            f"'d2', {_reduced_d2_sql(vec_sql, mat_sql, c2_sql)}, "
+            f"'cell', element_at({ids_sql}, i + 1)))"
+        )
+
+    return structs
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -524,35 +567,13 @@ def ivf_topk(
     emb = embeddings.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    # bounded collect: n_cells centroid rows are model parameters, not data
-    cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
-    ]
+    cents = _seeded_medoids(emb, n_cells)
     if lloyd_iters:
         # optional k-means refinement (default off: the seeded-medoid
         # path is what the SQL oracle replays)
         cents = refine_centroids_lloyd(emb, cents, iters=lloyd_iters, decimals=decimals)
-
-    # Same (d2, cell) structs as _cell_structs, but the centroid loop
-    # stays SYMBOLIC (transform over a literal matrix, one F.expr):
-    # the Column-per-node form paid ~1-2 s of py4j round-trips and
-    # Catalyst analysis per call for a 16×64 literal dot tree. Struct
-    # ordering (d2 ASC, cell ASC) and the left-to-right IEEE sums are
-    # identical, so argmins — and the DuckDB oracle match — are
-    # unchanged bit for bit.
-    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
-    mat_sql = (
-        "array("
-        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
-        + ")"
-    )
-    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
-    structs_sql = (
-        f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
-        f"'d2', {_reduced_d2_sql('v', mat_sql, c2_sql)}, "
-        f"'cell', element_at({ids_sql}, i + 1)))"
-    )
+    structs = _centroid_structs(cents)
+    structs_sql = structs("v")
     assigned_cell = F.expr(f"array_min({structs_sql}).cell")
     probe = (
         emb.filter(F.col("vec_id") == query_vec_id)
@@ -612,26 +633,9 @@ def ann_recall_eval(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     qids = sorted(int(q) for q in query_vec_ids)
-    # bounded collect: n_cells centroid rows are model parameters
-    cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in emb.orderBy("vec_id").limit(n_cells).select("vec_id", "v").collect()
-    ]
-    ids_sql = "array(" + ",".join(str(cid) for cid, _ in cents) + ")"
-    mat_sql = (
-        "array("
-        + ",".join("array(" + ",".join(_sql_d(x) for x in cv) + ")" for _, cv in cents)
-        + ")"
-    )
-    c2_sql = "array(" + ",".join(_sql_d(_fold_c2(cv)) for _, cv in cents) + ")"
-
-    def structs(vec_sql: str) -> str:
-        return (
-            f"transform(sequence(0, {len(cents) - 1}), i -> named_struct("
-            f"'d2', {_reduced_d2_sql(vec_sql, mat_sql, c2_sql)}, "
-            f"'cell', element_at({ids_sql}, i + 1)))"
-        )
-
+    # the SAME centroid selection + assignment expression ivf_topk
+    # serves — one shared implementation, by contract
+    structs = _centroid_structs(_seeded_medoids(emb, n_cells))
     qs = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )

@@ -59,13 +59,17 @@ def register(
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- Round-15 window (first 50; the driver verifies only these). ----
-    # Rotation per VERDICT r14 item 1: head with (a) the five r14
-    # registrations that have NO driver rows yet (each strict-hash
-    # MATCH in the r14 judge's fresh-process emulation at sf0.01),
-    # then (b) the six r10 deferrals (oldest driver evidence in the
-    # repo), then (c) 39 of the 48-query r11-green cohort. The nine
-    # r11 greens deferred to the r16 head each have an operator-family
-    # sibling with fresh evidence: knn_triangle_stats / knn_label_vote
+    # Rotation per VERDICT r14 item 1: head with (a) the six
+    # registrations that have NO driver rows yet (the five r14 ones —
+    # each strict-hash MATCH in the r14 judge's fresh-process
+    # emulation at sf0.01 — plus r15's ann_recall_eval), then (b) the
+    # six r10 deferrals (oldest driver evidence in the repo), then
+    # (c) 38 of the 48-query r11-green cohort. The TEN r11 greens
+    # outside the window (nine deferred + weighted_sample_per_source,
+    # which ceded its slot to ann_recall_eval) head the r16 rotation;
+    # each has an operator-family sibling with fresh evidence:
+    # weighted_sample_per_source (weighted_sample_topk in THIS
+    # window), knn_triangle_stats / knn_label_vote
     # / knn_communities (knn_graph is in THIS window; knn_kcore /
     # knn_bfs_hops r13), semantic_dedup / semantic_decontamination
     # (ngram_decontamination r14, embedding_near_dup_pairs r12),
@@ -92,7 +96,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "pq_adc_topk",
     "knn_graph",
-    # -- (c) 39 of the r11-green cohort --
+    # -- (c) 38 of the r11-green cohort --
     "full_outer_coalesce",
     "dedup_exact",
     "html_matches_extract",
@@ -132,7 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_logprob",
     "weighted_sample_topk",
     # ---- driver window boundary (50) ----
-    # -- r11 greens deferred to the r16 head (rationale above) --
+    # -- the ten r11 greens deferred to the r16 head (rationale above) --
     "weighted_sample_per_source",
     "knn_triangle_stats",
     "knn_label_vote",

@@ -111,6 +111,7 @@ def main() -> None:
         steady_raw: list[float] = []
         steady_norm: list[float] = []
         factors: list[float] = []
+        shuffle_factors: list[float] = []
         for p in range(args.procs):
             try:
                 out = subprocess.run(
@@ -153,13 +154,24 @@ def main() -> None:
             # pre-r13 baked baselines; steady_* separates the regimes.
             steady_raw.extend(rec["reps"][1:])
             steady_norm.extend(t / rec["host_factor"] for t in rec["reps"][1:])
-            print(f"{name} proc {p}: reps={rec['reps']} host_factor={rec['host_factor']}")
+            if "shuffle_factor" in rec:
+                shuffle_factors.append(rec["shuffle_factor"])
+            print(
+                f"{name} proc {p}: reps={rec['reps']} "
+                f"host_factor={rec['host_factor']} "
+                f"shuffle_factor={rec.get('shuffle_factor')}"
+            )
         if raw:
             results[name] = {
                 "median_raw_s": round(statistics.median(raw), 4),
                 "median_norm_s": round(statistics.median(norm), 4),
                 "spread_raw": [round(min(raw), 4), round(max(raw), 4)],
                 "host_factors": factors,
+                # diagnostic second dimension (r15): carried so the
+                # adjudication/bake consumers can attribute drift the
+                # CPU probe is blind to — paying the child's probe
+                # cost without surfacing this was pure waste
+                **({"shuffle_factors": shuffle_factors} if shuffle_factors else {}),
                 "n": len(raw),
             }
             if steady_raw:

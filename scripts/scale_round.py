@@ -556,6 +556,12 @@ def bake_isolated_medians(
                     if "steady_raw_s" in r
                     else {}
                 ),
+                # r15: shuffle-dimension context for drift attribution
+                **(
+                    {"shuffle_factors": r["shuffle_factors"]}
+                    if r.get("shuffle_factors")
+                    else {}
+                ),
                 **({"round": round_no} if round_no is not None else {}),
                 **({"vetoed": True} if vetoed else {}),
             }

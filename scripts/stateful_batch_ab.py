@@ -111,12 +111,21 @@ def run_leg(mft: int, scaled_dir: str, query: str = "user_totals") -> None:
                 "mft": mft,
                 "wall_s": round(wall, 1),
                 # session/vcjoin drain inside their pipeline (no
-                # progress hook); their staging appends a sentinel file
-                # and the stream reads maxFilesPerTrigger=1, so the
-                # TRUE micro-batch count is n_chunks + 1 — reporting
-                # the bare knob undercounted by one (r14 ADVICE) and
-                # skewed the batch-count cost-law fit.
-                "n_batches": len(progress) if query == "user_totals" else mft + 1,
+                # progress hook) and read maxFilesPerTrigger=1, so the
+                # TRUE micro-batch count is the staged FILE count:
+                # session's staging appends a watermark-drain sentinel
+                # (n_chunks + 1 files; reporting the bare knob
+                # undercounted by one, r14 ADVICE), while vcjoin's
+                # time-ordered replay writes exactly n_chunks files
+                # with NO sentinel (r15 review: a blanket +1 would
+                # over-correct that leg by the same one batch).
+                "n_batches": (
+                    len(progress)
+                    if query == "user_totals"
+                    else mft + 1
+                    if query == "session"
+                    else mft
+                ),
                 "rows": len(pdf),
                 "hash": hashlib.md5(canon.to_csv(index=False).encode()).hexdigest(),
                 "state_width": width,

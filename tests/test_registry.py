@@ -21,13 +21,14 @@ DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-15 rotation (VERDICT r14 item 1): the five r14 registrations
-#: without driver rows, then the six r10 deferrals (oldest driver
-#: evidence in the repo), then 39 of the 48-query r11-green cohort.
-#: The nine r11 greens deferred to the r16 head each have a fresh
-#: operator-family sibling (see registry.py rotation comment).
-#: Post-r15 no query's newest green is older than r11, and only nine
-#: r11 rows remain.
+#: Round-15 rotation (VERDICT r14 item 1): the six registrations
+#: without driver rows (five from r14 + r15's ann_recall_eval), then
+#: the six r10 deferrals (oldest driver evidence in the repo), then
+#: 38 of the 48-query r11-green cohort. The TEN r11 greens outside
+#: the window (nine deferred + weighted_sample_per_source) head the
+#: r16 rotation; each has a fresh operator-family sibling (see
+#: registry.py rotation comment). Post-r15 no query's newest green is
+#: older than r11, and only ten r11 rows remain.
 MUST_BE_IN_WINDOW = {
     # registrations without driver rows (ann_recall_eval: r15)
     "ann_recall_eval",
