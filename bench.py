@@ -344,6 +344,20 @@ def main() -> None:
     )
     probe_drift = round(max(probes) / min(probes), 3)
 
+    # Structural invariant behind the rep→bracket mapping (ADVICE r15):
+    # rep i is main-pass i ONLY because the budget break sits at the
+    # top of the pass loop (a pass is never partially recorded) and no
+    # per-query skip exists. If either changes, fail loudly here
+    # instead of silently normalizing reps by the wrong bracket.
+    assert len(probes) == passes_done + 1 + (1 if micro_passes_done else 0), (
+        f"probe count {len(probes)} != passes_done {passes_done} + 1"
+        f"{' + 1 micro' if micro_passes_done else ''} — rep→bracket mapping broken"
+    )
+    assert all(len(ts) >= passes_done for ts in reps.values()), (
+        "a query has fewer reps than completed passes — a mid-pass skip "
+        "would mis-bracket every later rep"
+    )
+
     def _rep_factor(i: int) -> float:
         return pass_factors[i] if i < passes_done else (micro_factor or 1.0)
 

@@ -58,45 +58,99 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-15 window (first 50; the driver verifies only these). ----
-    # Rotation per VERDICT r14 item 1: head with (a) the six
-    # registrations that have NO driver rows yet (the five r14 ones —
-    # each strict-hash MATCH in the r14 judge's fresh-process
-    # emulation at sf0.01 — plus r15's ann_recall_eval), then (b) the
-    # six r10 deferrals (oldest driver evidence in the repo), then
-    # (c) 38 of the 48-query r11-green cohort. The TEN r11 greens
-    # outside the window (nine deferred + weighted_sample_per_source,
-    # which ceded its slot to ann_recall_eval) head the r16 rotation;
-    # each has an operator-family sibling with fresh evidence:
-    # weighted_sample_per_source (weighted_sample_topk in THIS
-    # window), knn_triangle_stats / knn_label_vote
-    # / knn_communities (knn_graph is in THIS window; knn_kcore /
-    # knn_bfs_hops r13), semantic_dedup / semantic_decontamination
-    # (ngram_decontamination r14, embedding_near_dup_pairs r12),
-    # embedding_topk / ann_lsh_topk / label_centroids
-    # (mmr_diverse_topk + pq_adc_topk in THIS window, ivf_ann_topk
-    # r14, kmeans_clusters r13), jaccard_near_dup (minhash_lsh_pairs +
-    # simhash_dedup_verdicts + dedup_attrition_curve in THIS window).
-    # -- (a) registrations without driver rows (ann_recall_eval is the
-    #    one r15 registration; verified strict-hash MATCH vs its oracle
-    #    at sf0.001+sf0.01 and partition-count deterministic in the r15
-    #    session; it takes the slot of weighted_sample_per_source,
-    #    whose family sibling weighted_sample_topk stays in THIS window
-    #    and which moves to the r16 head below) --
+    # ---- Round-16 window (first 50; the driver verifies only these). ----
+    # Rotation per VERDICT r15 item 1: head with the ten r11 greens
+    # staged at the r16 head last round (the freshness gate fails at
+    # a 4-round horizon without them), then 39 of the 47-query
+    # r12-green cohort — prioritizing the streaming S8/T1/T2 carriers
+    # (events_hourly_stream, standings_stream: r12 evidence hits the
+    # horizon at r17) plus the VERDICT-named media/split/ANN set.
+    # The EIGHT r12 greens outside the window are staged immediately
+    # after the boundary for the r17 head; each has an operator-family
+    # sibling with fresher evidence: clicks_last_error /
+    # events_hourly_gapfill / events_trailing_hour_window /
+    # latest_event_snapshot (event_sessions, events_sliding,
+    # events_time_rollup in THIS window), customers_without_orders
+    # (high_value_customers_semi in THIS window),
+    # distinct_customers_salted (skewed_user_join r14),
+    # doc_repetition_scores (doc_quality_scores in THIS window),
+    # knn_pagerank (knn_communities in THIS window, knn_kcore r13).
+    # -- (a) the ten r11 greens (newest evidence r11 = at horizon) --
+    "weighted_sample_per_source",
+    "jaccard_near_dup",
+    "semantic_dedup",
+    "semantic_decontamination",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "knn_communities",
+    "knn_label_vote",
+    "knn_triangle_stats",
+    # -- (b) 39 of the r12-green cohort --
+    "watermark_drop_audit",
+    "pricing_summary",
+    "high_value_customers_semi",
+    "top_customers_per_nation",
+    "rollup_region_nation",
+    "shipping_priority",
+    "returned_items",
+    "text_stats_by_lang",
+    "doc_quality_scores",
+    "token_topk",
+    "lang_id_heuristic",
+    "embedding_near_dup_pairs",
+    "bpe_token_topk",
+    "doc_winnow_fingerprints",
+    "corpus_clean_pipeline",
+    "media_manifest",
+    "media_features",
+    "media_frame_sample",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "standings_stream",
+    "event_sessions",
+    "purchases_in_sessions",
+    "events_time_rollup",
+    "stratified_sample",
+    "events_sliding",
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
+    "ivfpq_ann_topk",
+    "source_shingle_kmv",
+    "incremental_ingest_dedup",
+    "leakage_safe_split",
+    "hard_negative_mining",
+    "token_budget_pack",
+    "source_overlap_matrix",
+    "source_minhash_similarity",
+    "near_dup_rate_by_source",
+    "ivf2_ann_topk",
+    # -- slot 50: first of the r12 defers; cedes its slot to
+    #    pq_recall_eval when that registration lands --
+    "latest_event_snapshot",
+    # ---- driver window boundary (50) ----
+    # -- the seven r12 greens deferred to the r17 head (rationale above) --
+    "clicks_last_error",
+    "customers_without_orders",
+    "distinct_customers_salted",
+    "doc_repetition_scores",
+    "events_hourly_gapfill",
+    "events_trailing_hour_window",
+    "knn_pagerank",
+    # -- r13/r14/r15 greens (newest evidence; prior relative order kept) --
     "ann_recall_eval",
     "ngram_containment_pairs",
     "mmr_diverse_topk",
     "dedup_attrition_curve",
     "curriculum_order",
     "simhash_dedup_verdicts",
-    # -- (b) the six r10 deferrals --
     "dup_clusters_twostar",
     "tfidf_topk_terms",
     "lang_mixture_weights",
     "minhash_lsh_pairs",
     "pq_adc_topk",
     "knn_graph",
-    # -- (c) 38 of the r11-green cohort --
     "full_outer_coalesce",
     "dedup_exact",
     "html_matches_extract",
@@ -135,67 +189,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_oov",
     "bigram_logprob",
     "weighted_sample_topk",
-    # ---- driver window boundary (50) ----
-    # -- the ten r11 greens deferred to the r16 head (rationale above) --
-    "weighted_sample_per_source",
-    "knn_triangle_stats",
-    "knn_label_vote",
-    "knn_communities",
-    "semantic_dedup",
-    "semantic_decontamination",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "jaccard_near_dup",
-    # -- r12 greens --
-    "knn_pagerank",
-    "watermark_drop_audit",
-    "pricing_summary",
-    "customers_without_orders",
-    "high_value_customers_semi",
-    "top_customers_per_nation",
-    "rollup_region_nation",
-    "shipping_priority",
-    "returned_items",
-    "distinct_customers_salted",
-    "text_stats_by_lang",
-    "doc_quality_scores",
-    "token_topk",
-    "lang_id_heuristic",
-    "embedding_near_dup_pairs",
-    "bpe_token_topk",
-    "doc_winnow_fingerprints",
-    "corpus_clean_pipeline",
-    "media_manifest",
-    "media_features",
-    "media_frame_sample",
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "standings_stream",
-    "event_sessions",
-    "clicks_last_error",
-    "purchases_in_sessions",
-    "events_time_rollup",
-    "doc_repetition_scores",
-    "stratified_sample",
-    "events_sliding",
-    "events_hourly_gapfill",
-    "latest_event_snapshot",
-    "events_trailing_hour_window",
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "ivfpq_ann_topk",
-    "source_shingle_kmv",
-    "incremental_ingest_dedup",
-    "leakage_safe_split",
-    "hard_negative_mining",
-    "token_budget_pack",
-    "source_overlap_matrix",
-    "source_minhash_similarity",
-    "near_dup_rate_by_source",
-    "ivf2_ann_topk",
-    # -- r13 greens --
     "dedup_stream_watermarked",
     "dedup_stream",
     "event_funnel_stream",
@@ -246,7 +239,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_cms_heavy_hitters",
     "embedding_pca_scores",
     "revenue_bootstrap_ci",
-    # -- r14 greens (the r14 driver window; freshest evidence) --
     "user_totals_stateful",
     "events_session_stream",
     "view_click_stream_join",

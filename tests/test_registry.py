@@ -21,71 +21,68 @@ DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-15 rotation (VERDICT r14 item 1): the six registrations
-#: without driver rows (five from r14 + r15's ann_recall_eval), then
-#: the six r10 deferrals (oldest driver evidence in the repo), then
-#: 38 of the 48-query r11-green cohort. The TEN r11 greens outside
-#: the window (nine deferred + weighted_sample_per_source) head the
-#: r16 rotation; each has a fresh operator-family sibling (see
-#: registry.py rotation comment). Post-r15 no query's newest green is
-#: older than r11, and only ten r11 rows remain.
+#: Round-16 rotation (VERDICT r15 item 1): the ten r11 greens that
+#: headed the staged r16 rotation, then 39 of the 47-query r12-green
+#: cohort (streaming S8/T1/T2 carriers + the VERDICT-named
+#: media/split/ANN set prioritized). The SEVEN r12 greens outside the
+#: window are staged immediately after the boundary for the r17 head;
+#: each has a fresher operator-family sibling (see registry.py
+#: rotation comment). Post-r16 no query's newest green is older than
+#: r12, and only the staged defers remain at r12.
 MUST_BE_IN_WINDOW = {
-    # registrations without driver rows (ann_recall_eval: r15)
-    "ann_recall_eval",
-    "ngram_containment_pairs",
-    "mmr_diverse_topk",
-    "dedup_attrition_curve",
-    "curriculum_order",
-    "simhash_dedup_verdicts",
-    # r10 deferrals
-    "dup_clusters_twostar",
-    "tfidf_topk_terms",
-    "lang_mixture_weights",
-    "minhash_lsh_pairs",
-    "pq_adc_topk",
-    "knn_graph",
-    # 39 of the r11-green cohort
-    "full_outer_coalesce",
-    "dedup_exact",
-    "html_matches_extract",
-    "scalar_cleaning_suite",
-    "lsh_near_dup_pairs",
-    "events_json_extract",
-    "large_volume_customers",
-    "small_qty_part_revenue",
-    "lone_late_supplier",
-    "priority_order_counts",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "nation_pair_volume",
-    "top_revenue_supplier",
-    "part_supplier_counts",
-    "cheapest_part_per_brand",
-    "market_share_by_year",
-    "product_profit_by_nation_year",
-    "disjunctive_pred_revenue",
-    "excess_shipped_suppliers",
-    "events_hourly",
-    "dup_span_stats",
-    "order_chains_recursive",
-    "events_props_variant",
-    "dup_cluster_representatives",
-    "doc_chunks",
-    "forecast_revenue_change",
-    "importance_weights",
-    "bpe_merge_candidates",
-    "event_funnel",
-    "retention_cohorts",
-    "session_path_topk",
-    "scd2_event_history",
-    "value_histogram",
-    "late_shipment_priority",
-    "vocab_coverage_oov",
-    "bigram_logprob",
-    "weighted_sample_topk",
-    # weighted_sample_per_source ceded its slot to ann_recall_eval
-    # (family sibling weighted_sample_topk stays in-window; it heads
-    # the r16 rotation)
+    # the ten r11 greens (at the freshness horizon this round)
+    "weighted_sample_per_source",
+    "jaccard_near_dup",
+    "semantic_dedup",
+    "semantic_decontamination",
+    "embedding_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "knn_communities",
+    "knn_label_vote",
+    "knn_triangle_stats",
+    # 39 of the r12-green cohort
+    "watermark_drop_audit",
+    "pricing_summary",
+    "high_value_customers_semi",
+    "top_customers_per_nation",
+    "rollup_region_nation",
+    "shipping_priority",
+    "returned_items",
+    "text_stats_by_lang",
+    "doc_quality_scores",
+    "token_topk",
+    "lang_id_heuristic",
+    "embedding_near_dup_pairs",
+    "bpe_token_topk",
+    "doc_winnow_fingerprints",
+    "corpus_clean_pipeline",
+    "media_manifest",
+    "media_features",
+    "media_frame_sample",
+    "events_hourly_stream",
+    "events_sliding_stream",
+    "standings_stream",
+    "event_sessions",
+    "purchases_in_sessions",
+    "events_time_rollup",
+    "stratified_sample",
+    "events_sliding",
+    "per_source_cap",
+    "temperature_mixture_sample",
+    "training_shuffle_order",
+    "ivfpq_ann_topk",
+    "source_shingle_kmv",
+    "incremental_ingest_dedup",
+    "leakage_safe_split",
+    "hard_negative_mining",
+    "token_budget_pack",
+    "source_overlap_matrix",
+    "source_minhash_similarity",
+    "near_dup_rate_by_source",
+    "ivf2_ann_topk",
+    # slot 50 (cedes to pq_recall_eval when it lands)
+    "latest_event_snapshot",
 }
 
 
@@ -161,6 +158,11 @@ def test_critical_queries_inside_driver_window():
     assert not missing, f"critical queries outside driver window: {sorted(missing)}"
 
 
+#: Rotation-staging grace width: positions DRIVER_WINDOW ..
+#: DRIVER_WINDOW + STAGED_HEAD before the next rotation commit lands.
+STAGED_HEAD = 12
+
+
 def test_no_stale_green_outside_window():
     """Freshness invariant as code (VERDICT r14 item 5).
 
@@ -171,16 +173,28 @@ def test_no_stale_green_outside_window():
     at all) is NOT staged inside the current driver window — i.e. the
     rotation forgot it and the staleness can only grow. Rotating the
     window head each round keeps this green by construction.
+
+    Rollover grace (ADVICE r15): between the driver archiving round N
+    and the round-N+1 rotation commit, queries the PREVIOUS rotation
+    deliberately staged at the next head (positions DRIVER_WINDOW ..
+    DRIVER_WINDOW + STAGED_HEAD) sit exactly one round past the
+    horizon. Those are "rotation pending", not forgotten — exempt, but
+    ONLY for that single round (newest >= cutoff - 1): a second missed
+    rotation still fails loudly.
     """
     newest, current = newest_green_rounds()
     if current <= 5:  # too little history for a 4-round horizon
         return
     cutoff = current - 4
-    window = set(list(registry.all_queries())[:DRIVER_WINDOW])
+    order = list(registry.all_queries())
+    window = set(order[:DRIVER_WINDOW])
+    staged = set(order[DRIVER_WINDOW : DRIVER_WINDOW + STAGED_HEAD])
     stale = sorted(
         name
         for name in registry.DRIVER_PRIORITY
-        if newest.get(name, 0) < cutoff and name not in window
+        if newest.get(name, 0) < cutoff
+        and name not in window
+        and not (name in staged and newest.get(name, 0) >= cutoff - 1)
     )
     assert not stale, (
         f"queries with newest driver green older than r{cutoff} left outside "
