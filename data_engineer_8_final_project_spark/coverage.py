@@ -126,7 +126,10 @@ EXTENDED_COVERAGE: dict[str, list[str]] = {
         "query:minhash_native_pairs",
     ],
     "similarity-brute-topk": ["query:embedding_topk"],
-    "similarity-recall-eval": ["query:ann_recall_eval"],
+    "similarity-recall-eval": [
+        "query:ann_recall_eval",
+        "query:pq_recall_eval",
+    ],
     "similarity-mmr-diverse-topk": ["query:mmr_diverse_topk"],
     "similarity-ann-lsh": ["query:ann_lsh_topk"],
     "similarity-ann-ivf": ["query:ivf_ann_topk"],

@@ -640,18 +640,7 @@ def ann_recall_eval(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    truth = (
-        emb.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), decimals).alias("cosine"),
-        )
-        .withColumn("rn", F.row_number().over(rank))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
-    )
+    truth = _recall_truth(emb, qs, k, decimals)
     probe = (
         qs.select(
             "qid",
@@ -675,6 +664,35 @@ def ann_recall_eval(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", F.lit(1).alias("_hit"))
     )
+    return _recall_summary(truth, ann, k)
+
+
+def _recall_truth(emb: DataFrame, qs: DataFrame, k: int, decimals: int) -> DataFrame:
+    """Exact-cosine ground truth, batched: per query id the corpus-wide
+    top-k (rounded cosine DESC, vec_id ASC). Θ(|Q|·N) dot products BY
+    DEFINITION — it is the baseline recall is measured against, an
+    evaluation-time cost bounded by the broadcast query-sample size.
+    The per-qid ranking is a ``row_number() <= k`` window that
+    InferWindowGroupLimit turns into per-partition top-k before the
+    shuffle — k rows per query cross the wire."""
+    rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), decimals).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+
+def _recall_summary(truth: DataFrame, ann: DataFrame, k: int) -> DataFrame:
+    """(query_vec_id, n_hits, recall_at_k) from the truth/ANN id sets;
+    ``ann`` carries a ``_hit`` marker column."""
     return (
         truth.join(ann, ["qid", "vec_id"], "left")
         .groupBy("qid")
@@ -1154,45 +1172,8 @@ def pq_topk(
     # is UNROLLED to flat whole-stage-codegen arithmetic inside the
     # array_min; the loop stays out of Python (one SQL text per
     # subspace), keeping plan-build cost flat too.
-    enc = emb.filter(F.col("vec_id") != query_vec_id)
-    for m in range(n_sub):
-        cws = "array(" + ",".join(
-            "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in books[m]
-        ) + ")"
-        c2arr = "array(" + ",".join(_sql_d(_fold_c2(cw)) for cw in books[m]) + ")"
-        # flat dot INSIDE the per-codeword lambda: one interpreter
-        # dispatch per codeword instead of one per ELEMENT — the
-        # zip_with/aggregate form measured 10x wall at 64x vectors,
-        # while a fully unrolled 2048-term tree pays ~2.5 s of codegen
-        # per call; this keeps the tree O(sub) per subspace and the
-        # literal matrix constant-folds, so each codeword costs 8
-        # folded-array lookups + flat arithmetic
-        dot = " + ".join(
-            f"element_at(v, {m * sub + e + 1}) * element_at(cw, {e + 1})"
-            for e in range(sub)
-        )
-        enc = enc.withColumn(
-            f"_c{m}",
-            F.expr(
-                f"array_min(transform({cws}, (cw, i) -> "
-                f"named_struct('d2', -2.0D * ({dot}) + element_at({c2arr}, i + 1), "
-                f"'j', i))).j"
-            ),
-        )
-    # ADC lookup tables folded to literals: dot(q_sub, codeword_j) for
-    # every j, indexed by this row's code via one element_at each
-    terms = []
-    for m in range(n_sub):
-        lut = []
-        for j in range(n_codes):
-            t = 0.0
-            for a, b in zip(qv[m * sub : (m + 1) * sub], books[m][j]):
-                t += a * b
-            lut.append(t)
-        terms.append(
-            f"element_at(array({','.join(_sql_d(t) for t in lut)}), _c{m} + 1)"
-        )
-    raw = F.expr(" + ".join(terms))
+    enc = _pq_encode(emb.filter(F.col("vec_id") != query_vec_id), books, sub)
+    raw = F.expr(" + ".join(_adc_lut_terms(qv, books, sub)))
     qlit = F.array(*[F.lit(x) for x in qv])
     return (
         enc.withColumn("_raw", raw)
@@ -1278,42 +1259,19 @@ def ivfpq_topk(
         )[:n_probe]
     ]
 
-    enc = (
-        emb.filter(F.col("vec_id") != query_vec_id)
-        .withColumn("cell", F.expr(f"array_min({_argmin_structs_sql(cents)}).cell"))
-        .filter(F.col("cell").isin(probe_cells))
-    )
     # PQ encode + ADC exactly as pq_topk (unrolled flat dots inside the
     # per-codeword lambda; LUT folded to literals driver-side) — but
     # evaluated only for probed-cell survivors
-    for m in range(n_sub):
-        cws = "array(" + ",".join(
-            "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in books[m]
-        ) + ")"
-        c2arr = "array(" + ",".join(_sql_d(_fold_c2(cw)) for cw in books[m]) + ")"
-        dot = " + ".join(
-            f"element_at(v, {m * sub + e + 1}) * element_at(cw, {e + 1})"
-            for e in range(sub)
-        )
-        enc = enc.withColumn(
-            f"_c{m}",
-            F.expr(
-                f"array_min(transform({cws}, (cw, i) -> "
-                f"named_struct('d2', -2.0D * ({dot}) + element_at({c2arr}, i + 1), "
-                f"'j', i))).j"
-            ),
-        )
-    terms = []
-    for m in range(n_sub):
-        lut = []
-        for j in range(n_codes):
-            lut.append(_dot_ltr(qv[m * sub : (m + 1) * sub], books[m][j]))
-        terms.append(
-            f"element_at(array({','.join(_sql_d(t) for t in lut)}), _c{m} + 1)"
-        )
+    enc = _pq_encode(
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .withColumn("cell", F.expr(f"array_min({_argmin_structs_sql(cents)}).cell"))
+        .filter(F.col("cell").isin(probe_cells)),
+        books,
+        sub,
+    )
     qlit = F.array(*[F.lit(x) for x in qv])
     return (
-        enc.withColumn("_raw", F.expr(" + ".join(terms)))
+        enc.withColumn("_raw", F.expr(" + ".join(_adc_lut_terms(qv, books, sub))))
         .orderBy(F.desc("_raw"), F.asc("vec_id"))
         .limit(shortlist)
         .withColumn("cosine", F.round(cosine(F.col("v"), qlit), decimals))
@@ -1321,6 +1279,173 @@ def ivfpq_topk(
         .limit(k)
         .select("vec_id", "label", "cosine")
     )
+
+
+def _pq_encode(df: DataFrame, books: list[list[list[float]]], sub: int) -> DataFrame:
+    """Append per-subspace PQ code columns ``_c0.._c{m}``: argmin over
+    the literal codebook of the reduced ``-2·dot(v_sub, cw) + dot(cw,
+    cw)`` (tie → lower code j), strict left-to-right IEEE sums.
+
+    Shared encoder of :func:`pq_topk` / :func:`ivfpq_topk` /
+    :func:`pq_recall_eval` — one implementation, by contract, so the
+    oracles' per-subspace argmin CTEs replay all three. The flat dot
+    sits INSIDE the per-codeword lambda: one interpreter dispatch per
+    codeword instead of one per ELEMENT (the zip_with/aggregate form
+    measured 10x wall at 64x vectors, a fully unrolled 2048-term tree
+    pays ~2.5 s of codegen per call); the tree stays O(sub) per
+    subspace and the literal matrices constant-fold."""
+    for m, book in enumerate(books):
+        cws = "array(" + ",".join(
+            "array(" + ",".join(_sql_d(x) for x in cw) + ")" for cw in book
+        ) + ")"
+        c2arr = "array(" + ",".join(_sql_d(_fold_c2(cw)) for cw in book) + ")"
+        dot = " + ".join(
+            f"element_at(v, {m * sub + e + 1}) * element_at(cw, {e + 1})"
+            for e in range(sub)
+        )
+        df = df.withColumn(
+            f"_c{m}",
+            F.expr(
+                f"array_min(transform({cws}, (cw, i) -> "
+                f"named_struct('d2', -2.0D * ({dot}) + element_at({c2arr}, i + 1), "
+                f"'j', i))).j"
+            ),
+        )
+    return df
+
+
+def _adc_lut_terms(qv: list[float], books: list[list[list[float]]], sub: int) -> list[str]:
+    """ADC lookup tables folded to literals: ``dot(q_sub, codeword_j)``
+    for every j (left-to-right sums — the floats the oracle's
+    ``list_dot_product`` computes), indexed by the row's code via one
+    ``element_at`` per subspace."""
+    terms = []
+    for m, book in enumerate(books):
+        lut = [_dot_ltr(qv[m * sub : (m + 1) * sub], cw) for cw in book]
+        terms.append(
+            f"element_at(array({','.join(_sql_d(t) for t in lut)}), _c{m} + 1)"
+        )
+    return terms
+
+
+def pq_recall_eval(
+    embeddings: DataFrame,
+    query_vec_ids: tuple[int, ...],
+    dim: int = 64,
+    n_sub: int = 8,
+    n_codes: int = 32,
+    shortlist: int = 100,
+    k: int = 10,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Recall@k of the quantized ANN tiers vs brute-force ground truth,
+    batched over a query sample — :func:`ann_recall_eval` extended to
+    where recall silently dies at scale: quantization (VERDICT r15
+    item 6). ``n_cells``/``n_probe`` unset → the PQ-ADC tier
+    (:func:`pq_topk`); set → the composed IVF-PQ tier
+    (:func:`ivfpq_topk`). Same configuration → the serving paths'
+    exact answers, by shared-encoder contract (:func:`_pq_encode`).
+
+    Per query id: ground truth = exact cosine top-k over the corpus
+    (shared :func:`_recall_truth` pass); ANN answer = ADC shortlist →
+    exact re-rank with the SAME codebooks, LUTs, probe rule and
+    tiebreaks the serving functions use; recall = |ANN ∩ truth| / k.
+    Returns (query_vec_id, n_hits, recall_at_k) ordered by query id.
+
+    Scale shape: codes are computed ONCE per corpus row (query-
+    independent — the property that makes PQ a storage format); the
+    |Q|-row query sample is broadcast and every per-query model
+    parameter is a folded literal keyed by qid — per-subspace ADC LUTs
+    as ``map(qid -> float array)`` (|Q|·n_codes doubles) and, in
+    IVF-PQ mode, the probe set as ``map(qid -> cell array)`` — so the
+    fan-out adds zero shuffles. Both top-k rankings are
+    ``row_number()`` windows partitioned by qid that
+    InferWindowGroupLimit caps per-partition: ``shortlist`` rows per
+    query cross the ADC wire, k per query cross the re-rank wire. The
+    ground-truth side is Θ(|Q|·N) BY DEFINITION (evaluation, not
+    serving).
+
+    Laws (pinned in tests/test_extended_ops.py): recall ≡ 1.0 when
+    ``shortlist`` ≥ corpus size; monotone non-decreasing in
+    ``shortlist``; IVF-PQ recall ≤ IVF-Flat recall at equal
+    ``n_probe`` (the ADC shortlist can only drop truth survivors);
+    IVF-PQ recall monotone in ``n_probe``.
+    """
+    sub = dim // n_sub
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qids = sorted(int(q) for q in query_vec_ids)
+    # bounded collects: codebooks and the |Q| query vectors are model
+    # parameters, not data
+    seed_rows = emb.orderBy("vec_id").limit(n_codes).select("v").collect()
+    books = [
+        [list(r["v"])[m * sub : (m + 1) * sub] for r in seed_rows]
+        for m in range(n_sub)
+    ]
+    qv_rows = {
+        r["vec_id"]: list(r["v"])
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    missing = [q for q in qids if q not in qv_rows]
+    if missing:
+        raise ValueError(f"query vec_ids not in corpus: {missing}")
+
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    truth = _recall_truth(emb, qs, k, decimals)
+
+    cand = _pq_encode(emb, books, sub).crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    if n_cells is not None:
+        # IVF-PQ mode: same seeded-medoid cells + driver-side probe
+        # rule as ivfpq_topk, batched — probe sets folded to a literal
+        # qid -> cell-array map (|Q|·n_probe ints)
+        cents = _seeded_medoids(emb, n_cells)
+        probe_map = {
+            q: [
+                cid
+                for _, cid in sorted(
+                    (-2.0 * _dot_ltr(qv_rows[q], cv) + _fold_c2(cv), cid)
+                    for cid, cv in cents
+                )[: n_probe or 1]
+            ]
+            for q in qids
+        }
+        entries = ",".join(
+            f"{q}, array({','.join(str(c) for c in probe_map[q])})" for q in qids
+        )
+        cand = cand.withColumn(
+            "cell", F.expr(f"array_min({_argmin_structs_sql(cents)}).cell")
+        ).filter(F.expr(f"array_contains(element_at(map({entries}), qid), cell)"))
+
+    # per-query ADC LUTs folded to one literal qid-keyed map per
+    # subspace (|Q|·n_codes doubles each)
+    raw_terms = []
+    for m in range(n_sub):
+        entries = ",".join(
+            f"{q}, array({','.join(_sql_d(t) for t in [_dot_ltr(qv_rows[q][m * sub:(m + 1) * sub], cw) for cw in books[m]])})"
+            for q in qids
+        )
+        raw_terms.append(
+            f"element_at(element_at(map({entries}), qid), _c{m} + 1)"
+        )
+    adc_rank = Window.partitionBy("qid").orderBy(F.desc("_raw"), F.asc("vec_id"))
+    cos_rank = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ann = (
+        cand.withColumn("_raw", F.expr(" + ".join(raw_terms)))
+        .withColumn("srn", F.row_number().over(adc_rank))
+        .filter(F.col("srn") <= shortlist)
+        .withColumn("cosine", F.round(cosine(F.col("v"), F.col("qv")), decimals))
+        .withColumn("rn", F.row_number().over(cos_rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("_hit"))
+    )
+    return _recall_summary(truth, ann, k)
 
 
 def _spread_if_undersplit(df: DataFrame) -> DataFrame:

@@ -837,6 +837,120 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recall_oracle(
+    query_vec_ids: tuple[int, ...],
+    dim: int,
+    n_sub: int,
+    n_codes: int,
+    shortlist: int,
+    k: int,
+) -> str:
+    """Replays :func:`similarity.pq_recall_eval` (plain-PQ mode)
+    exactly: ground truth = the ``_ann_recall_oracle`` gt CTE; codes =
+    the ``_pq_oracle`` per-subspace argmin CTEs over the WHOLE corpus
+    (codes are query-independent); ADC shortlist and exact re-rank are
+    per-qid windows. Same left-to-right float sums as the Spark
+    literal LUTs → bit-identical codes, shortlists and rank
+    boundaries."""
+    ids = ", ".join(str(q) for q in query_vec_ids)
+    sub = dim // n_sub
+    spans = [(m * sub + 1, (m + 1) * sub) for m in range(n_sub)]
+    cos = (
+        "ROUND(list_dot_product({x}, qv)"
+        " / (sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product(qv, qv))), 6)"
+    )
+    asg = ",\n    ".join(
+        f"""pasg{m} AS (
+      SELECT vec_id, j AS code{m} FROM (
+        SELECT e.vec_id, s.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -2*list_dot_product(e.v[{lo}:{hi}], s.v[{lo}:{hi}])
+                          + list_dot_product(s.v[{lo}:{hi}], s.v[{lo}:{hi}]) ASC,
+                          s.j ASC) AS rn
+        FROM emb e CROSS JOIN seeds s) t
+      WHERE rn = 1
+    )"""
+        for m, (lo, hi) in enumerate(spans)
+    )
+    adc = "\n             + ".join(
+        f"list_dot_product(q.qv[{lo}:{hi}], s{m}.v[{lo}:{hi}])"
+        for m, (lo, hi) in enumerate(spans)
+    )
+    joins = "\n      ".join(
+        f"JOIN pasg{m} a{m} USING (vec_id) JOIN seeds s{m} ON s{m}.j = a{m}.code{m}"
+        for m in range(n_sub)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      FROM emb ORDER BY vec_id LIMIT {n_codes}
+    ),
+    {asg},
+    qs AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN ({ids})),
+    gt AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {cos.format(x='e.v').replace('qv', 'q.qv')} DESC,
+                          e.vec_id ASC) AS rn
+        FROM emb e CROSS JOIN qs q WHERE e.vec_id <> q.qid) t
+      WHERE rn <= {k}
+    ),
+    cand AS (
+      SELECT qid, vec_id, v, qv FROM (
+        SELECT q.qid, e.vec_id, e.v, q.qv,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {adc} DESC, e.vec_id ASC) AS srn
+        FROM emb e
+      {joins}
+      CROSS JOIN qs q
+        WHERE e.vec_id <> q.qid) t
+      WHERE srn <= {shortlist}
+    ),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY {cos.format(x='v')} DESC, vec_id ASC) AS rn
+        FROM cand) t
+      WHERE rn <= {k}
+    )
+    SELECT g.qid AS query_vec_id,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / {float(k)}, 4) AS recall_at_k
+    FROM gt g LEFT JOIN ann a ON g.qid = a.qid AND g.vec_id = a.vec_id
+    GROUP BY g.qid
+    ORDER BY query_vec_id
+    """
+
+
+@register(
+    "pq_recall_eval",
+    oracle=_pq_recall_oracle(
+        RECALL_QUERY_IDS, dim=64, n_sub=8, n_codes=32, shortlist=100, k=10
+    ),
+    survey_ref="extended: PQ-ADC recall@k evaluation (quantized-tier recall vs brute force)",
+)
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC tier (operators/similarity.pq_recall_eval)
+    at pq_adc_topk's registered configuration, batched over the shared
+    RECALL_QUERY_IDS sample — quantization is where recall silently
+    dies at scale, so the compressed tiers carry their own registered
+    recall metric alongside IVF-Flat's ann_recall_eval."""
+    t = tables_for(spark, sf_dir)
+    return similarity.pq_recall_eval(
+        t["embeddings"], RECALL_QUERY_IDS, dim=64, n_sub=8, n_codes=32,
+        shortlist=100, k=10,
+    )
+
+
 def _ivf2_oracle(
     query_vec_id: int, n_cells: int, n_parents: int, n_probe_l1: int, n_probe: int, k: int
 ) -> str:

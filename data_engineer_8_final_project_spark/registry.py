@@ -75,7 +75,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # distinct_customers_salted (skewed_user_join r14),
     # doc_repetition_scores (doc_quality_scores in THIS window),
     # knn_pagerank (knn_communities in THIS window, knn_kcore r13).
-    # -- (a) the ten r11 greens (newest evidence r11 = at horizon) --
+    # -- (a) the r16 registration without driver rows --
+    "pq_recall_eval",
+    # -- (b) the ten r11 greens (newest evidence r11 = at horizon) --
     "weighted_sample_per_source",
     "jaccard_near_dup",
     "semantic_dedup",
@@ -86,7 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_communities",
     "knn_label_vote",
     "knn_triangle_stats",
-    # -- (b) 39 of the r12-green cohort --
+    # -- (c) 39 of the r12-green cohort --
     "watermark_drop_audit",
     "pricing_summary",
     "high_value_customers_semi",
@@ -126,11 +128,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    # -- slot 50: first of the r12 defers; cedes its slot to
-    #    pq_recall_eval when that registration lands --
-    "latest_event_snapshot",
     # ---- driver window boundary (50) ----
-    # -- the seven r12 greens deferred to the r17 head (rationale above) --
+    # -- the eight r12 greens deferred to the r17 head (rationale above;
+    #    latest_event_snapshot ceded slot 50 to pq_recall_eval) --
+    "latest_event_snapshot",
     "clicks_last_error",
     "customers_without_orders",
     "distinct_customers_salted",

@@ -1803,3 +1803,44 @@ def test_ann_recall_eval_laws(spark, sf_dir):
     for q in qids:
         assert r2[q] <= r8[q] <= 1.0, (q, r2[q], r8[q])
     assert r2[0] > 0, "centroid query's own cell is always its nearest probe"
+
+
+def test_pq_recall_eval_laws(spark, sf_dir):
+    """r16 (VERDICT r15 item 6): the quantized-tier recall laws —
+    shortlist ≥ corpus makes PQ-ADC exhaustive (re-rank over everything
+    = exact ⇒ recall exactly 1.0), recall is monotone non-decreasing in
+    shortlist, IVF-PQ recall ≤ IVF-Flat recall at equal n_probe (the
+    ADC shortlist can only DROP truth survivors from the probed set),
+    and IVF-PQ recall is monotone in n_probe."""
+    from data_engineer_8_final_project_spark.operators import similarity
+    from data_engineer_8_final_project_spark.registry import tables_for
+
+    emb = tables_for(spark, sf_dir)["embeddings"]
+    n = emb.count()
+    qids = (0, 87, 203)
+
+    def pq(shortlist, **kw):
+        rows = similarity.pq_recall_eval(
+            emb, qids, shortlist=shortlist, k=10, **kw
+        ).collect()
+        return {r.query_vec_id: r.recall_at_k for r in rows}
+
+    exhaustive = pq(n)
+    assert set(exhaustive) == set(qids)
+    assert all(v == 1.0 for v in exhaustive.values()), exhaustive
+    s25, s100 = pq(25), pq(100)
+    for q in qids:
+        assert s25[q] <= s100[q] <= 1.0, (q, s25[q], s100[q])
+
+    # ADC ≤ Flat at equal probes; monotone in n_probe
+    flat = {
+        r.query_vec_id: r.recall_at_k
+        for r in similarity.ann_recall_eval(
+            emb, qids, n_cells=16, n_probe=4, k=10
+        ).collect()
+    }
+    ivfpq4 = pq(100, n_cells=16, n_probe=4)
+    ivfpq2 = pq(100, n_cells=16, n_probe=2)
+    for q in qids:
+        assert ivfpq4[q] <= flat[q], (q, ivfpq4[q], flat[q])
+        assert ivfpq2[q] <= ivfpq4[q], (q, ivfpq2[q], ivfpq4[q])

@@ -28,6 +28,7 @@ UDF_FREE = [
     "simhash_dedup_verdicts",
     "dedup_exact",
     "ann_recall_eval",
+    "pq_recall_eval",
 ]
 
 
@@ -462,6 +463,13 @@ _NESTED_LOOP_OK: dict[str, str] = {
         "cross x |Q|-row broadcast query sample (8 rows): the exact "
         "ground-truth pass is Theta(|Q|*N) BY DEFINITION — it is the "
         "baseline recall is measured against, evaluation-time only"
+    ),
+    "pq_recall_eval": (
+        "cross x |Q|-row broadcast query sample (8 rows): the "
+        "ground-truth pass is Theta(|Q|*N) by definition, and the ADC "
+        "pass fans each corpus row out to |Q| code-lookup scores "
+        "(folded literal LUTs, no shuffle) before the per-qid "
+        "window caps it at shortlist rows — evaluation-time only"
     ),
 }
 

@@ -30,6 +30,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: rotation comment). Post-r16 no query's newest green is older than
 #: r12, and only the staged defers remain at r12.
 MUST_BE_IN_WINDOW = {
+    # the r16 registration without driver rows
+    "pq_recall_eval",
     # the ten r11 greens (at the freshness horizon this round)
     "weighted_sample_per_source",
     "jaccard_near_dup",
@@ -81,8 +83,6 @@ MUST_BE_IN_WINDOW = {
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    # slot 50 (cedes to pq_recall_eval when it lands)
-    "latest_event_snapshot",
 }
 
 
