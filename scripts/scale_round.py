@@ -289,6 +289,15 @@ def find_regressions(
         prev_f = prev_lo_f
         prev_spread = prev.get("spread", {})
         widen = 1.0
+    # r16 (VERDICT r15 item 3): cross-round shuffle-machinery ratio.
+    # The CPU-probe normalization is blind to shuffle-side degradation
+    # (r15 graded window: CPU probe 0.917 "fast" while the shuffle
+    # probe read 1.161); a flag whose ratio is within the shuffle
+    # ratio x threshold envelope is annotated shuffle_suspect — it
+    # still routes to the isolated A/B, but a confirmation must come
+    # from a window whose own shuffle probe is clean.
+    csf, psf = cur.get("shuffle_factor"), prev.get("shuffle_factor")
+    shuffle_ratio = round(csf / psf, 3) if csf and psf else None
     out = []
     for name, cur_n in cur_norm.items():
         prev_n = prev_norm.get(name)
@@ -330,6 +339,10 @@ def find_regressions(
                 rec["band_widened_by"] = round(widen, 3)
         if mismatch:
             rec["parallelism_mismatch"] = True
+        if shuffle_ratio is not None:
+            rec["shuffle_ratio"] = shuffle_ratio
+            if shuffle_ratio >= 1.15 and ratio <= shuffle_ratio * threshold:
+                rec["shuffle_suspect"] = True
         out.append(rec)
     return sorted(out, key=lambda r: -r["ratio"])
 
@@ -405,6 +418,41 @@ CONTROL_VETO_RATIO = 1.25
 #: SINGLE code-stable control at >= this bar is itself inconsistent
 #: with a comparable window, regardless of the median.
 CONTROL_VETO_MAX = 1.4
+
+#: Shuffle-dimension window veto (r16, VERDICT r15 item 3: fold the
+#: shuffle factor into the adjudication instead of carrying it as a
+#: diagnostic). The r16 attempt-1 window showed the failure mode the
+#: CPU-probe controls can miss entirely: one child JVM's shuffle probe
+#: read 6.39x reference while its CPU probe read 1.26 — the host's
+#: shuffle machinery degrades intermittently and ~severalfold between
+#: JVMs minutes apart. Clean sessions read 0.90-1.16 across r15/r16
+#: evidence, so a child median past 1.25 or ANY child past 2.0 marks
+#: the window's timing evidence unsound regardless of what the
+#: control QUERIES read (a control can land in the window's clean
+#: minutes while a flagged query lands in its degraded ones).
+SHUFFLE_VETO_MEDIAN = 1.25
+SHUFFLE_VETO_MAX = 2.0
+
+
+def shuffle_window_veto(isolated: dict[str, dict]) -> tuple[float | None, bool]:
+    """(median child shuffle factor, vetoed?) across the whole window.
+
+    Pools every adjudicated child's ``shuffle_factors`` reading (each
+    fresh JVM probes once) — per-QUERY attribution is impossible from
+    a window-level probe, so a dirty pool vetoes the WINDOW, same
+    semantics as the control veto. Records without shuffle readings
+    (pre-r15 children) contribute nothing and never veto.
+    """
+    pool = [
+        f
+        for rec in isolated.values()
+        for f in rec.get("shuffle_factors") or []
+        if f and f > 0
+    ]
+    if not pool:
+        return None, False
+    med = round(statistics.median(pool), 3)
+    return med, med >= SHUFFLE_VETO_MEDIAN or max(pool) >= SHUFFLE_VETO_MAX
 
 
 def control_inflation(
@@ -636,9 +684,14 @@ def main() -> None:
     ) if flagged else []
     isolated = adjudicate_isolated(to_isolate, sf_dir=None, skip=args.skip_isolated)
     control_ratios, controls_vetoed = control_inflation(isolated, prev)
+    # r16: the shuffle probe is adjudication-grade, not diagnostic —
+    # either dirty dimension (control queries OR child shuffle
+    # factors) vetoes the window's confirmations.
+    shuffle_med, shuffle_vetoed = shuffle_window_veto(isolated)
+    window_vetoed = controls_vetoed or shuffle_vetoed
     if isolated:
         bake_isolated_medians(
-            isolated, [live, archive], round_no=args.round, vetoed=controls_vetoed
+            isolated, [live, archive], round_no=args.round, vetoed=window_vetoed
         )
 
     cmd = [
@@ -734,10 +787,26 @@ def main() -> None:
                     "confirmations from this window are VETOED** (re-run "
                     "the A/B in a clean window before believing any)."
                     if controls_vetoed
-                    else " — controls stable, verdicts below stand."
+                    else " — controls stable."
                 ),
                 "",
             ]
+        if shuffle_med is not None:
+            lines += [
+                f"Window shuffle probe (per-child, median {shuffle_med}x "
+                "reference): "
+                + (
+                    f"**>= {SHUFFLE_VETO_MEDIAN}x median or "
+                    f"{SHUFFLE_VETO_MAX}x single-child — shuffle machinery "
+                    "degraded under the window, all confirmations VETOED** "
+                    "(the CPU-probe controls cannot see this dimension)."
+                    if shuffle_vetoed
+                    else "clean."
+                ),
+                "",
+            ]
+        if not window_vetoed and isolated:
+            lines += ["Both window dimensions clean — verdicts below stand.", ""]
         lines += [
             "| query | ratio (interleaved) | isolated norm s | prev norm s (mean-f baseline) | verdict |",
             "|---|---|---|---|---|",
@@ -777,10 +846,15 @@ def main() -> None:
                 verdict = "cleared (contention/JIT)"
             elif controls_vetoed:
                 verdict = "VETOED (control inflation — host drift the probe missed)"
+            elif shuffle_vetoed:
+                verdict = "VETOED (shuffle-degraded window — child shuffle probe dirty)"
             else:
                 verdict = "REGRESSION CONFIRMED"
+            ratio_cell = f"{f['ratio']}" + (
+                " (shuffle_suspect)" if f.get("shuffle_suspect") else ""
+            )
             lines.append(
-                f"| {f['query']} | {f['ratio']} | {iso['median_norm_s']} "
+                f"| {f['query']} | {ratio_cell} | {iso['median_norm_s']} "
                 f"| {baseline} | {verdict} |"
             )
     text = "\n".join(lines) + "\n"

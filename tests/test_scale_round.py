@@ -669,3 +669,72 @@ def test_bake_isolated_medians_stamps_vetoed_windows(tmp_path):
     )
     out = json.loads(p.read_text())["isolated_median"]
     assert "vetoed" not in out["q2"]
+
+
+def test_shuffle_window_veto_pools_child_probes():
+    """r16 (VERDICT r15 item 3): the shuffle probe is adjudication-
+    grade. A dirty child pool (median >= 1.25 or any child >= 2.0)
+    vetoes the window even when the CPU-probe controls look clean —
+    the r16 attempt-1 failure mode (one child at 6.39x shuffle while
+    its CPU probe read 1.26)."""
+    clean = {
+        "a": {"median_norm_s": 1.0, "shuffle_factors": [0.95, 1.05]},
+        "b": {"median_norm_s": 1.0, "shuffle_factors": [1.1, 0.9]},
+    }
+    med, vetoed = scale_round.shuffle_window_veto(clean)
+    assert not vetoed and med is not None and med < 1.25
+
+    single_spike = {
+        "a": {"median_norm_s": 1.0, "shuffle_factors": [0.95, 6.39]},
+        "b": {"median_norm_s": 1.0, "shuffle_factors": [1.0, 1.0]},
+    }
+    med, vetoed = scale_round.shuffle_window_veto(single_spike)
+    assert vetoed, "one child past SHUFFLE_VETO_MAX must veto"
+
+    uniformly_dirty = {
+        "a": {"median_norm_s": 1.0, "shuffle_factors": [1.3, 1.4]},
+    }
+    assert scale_round.shuffle_window_veto(uniformly_dirty)[1]
+
+    # pre-r15 children without shuffle readings never veto
+    assert scale_round.shuffle_window_veto(
+        {"a": {"median_norm_s": 1.0}}
+    ) == (None, False)
+    assert scale_round.shuffle_window_veto({}) == (None, False)
+
+
+def test_find_regressions_annotates_shuffle_suspects():
+    """A flag whose ratio is inside the cross-round shuffle-ratio x
+    threshold envelope is tagged shuffle_suspect (still flagged — the
+    isolated A/B adjudicates — but a confirmation must come from a
+    shuffle-clean window). Flags beyond the envelope are not tagged."""
+    prev = _pn_rec({"q_near": 1.0, "q_far": 1.0}, shuffle_factor=1.0)
+    cur = _pn_rec(
+        {"q_near": 1.4, "q_far": 2.5},
+        spread_norm={"q_near": [1.4, 1.4], "q_far": [2.5, 2.5]},
+        shuffle_factor=1.2,
+    )
+    cur["iqr_pass_norm"] = {"q_near": [1.4, 1.4], "q_far": [2.5, 2.5]}
+    found = {f["query"]: f for f in scale_round.find_regressions(cur, prev)}
+    # 1.4 <= 1.2 * 1.25 = 1.5 -> suspect; 2.5 > 1.5 -> genuine candidate
+    assert found["q_near"].get("shuffle_suspect") is True
+    assert "shuffle_suspect" not in found["q_far"]
+    assert found["q_near"]["shuffle_ratio"] == 1.2
+
+    # no shuffle readings on either side -> no annotation at all
+    prev2 = _pn_rec({"q": 1.0})
+    cur2 = _pn_rec({"q": 2.0}, spread_norm={"q": [2.0, 2.0]})
+    cur2["iqr_pass_norm"] = {"q": [2.0, 2.0]}
+    (f,) = scale_round.find_regressions(cur2, prev2)
+    assert "shuffle_ratio" not in f and "shuffle_suspect" not in f
+
+
+def test_shuffle_stable_cross_round_never_tags():
+    """Equal shuffle factors across rounds (ratio 1.0 < 1.15) leave
+    every flag untagged — the annotation only fires when the shuffle
+    dimension actually moved."""
+    prev = _pn_rec({"q": 1.0}, shuffle_factor=1.1)
+    cur = _pn_rec({"q": 1.4}, spread_norm={"q": [1.4, 1.4]}, shuffle_factor=1.1)
+    cur["iqr_pass_norm"] = {"q": [1.4, 1.4]}
+    (f,) = scale_round.find_regressions(cur, prev)
+    assert f["shuffle_ratio"] == 1.0 and "shuffle_suspect" not in f
