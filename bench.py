@@ -216,6 +216,7 @@ def main() -> None:
     host_factor_start = round(probe_sec / PROBE_REFERENCE_SEC, 3)
     shuffle_sec_start, _ = _shuffle_probe(spark)
     shuffle_factor_start = round(shuffle_sec_start / SHUFFLE_REFERENCE_SEC, 3)
+    shuffle_probes = [shuffle_sec_start]
 
     # Timed region covers plan construction AND execution (streaming
     # queries do their work inside fn(); ivf's bounded centroid collect
@@ -266,6 +267,13 @@ def main() -> None:
         # already been recorded); counts toward the wall budget, which
         # is correct — probes are part of the run's cost.
         probes.append(_host_probe(spark)[0])
+        # r16: the shuffle dimension gets the same per-pass bracket
+        # treatment (the r16 attempt-1 window showed a 6.39x shuffle
+        # spike inside an otherwise CPU-clean window — without a
+        # per-pass series the spike's blast radius inside a run is
+        # unattributable). Diagnostic: queries vary in shuffle
+        # intensity, so no normalization divides by these.
+        shuffle_probes.append(_shuffle_probe(spark)[0])
 
     # Micro-query noise taming (VERDICT r10 item 6): sub-2 s queries
     # showed +-0.4 s spreads in the 77-query interleaved run — wide
@@ -314,8 +322,13 @@ def main() -> None:
     host_factor_end = round(probe_sec_end / PROBE_REFERENCE_SEC, 3)
     host_factor = round((host_factor_start + host_factor_end) / 2, 3)
     shuffle_sec_end, _ = _shuffle_probe(spark)
+    shuffle_probes.append(shuffle_sec_end)
     shuffle_factor_end = round(shuffle_sec_end / SHUFFLE_REFERENCE_SEC, 3)
     shuffle_factor = round((shuffle_factor_start + shuffle_factor_end) / 2, 3)
+    shuffle_pass_factors = [
+        round(((shuffle_probes[p] + shuffle_probes[p + 1]) / 2) / SHUFFLE_REFERENCE_SEC, 3)
+        for p in range(min(passes_done, len(shuffle_probes) - 1))
+    ]
 
     # Per-pass bracket factors (VERDICT r14 item 3): pass p's factor is
     # the mean of the probes immediately before and after it — the
@@ -455,6 +468,9 @@ def main() -> None:
                 "shuffle_factor": shuffle_factor,
                 "shuffle_factor_start": shuffle_factor_start,
                 "shuffle_factor_end": shuffle_factor_end,
+                # r16 per-pass shuffle brackets (diagnostic attribution)
+                "shuffle_series": [round(s, 4) for s in shuffle_probes],
+                "shuffle_pass_factors": shuffle_pass_factors,
                 # r15 per-pass normalization (VERDICT r14 item 3)
                 "probe_series": [round(s, 4) for s in probes],
                 "pass_factors": pass_factors,
