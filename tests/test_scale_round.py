@@ -125,6 +125,16 @@ def test_committed_spread_schema_invariants():
     else:
         # pre-r13 records: start-probe semantics
         assert abs(rec["host_factor"] - rec["probe_sec"] / 1.75) < 0.01
+    if "shuffle_series" in rec:
+        # r16+: per-pass shuffle brackets — one probe per pass boundary
+        # (start + each completed pass + end), factors derived from
+        # consecutive-pair means at SHUFFLE_REFERENCE_SEC = 2.17
+        series = rec["shuffle_series"]
+        assert len(series) >= 2 and all(s > 0 for s in series)
+        assert len(rec.get("shuffle_pass_factors", [])) <= len(series) - 1
+        for p, f in enumerate(rec["shuffle_pass_factors"]):
+            expect = ((series[p] + series[p + 1]) / 2) / 2.17
+            assert abs(f - expect) < 0.01, (p, f, expect)
 
 
 def test_find_regressions_normalizes_prior_band_across_hosts():
