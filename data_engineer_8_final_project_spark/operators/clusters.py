@@ -52,17 +52,34 @@ def connected_components(
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     parts = max(1, min(width, both_cached.count() // 100_000 + 1))
     both = both_cached.coalesce(parts)
+    # r16: iterate ONLY over vertices that have at least one edge. A
+    # singleton never receives a message and never emits one, so its
+    # label is constant (= its own id) through every round — carrying
+    # it through the loop shuffles |V| rows per round for nothing.
+    # Near-dup edge sets are usually tiny relative to the corpus, so
+    # the loop frames shrink from |V| to |touched|; singletons are
+    # labeled by one left join AFTER the fixpoint. Exact equivalence:
+    # untouched vertices cannot influence any touched vertex (messages
+    # flow only along edges) and come out as their own cluster either
+    # way. Initialization is FUSED with propagation round 1: after one
+    # round a touched vertex's label is min(itself, min neighbor id),
+    # which is one dst-keyed aggregation over the undirected edge list
+    # — no separate touched-distinct exchange, no identity-label init
+    # frame, no round-1 union+groupBy pass.
     labels = (
-        vertices.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        both.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("src").alias("_mn"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("_mn")).alias("cluster_id"))
         .coalesce(parts)
         .persist()
     )
     # convergence probe: the label sum strictly decreases until the
     # fixpoint (min-propagation is monotone) — one scalar per round,
     # and persisting each generation keeps the lineage flat so round k
-    # never recomputes rounds 1..k-1
+    # never recomputes rounds 1..k-1. (On an empty edge set the sum is
+    # NULL both rounds, which terminates the loop on round 1 — right.)
     old_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(max_iters):
+    for _ in range(max_iters - 1):  # round 1 is the fused init above
         msgs = (
             both.join(labels, both.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -80,10 +97,16 @@ def connected_components(
             break
         old_sum = new_sum
     both_cached.unpersist()
-    # hand back a lineage-free copy and release the loop cache — the
-    # persisted generations would otherwise pin executor storage for
-    # the life of the session (localCheckpoint blocks are freed by GC)
-    out = labels.localCheckpoint(eager=True)
+    # Singletons label themselves; touched vertices take the loop
+    # fixpoint. Hand back a lineage-free copy and release the loop
+    # cache — the persisted generations would otherwise pin executor
+    # storage for the life of the session (localCheckpoint blocks are
+    # freed by GC).
+    out = (
+        vertices.join(labels.withColumnRenamed("cluster_id", "_cc"), "doc_id", "left")
+        .select("doc_id", F.coalesce("_cc", F.col("doc_id")).alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     labels.unpersist()
     return out
 

@@ -87,13 +87,24 @@ def _shared_shingle_pairs(
     before any pair is produced — the skew/blowup guard: a stop-shingle
     shared by 10 k docs would alone produce 10k²/2 candidate pairs.
     """
-    sh = (
-        _spread(documents).select(
-            "doc_id", F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh")
-        )
+    spread_docs = _spread(documents)
+    sh = spread_docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh")
     )
-    # distinct shingle count per doc (union term / containment denominator)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # distinct shingle count per doc (union term / containment denominator):
+    # computed as size() of the per-row distinct-shingle array — a narrow
+    # map over the spread docs, NO explode + doc_id re-aggregation branch
+    # (r16: that branch re-ran the whole tokenize+shingle+explode lineage
+    # and paid an extra hash aggregate; count-of-distinct-per-row is a
+    # per-row expression). Docs with zero shingles now carry an n_sh=0
+    # row instead of being absent — identical downstream: ``sizes`` is
+    # only ever INNER-joined from pair rows, and a doc with no shingles
+    # cannot appear in any pair.
+    sizes = spread_docs.select(
+        "doc_id",
+        # cast: F.size is INT; the groupBy-count this replaces was LONG
+        F.size(F.array_distinct(shingles("text", shingle_n))).cast("long").alias("n_sh"),
+    )
     # One shuffle on sh builds the posting list per shingle; the df cap
     # (drop stop-shingles) and the singleton drop apply BEFORE any pair
     # exists. Pair production is then a per-row array comprehension —
@@ -674,7 +685,15 @@ def incremental_near_dups(
         "is_new",
         F.explode(F.array_distinct(shingles("text", shingle_n))).alias("sh"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc distinct shingle count as a narrow map (r16, same move as
+    # _shared_shingle_pairs): no second explode + doc_id aggregation —
+    # ``sizes`` is only inner-joined from pair rows, and a doc with no
+    # shingles cannot appear in any pair, so the extra n_sh=0 rows are
+    # unreachable.
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(shingles("text", shingle_n))).cast("long").alias("n_sh"),
+    )
     lists = (
         sh.groupBy("sh")
         .agg(F.collect_list(F.struct("doc_id", "is_new")).alias("ds"))
@@ -719,16 +738,28 @@ def incremental_near_dups(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    # Best match + match count in ONE hash aggregation (r16): the
+    # sort-window form paid an exchange + per-partition sort and two
+    # window passes; ``min_by`` over the (-jaccard, old_id) key is the
+    # same (jaccard DESC, old_id ASC) total order (jaccard ≥
+    # min_jaccard > 0, so negation is sign-safe; (new_id, old_id) is
+    # unique, so the key has no ties) and hash-aggregates with
+    # map-side partial combine.
     best = (
-        ja.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_corpus_matches", F.count(F.lit(1)).over(Window.partitionBy("new_id"))
+        ja.groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_matches"),
+            F.min_by(
+                F.struct("old_id", "jaccard"),
+                F.struct((-F.col("jaccard")).alias("nj"), F.col("old_id").alias("o")),
+            ).alias("_b"),
         )
-        .filter(F.col("rn") == 1)
-        .select("new_id", "n_corpus_matches", "old_id", "jaccard")
+        .select(
+            "new_id",
+            "n_corpus_matches",
+            F.col("_b.old_id").alias("old_id"),
+            F.col("_b.jaccard").alias("jaccard"),
+        )
     )
     # subquery-alias join (the one self-join formulation that survives
     # Spark 4's attribute rewrite on expression-heavy lineages — see

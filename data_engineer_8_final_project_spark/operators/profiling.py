@@ -214,18 +214,20 @@ def conversion_latency_stats(
 
     e = events.select("user_id", "ts", "event_id", "event_type")
     us = F.unix_micros(F.col("ts"))
+    # r16: first-view/first-purchase times AND the first-touch channel
+    # in ONE user-keyed hash aggregation — the separate row_number
+    # window (exchange + sort) and the firsts⋈chan join are gone.
+    # ``min_by`` over the (ts, event_id) key is the window's exact
+    # order; event_id is tiebreak-complete, so the key has no ties.
     firsts = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
         F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
-    )
-    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chan = (
-        e.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_channel"))
+        F.min_by(
+            "event_type", F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"))
+        ).alias("first_channel"),
     )
     lat = (
-        firsts.join(chan, "user_id")
+        firsts
         .filter(
             F.col("v_us").isNotNull()
             & F.col("p_us").isNotNull()

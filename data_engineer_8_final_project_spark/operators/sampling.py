@@ -66,14 +66,25 @@ def hash_split(
     property a random ``sample()`` call cannot give — and exactly
     reproducible by any engine that has md5.
     """
-    bucket = hash_bucket(F.col(id_col).cast("string"))
     return documents.select(
         id_col,
-        bucket.alias("bucket"),
+        hash_bucket(F.col(id_col).cast("string")).alias("bucket"),
+        split_expr(id_col, train_pct, val_pct).alias("split"),
+    )
+
+
+def split_expr(id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10) -> Column:
+    """The :func:`hash_split` assignment as a pure COLUMN expression.
+
+    Split membership is a function of the id alone, so a frame that
+    already carries the id can take the split as a ``withColumn``
+    instead of joining the ``hash_split`` frame back on the id — one
+    narrow map versus an exchange + join (r16; training_manifest)."""
+    bucket = hash_bucket(F.col(id_col).cast("string"))
+    return (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
-        .alias("split"),
     )
 
 

@@ -19,8 +19,24 @@ reproducible and match a double-precision oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_SIZE_SUFFIX = {
+    "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40,
+    "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+}  # longest suffixes first so '128mb' does not strip only the 'b'
+
+
+def _bytes_conf(spark, key: str) -> int:
+    """A byte-size conf value as an int (accepts '134217728b', '128m', …)."""
+    raw = str(spark.conf.get(key)).strip().lower()
+    for suf, mult in _SIZE_SUFFIX.items():
+        if raw.endswith(suf):
+            return int(raw[: -len(suf)]) * mult
+    return int(raw)
 
 
 #: Derived-cell policy for the corpus-wide knn family (VERDICT r8
@@ -1462,8 +1478,36 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     file layout, not operator design, gates under-split inputs.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    par = sc.defaultParallelism
+    # r16: probe scan width from the file inventory instead of
+    # ``df.rdd.getNumPartitions()`` — the RDD conversion runs full
+    # physical planning on the driver (~0.1-0.25 s per call at sf0.1,
+    # paid by EVERY quantizer-assignment query; far worse on a complex
+    # frame at cluster scale). ``inputFiles()`` is a logical-plan walk.
+    # Upper bound on scan splits = n_files + total_bytes/maxPartitionBytes
+    # (a file yields at least one split; splitting adds ~size/split
+    # more): when even the bound is below the core count, the scan is
+    # undersplit and the repartition pays for itself. Frames that are
+    # not file-backed (empty inventory) or not local fall back to the
+    # precise RDD probe.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    local = [f[len("file:"):] for f in files if f.startswith("file:")]
+    if files and len(local) == len(files):
+        if len(files) >= par:
+            return df
+        max_pb = _bytes_conf(df.sparkSession, "spark.sql.files.maxPartitionBytes")
+        try:
+            total = sum(os.path.getsize(p) for p in local)
+        except OSError:
+            total = None
+        if total is not None:
+            est = len(files) + total // max_pb
+            return df.repartition(par) if est < par else df
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
     return df
 
 
@@ -1598,16 +1642,22 @@ def knn_graph(
     # and self-joining THAT): the self-join reads the staged rows from
     # both sides instead of re-evaluating the quantizer per side —
     # measured ~1.3× on the 8× leg.
+    # nrm rides the staged frame (r16, same pattern as
+    # semantic_dedup_verdicts): per-pair work drops from the 3-dot
+    # cosine_sql residual (which blows Janino's 64 KB method limit
+    # fused into the join consume) to one cross dot + divide — the
+    # norms are computed ONCE per vector below the shuffle,
+    # bit-identically (sqrt of the same left-associated self-dot).
     assigned = (
         _spread_if_undersplit(emb)
         .withColumn("cell", F.expr(cell_expr).cast("long"))
+        .withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
         .localCheckpoint(eager=True)
     )
     # Cosine is evaluated on each UNORDERED pair once (src < dst) and
-    # mirrored, halving the dominant cost (the unrolled 3·dim-term
-    # expression is too large for JIT-friendly codegen, so pair-stage
-    # arithmetic, not the shuffle, bounds this operator — measured
-    # ~2× on the 8× leg). Bit-exact by construction: per-term products
+    # mirrored, halving the dominant cost (pair-stage arithmetic, not
+    # the shuffle, bounds this operator — measured ~2× on the 8× leg).
+    # Bit-exact by construction: per-term products
     # commute and the left-associated i=1..dim sum order is IDENTICAL
     # for (a,b) and (b,a), so the mirrored cosine is the same double
     # the directed evaluation would have produced. The mirror is an
@@ -1616,12 +1666,15 @@ def knn_graph(
     # plan branch re-running the join (a union of two selects over
     # ``half`` would re-evaluate it per branch).
     half = (
-        _cell_self_join(assigned, ["src", "va"], ["dst", "vb"])
+        _cell_self_join(assigned, ["src", "va"], ["dst", "vb"], extra=("nrm",))
         .filter(F.col("src") < F.col("dst"))
         .select(
             "src",
             "dst",
-            F.round(cosine_sql("va", "vb", dim), decimals).alias("cosine"),
+            F.round(
+                F.expr(f"({dot_sql_str('va', 'vb', dim)}) / (nrm_a * nrm_b)"),
+                decimals,
+            ).alias("cosine"),
         )
     )
     pairs = half.select(
@@ -1741,23 +1794,62 @@ def hard_negatives(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
     _, structs_sql = seeded_medoid_cells(emb, n_cells)
-    assigned = _spread_if_undersplit(emb).withColumn(
-        "cell", F.expr(f"array_min({structs_sql}).cell").cast("long")
+    # r16: stage the assignment once (the directed self-join used to
+    # re-evaluate the n_cells·dim quantizer on BOTH sides), hoist the
+    # per-vector norm below the shuffle (pair residual = one cross dot
+    # + divide, same pattern as knn_graph/semantic_dedup), and score
+    # each UNORDERED cross-label pair once, mirroring both
+    # orientations (label inequality is symmetric; the mirrored cosine
+    # is bit-identical because products commute elementwise and the
+    # sum order is shared).
+    assigned = (
+        _spread_if_undersplit(emb)
+        .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
+        .withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
+        .localCheckpoint(eager=True)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = a.join(b, F.col("a.cell") == F.col("b.cell")).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("a.label").alias("src_label"),
-        F.col("a.v").alias("va"),
-        F.col("b.vec_id").alias("dst"),
-        F.col("b.label").alias("dst_label"),
-        F.col("b.v").alias("vb"),
+    half = (
+        _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"], extra=("label", "nrm"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("label_a") != F.col("label_b")))
+        .select(
+            "id_a",
+            "label_a",
+            "id_b",
+            "label_b",
+            F.round(
+                F.expr(f"({dot_sql_str('va', 'vb', dim)}) / (nrm_a * nrm_b)"),
+                decimals,
+            ).alias("cosine"),
+        )
+    )
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("s"),
+                    F.col("label_a").alias("sl"),
+                    F.col("id_b").alias("d"),
+                    F.col("label_b").alias("dl"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("s"),
+                    F.col("label_b").alias("sl"),
+                    F.col("id_a").alias("d"),
+                    F.col("label_a").alias("dl"),
+                ),
+            )
+        ).alias("e"),
+        "cosine",
+    ).select(
+        F.col("e.s").alias("src"),
+        F.col("e.sl").alias("src_label"),
+        F.col("e.d").alias("dst"),
+        F.col("e.dl").alias("dst_label"),
+        "cosine",
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     return (
-        pairs.filter(F.col("src_label") != F.col("dst_label"))
-        .withColumn("cosine", F.round(cosine_sql("va", "vb", dim), decimals))
-        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        pairs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= k)
         .select("src", "src_label", "neg_rank", "dst", "dst_label", "cosine")
     )

@@ -2066,7 +2066,19 @@ def q_brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def brand_affinity(lineitem: DataFrame, part: DataFrame, k: int = 15) -> DataFrame:
     """Shared body of ``brand_affinity_pairs`` (see its docstring) —
-    takes the two frames directly so pytest can drive hand baskets."""
+    takes the two frames directly so pytest can drive hand baskets.
+
+    r16 shape: ONE okey-keyed shuffle builds the per-order sorted
+    distinct brand basket (``collect_set`` dedups repeat lines in the
+    same pass that groups them — no separate ``distinct`` exchange);
+    pairs are generated INSIDE each basket row with the same
+    transform-with-index comprehension as the dedup posting lists
+    (operators/dedup._shared_shingle_pairs — A/B'd 2× over the
+    postings self-join there) instead of an okey self-join, which cost
+    two more exchanges + sorts of the staged frame. Supports and the
+    order total read the same staged baskets. Fan-out per row is
+    C(brands-per-order, 2) — bounded by the same single-digit
+    brands-per-order constant that bounded the self-join."""
     ob = (
         lineitem
         .select("l_orderkey", "l_partkey")
@@ -2075,26 +2087,32 @@ def brand_affinity(lineitem: DataFrame, part: DataFrame, k: int = 15) -> DataFra
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-        # four consumers read this frame (total probe, supports, both
-        # self-join sides) — stage the join+distinct once instead of
-        # re-executing it per branch (measured ~2x on the sf0.1 bench;
-        # at cluster scale the staging point is a parquet write)
+        .groupBy("okey")
+        .agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+        # three consumers read the basket frame (total probe, supports,
+        # pair generation) — stage the join+group once instead of
+        # re-executing it per branch (at cluster scale the staging
+        # point is a parquet write)
         .localCheckpoint(eager=True)
     )
-    total = ob.select("okey").distinct().count()  # bounded scalar probe
-    sup = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = ob.alias("a")
-    b = ob.alias("b")
+    total = ob.count()  # one row per order: the order total, no extra distinct
+    sup = (
+        ob.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size(F.col("bs"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
+        ob.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
     )
     sa = sup.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))

@@ -65,10 +65,11 @@ def q_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by gram hash; Zipf-hot grams are exactly what AQE skew
     handling splits."""
     t = tables_for(spark, sf_dir)
-    split = sampling.hash_split(t["documents"]).select("doc_id", "split")
+    # r16: split is a pure function of doc_id — column expression, not
+    # a self-join of documents on doc_id (exchange + join gone).
     grams = (
         t["documents"]
-        .join(split, "doc_id")
+        .withColumn("split", sampling.split_expr("doc_id"))
         .select(
             "doc_id",
             "split",

@@ -2154,14 +2154,16 @@ def q_user_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["events"].select("user_id", "ts", "event_id", "event_type")
     us = F.unix_micros(F.col("ts"))
     horizon = e.agg(F.max(us)).collect()[0][0]  # bounded scalar probe
-    lasts = e.groupBy("user_id").agg(F.max(us).alias("last_us"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chan = (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_channel"))
-    )
-    flags = lasts.join(chan, "user_id").select(
+    # r16: last-activity and first-touch channel in ONE user-keyed hash
+    # aggregation (min_by over the tie-free (ts, event_id) key replays
+    # the row_number window's order) — no second exchange+sort pass, no
+    # lasts⋈chan join.
+    flags = e.groupBy("user_id").agg(
+        F.max(us).alias("last_us"),
+        F.min_by(
+            "event_type", F.struct(F.col("ts").alias("t"), F.col("event_id").alias("e"))
+        ).alias("first_channel"),
+    ).select(
         "first_channel",
         F.when(
             F.col("last_us") < F.lit(horizon - 14 * 86400 * 1_000_000), 1

@@ -572,9 +572,11 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(canon, "doc_id", "semi")
         .join(rep, "doc_id", "semi")
     )
-    split = sampling.hash_split(docs).select("doc_id", "split")
+    # r16: split is a pure function of doc_id — take it as a column
+    # expression instead of re-scanning documents through hash_split
+    # and joining it back on doc_id (one exchange + join gone).
     packed = sampling.running_token_start(
-        surv.join(split, "doc_id"), part_cols=("split",)
+        surv.withColumn("split", sampling.split_expr("doc_id")), part_cols=("split",)
     )
     st = F.col("_pack_start")
     return packed.select(
@@ -1677,11 +1679,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_tokens") >= 10) & (F.col("sr") <= 0.5))
     )
-    wfp = Window.partitionBy("norm_fp").orderBy("doc_id")
+    # Exact-dedup survivor = the min-doc_id row per normal form. r16:
+    # one hash aggregation (min_by — doc_id is unique, so the key is
+    # tie-free) instead of the exchange + sort + row_number window;
+    # partial min_by combines map-side, so the shuffle carries one
+    # candidate row per (mapper, norm_fp) instead of every gated row.
     surv = (
-        gated.withColumn("rn", F.row_number().over(wfp))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "text", "n_tokens", "ttr")
+        gated.groupBy("norm_fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "text", "n_tokens", "ttr"), "doc_id"
+            ).alias("_r")
+        )
+        .select("_r.doc_id", "_r.source", "_r.text", "_r.n_tokens", "_r.ttr")
         .localCheckpoint(eager=True)  # three consumers; stage the gate+dedup once
     )
     edges = dedup.jaccard_candidate_pairs(
