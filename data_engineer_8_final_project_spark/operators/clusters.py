@@ -262,31 +262,64 @@ def pagerank_fixed_point(
     # every iterative graph algorithm pays.
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
     base = (scale * (100 - damp_pct)) // 100
-    ranks = vertices.select("id", F.lit(scale).cast("long").alias("r"))
-    if until_stable:
-        ranks = ranks.localCheckpoint(eager=True)
 
-    def step(prev: DataFrame) -> DataFrame:
-        contrib = ed.join(prev.withColumnRenamed("id", "src"), "src").select(
-            "dst", F.expr("r div outdeg").alias("c")
-        )
+    # r16: the loop frame holds RECEIVERS only (vertices with ≥1
+    # in-edge). A vertex with no in-edge has a CONSTANT rank — scale
+    # before round 1, base ever after — so carrying it through the
+    # loop joined |V| rows per round for a value the contribution pass
+    # can coalesce in. Round 1 needs no ranks join at all (every
+    # source's rank is the literal ``scale``); later rounds left-join
+    # the receiver frame and default missing sources to ``base``.
+    # Non-receivers take their constant in ONE final left join.
+    # Bit-identical to the full-frame loop (verified frame-equal):
+    # every contribution reads the same integer rank either way.
+    def step(prev: DataFrame | None) -> DataFrame:
+        if prev is None:
+            contrib = ed.select(
+                "dst", F.expr(f"CAST({scale} AS BIGINT) div outdeg").alias("c")
+            )
+        else:
+            contrib = (
+                ed.join(prev.withColumnRenamed("id", "src"), "src", "left")
+                .select(
+                    "dst",
+                    F.expr(f"coalesce(r, CAST({base} AS BIGINT)) div outdeg").alias("c"),
+                )
+            )
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        return vertices.join(insum.withColumnRenamed("dst", "id"), "id", "left").select(
-            "id",
-            (
-                F.lit(base) + F.expr(f"({damp_pct} * coalesce(s, 0L)) div 100")
-            ).cast("long").alias("r"),
+        return insum.select(
+            F.col("dst").alias("id"),
+            (F.lit(base) + F.expr(f"({damp_pct} * s) div 100")).cast("long").alias("r"),
         )
 
+    ranks: DataFrame | None = None
     if until_stable:
-        for _ in range(max_iters):
+        # Non-receivers move exactly once (scale → base, conceptually
+        # in round 1) and are flat afterwards; fold that one movement
+        # into the round-1 probe as a scalar so the receiver-frame
+        # probe stays exact for any tolerance. Bounded: one count.
+        n_nonrecv = vertices.join(
+            ed.select(F.col("dst").alias("id")).distinct(), "id", "anti"
+        ).count()
+        for round_no in range(max_iters):
             new = step(ranks).localCheckpoint(eager=True)
-            # bounded probe: ONE integer scalar per round
-            delta = (
-                new.withColumnRenamed("r", "rn")
-                .join(ranks, "id")
-                .agg(F.max(F.abs(F.col("rn") - F.col("r"))).alias("d"))
-                .collect()[0]["d"]
+            if ranks is None:
+                recv_delta = (
+                    new.agg(F.max(F.abs(F.col("r") - F.lit(scale))).alias("d"))
+                    .collect()[0]["d"]
+                )
+                nonrecv_delta = (scale - base) if n_nonrecv else 0
+            else:
+                recv_delta = (
+                    new.withColumnRenamed("r", "rn")
+                    .join(ranks, "id")
+                    .agg(F.max(F.abs(F.col("rn") - F.col("r"))).alias("d"))
+                    .collect()[0]["d"]
+                )
+                nonrecv_delta = 0
+            delta = max(
+                [d for d in (recv_delta, nonrecv_delta) if d is not None],
+                default=None,
             )
             ranks = new
             if delta is not None and delta <= tol_units:
@@ -294,7 +327,11 @@ def pagerank_fixed_point(
     else:
         for _ in range(iters):
             ranks = step(ranks)
-    return ranks.select(F.col("id"), F.col("r").alias("pagerank"))
+    if ranks is None:  # iters == 0: every rank is the initial scale
+        return vertices.select("id", F.lit(scale).cast("long").alias("pagerank"))
+    return vertices.join(ranks, "id", "left").select(
+        "id", F.coalesce("r", F.lit(base).cast("long")).alias("pagerank")
+    )
 
 
 def label_propagation_fixed(
@@ -313,11 +350,11 @@ def label_propagation_fixed(
     SQL oracle replays it bit-exact: synchronous rounds (all updates
     read the PREVIOUS round's labels), each vertex adopting the most
     frequent label among its undirected neighbors with ties broken to
-    the SMALLEST label (the ``max(struct(n, -label))`` idiom — one
-    aggregation, no second window pass), isolated vertices keeping
+    the SMALLEST label (in-row mode over the sorted neighbor-label
+    list — see the r16 note at ``step``), isolated vertices keeping
     their label. Fixed ``iters`` keeps the plan static; per round one
-    edges⋈labels equi-join + one (dst, label) count + one per-dst
-    max-struct — key-partitioned shuffles only. The undirected edge
+    edges⋈labels equi-join + ONE dst-keyed aggregation —
+    key-partitioned shuffles only. The undirected edge
     list materializes once (localCheckpoint — the parquet-staging
     point of a cluster run, as in :func:`pagerank_fixed_point`).
 
@@ -340,16 +377,31 @@ def label_propagation_fixed(
     if until_stable:
         labels = labels.localCheckpoint(eager=True)
 
+    # r16: ONE dst-keyed aggregation per round instead of two. The
+    # winning label is the mode of the neighbor multiset (tie → the
+    # SMALLEST label); the (dst, nlbl)-count + per-dst max-struct pair
+    # paid two exchanges per round for it. collect_list per dst is
+    # bounded by vertex degree (k-NN graphs: ~2k labels), and the mode
+    # is one aggregate() walk over the SORTED list — the strict '>'
+    # keeps the FIRST longest run, which in ascending order is exactly
+    # the smallest label among tied counts, so the result is
+    # bit-identical to the max(struct(n, -label)) idiom (verified
+    # frame-equal on the fixtures). Integer-exact throughout.
+    _mode_expr = (
+        "aggregate(array_sort(_ls), "
+        "named_struct('p', CAST(NULL AS BIGINT), 'r', 0, 'b', 0, "
+        "'m', CAST(NULL AS BIGINT)), "
+        "(a, x) -> named_struct('p', x, 'r', IF(x <=> a.p, a.r + 1, 1), "
+        "'b', GREATEST(a.b, IF(x <=> a.p, a.r + 1, 1)), "
+        "'m', IF(IF(x <=> a.p, a.r + 1, 1) > a.b, x, a.m)), a -> a.m)"
+    )
+
     def step(prev: DataFrame) -> DataFrame:
-        nb = (
-            und.join(prev.withColumnRenamed("id", "src").withColumnRenamed("lbl", "nlbl"), "src")
-            .groupBy("dst", "nlbl")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
         win = (
-            nb.groupBy("dst")
-            .agg(F.max(F.struct(F.col("n"), (-F.col("nlbl")).alias("neg"))).alias("m"))
-            .select(F.col("dst").alias("id"), (-F.col("m.neg")).alias("wlbl"))
+            und.join(prev.withColumnRenamed("id", "src").withColumnRenamed("lbl", "nlbl"), "src")
+            .groupBy("dst")
+            .agg(F.collect_list("nlbl").alias("_ls"))
+            .select(F.col("dst").alias("id"), F.expr(_mode_expr).alias("wlbl"))
         )
         # Each generation references the previous one TWICE (the
         # neighbor count and the carry-over side), so an unchecked

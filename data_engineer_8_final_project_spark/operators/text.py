@@ -158,7 +158,16 @@ def unigram_logprob_scores(
     for natural-language vocabularies it broadcasts and the join
     degenerates to a map-side lookup.
     """
-    tok = documents.select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    # r16: tokenize ONCE — the token stream feeds three consumers (the
+    # 1-row total, the frequency aggregation, and the join probe side),
+    # each of which re-ran the regex tokenizer unstaged. The staged
+    # frame is the narrow (doc_id, tokens) projection (cluster-scale
+    # staging point: a parquet write); the per-consumer explode is a
+    # cheap in-row generator by comparison.
+    tf = documents.select("doc_id", tokens(text_col).alias("t")).localCheckpoint(
+        eager=True
+    )
+    tok = tf.select("doc_id", F.explode("t").alias("tok"))
     # Corpus token total as a 1-row aggregate broadcast-cross-joined in,
     # NOT an eager tok.count(): keeps the whole plan lazy (no corpus
     # scan at DataFrame-construction time) and off the driver.
@@ -195,17 +204,34 @@ def repetition_scores(
     text itself never shuffles (grams are short strings; at 100 TB
     hash the gram first if gram cardinality dwarfs memory).
     """
-    grams = documents.select(
-        "doc_id", F.explode(shingles(text_col, 2)).alias("g")
+    # r16: all three statistics are PER-DOCUMENT functions of the
+    # document's own bigram multiset, so they are computed IN-ROW from
+    # the shingle array — zero shuffles (the explode → (doc_id, g)
+    # count → doc_id rollup form shuffled the corpus bigram stream
+    # twice). Total = size; distinct = size(array_distinct); the top
+    # bigram's count = the longest run in the SORTED array, one
+    # aggregate() walk with an integer accumulator. Every quantity is
+    # an exact integer, so the rounded fractions and the keep gate are
+    # bit-identical to the shuffle form (verified frame-equal on the
+    # fixtures).
+    max_run = (
+        "aggregate(array_sort(_sh), "
+        "named_struct('p', CAST(NULL AS STRING), 'r', 0, 'b', 0), "
+        "(a, x) -> named_struct('p', x, 'r', IF(x <=> a.p, a.r + 1, 1), "
+        "'b', GREATEST(a.b, IF(x <=> a.p, a.r + 1, 1))), a -> a.b)"
     )
-    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    top_frac = F.round(F.max("c") / F.sum("c"), decimals)
-    dup_frac = F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), decimals)
-    return per_gram.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        top_frac.alias("top_bigram_frac"),
-        dup_frac.alias("dup_bigram_frac"),
-        ((F.max("c") / F.sum("c") <= 0.18) & ((F.sum("c") - F.count(F.lit(1))) / F.sum("c") <= 0.6)).alias("keep"),
+    base = documents.select("doc_id", shingles(text_col, 2).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    n = F.size("_sh").cast("long")
+    mx = F.expr(max_run).cast("long")
+    dup = n - F.size(F.array_distinct("_sh"))
+    return base.select(
+        "doc_id",
+        n.alias("n_bigrams"),
+        F.round(mx / n, decimals).alias("top_bigram_frac"),
+        F.round(dup / n, decimals).alias("dup_bigram_frac"),
+        ((mx / n <= 0.18) & (dup / n <= 0.6)).alias("keep"),
     )
 
 
@@ -238,10 +264,19 @@ def dup_span_stats(
     """
     spark = documents.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    spans = (
+    # r16: build the span arrays ONCE and stage them — the count
+    # aggregation and the join probe side both consume the span stream,
+    # and unstaged each re-ran the tokenize + n-token string assembly
+    # (the dominant per-row cost). The staged frame is (doc_id, span
+    # array); the per-consumer explode is a cheap in-row generator.
+    # At cluster scale the staging point is a parquet write — and the
+    # documented 100 TB swap (spans as 64-bit hashes) shrinks it 8x.
+    sp = (
         documents.repartition(n_parts, id_col)
-        .select(id_col, F.explode(shingles(text_col, n)).alias("span"))
+        .select(id_col, shingles(text_col, n).alias("_sps"))
+        .localCheckpoint(eager=True)
     )
+    spans = sp.select(id_col, F.explode("_sps").alias("span"))
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
     dup_per_doc = (
         spans.join(counts.filter(F.col("c") > 1), "span")
@@ -283,7 +318,18 @@ def bigram_logprob_scores(
     vocabularies. Docs with fewer than 2 tokens have no bigrams and
     are excluded (the fixture minimum is 10).
     """
-    t = documents.select("doc_id", tokens(text_col).alias("t")).filter(F.size("t") >= 2)
+    # r16: tokenize ONCE. Four consumers read the token stream (the
+    # bigram join's probe side, the two count aggregations, and the
+    # vocab scalar) — unstaged, each re-ran the regex tokenizer over
+    # the full corpus (the dominant per-row cost; 18 Exchange nodes /
+    # four document scans in the before plan). The staged frame is the
+    # narrow (doc_id, tokens) projection; at cluster scale the staging
+    # point is a parquet write. ``vocab`` reads the UNFILTERED frame,
+    # exactly as it read the raw documents before.
+    tf = documents.select("doc_id", tokens(text_col).alias("t")).localCheckpoint(
+        eager=True
+    )
+    t = tf.filter(F.size("t") >= 2)
     bg = t.select(
         "doc_id",
         F.explode(
@@ -293,7 +339,7 @@ def bigram_logprob_scores(
             )
         ).alias("b"),
     ).select("doc_id", "b.prev", "b.cur")
-    vocab = documents.select(F.explode(tokens(text_col)).alias("tok")).agg(
+    vocab = tf.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").cast("double").alias("_v")
     )
     bgf = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))

@@ -1979,6 +1979,15 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_freq", -F.col("freq"))
         .withColumn("neg_cents", -F.col("cents"))
+        # r16: stage the per-customer aggregate ONCE. Seven consumers
+        # re-evaluated the orders scan + custkey aggregation without it
+        # (the count probe, plus each of the three rank passes paying
+        # it twice more: repartitionByRange's range-boundary sampling
+        # pass and the local-rank/offset join re-read) — the before
+        # plan carried 56 Exchange nodes; the staged frame is read from
+        # blocks instead. At cluster scale the staging point is a
+        # parquet write, as with every localCheckpoint in this package.
+        .localCheckpoint(eager=True)
     )
     n = base.count()  # bounded scalar probe: |customers|
 
@@ -2200,6 +2209,12 @@ def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
         .withColumn("neg_cents", -F.col("cents"))
+        # r16: stage the per-customer aggregate once — the count probe,
+        # the total probe, and the rank pass (whose repartitionByRange
+        # samples its input and whose offset join re-reads it) each
+        # re-ran the orders scan + aggregation without it (22 Exchange
+        # nodes in the before plan).
+        .localCheckpoint(eager=True)
     )
     n = per_cust.count()  # bounded scalar probe: |customers|
     ranked = distributed_row_number(

@@ -128,6 +128,11 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
         .withColumn("_neg_n", -F.col("n"))
+        # r16: stage the vocabulary-sized count frame once — the rank
+        # pass re-ran the full tokenize+count lineage three times
+        # unstaged (range-boundary sampling + the local-rank and
+        # offset-join reads).
+        .localCheckpoint(eager=True)
     )
     return (
         sampling.distributed_row_number(
@@ -617,7 +622,10 @@ def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             text.distinct_token_count("text") / text.token_count("text"), 4
         ).alias("ttr"),
-    )
+        # r16: stage the scored projection once — the count probe plus
+        # the rank pass (range-boundary sampling + local-rank/offset
+        # join) re-ran the tokenize-and-count scan 4x unstaged.
+    ).localCheckpoint(eager=True)
     n = scored.count()  # bounded scalar probe
     return (
         distributed_row_number(scored, ("ttr", "doc_id"), "rnk")

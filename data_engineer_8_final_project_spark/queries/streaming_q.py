@@ -1355,8 +1355,19 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucketed_range_join(
             purchases, dim,
+            # r16: bucket step sized to the INTERVAL distribution, not
+            # copied from the session join. SCD2 validity intervals are
+            # inter-view gaps (~days at every fixture SF: 19,941 views
+            # over a 30-day window exploded to 2.09M 30-minute bucket
+            # rows — ~105 buckets per interval, 100x the interval
+            # count). Day buckets cut the explode ~30x while a
+            # purchase still probes one bucket and meets only its own
+            # user's handful of same-day intervals. Results are
+            # identical by construction: the exact half-open
+            # containment filter is unchanged, bucketing only controls
+            # candidate generation.
             key="user_id", ts="ts", start="valid_from", end="valid_to",
-            step_minutes=30, closed="left",
+            step_minutes=1440, closed="left",
         )
         .select(
             "event_id",

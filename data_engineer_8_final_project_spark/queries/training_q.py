@@ -744,15 +744,27 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import token_count
 
     t = tables_for(spark, sf_dir)
-    toks = t["documents"].select(
-        "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))).alias("k"),
+    # r16: stage both rank inputs. Unstaged, the first rank pass re-ran
+    # the tokenize scan three times (range-boundary sampling + the
+    # local-rank and offset-join reads), and the second rank pass
+    # re-ran the ENTIRE first rank pipeline three times more.
+    toks = (
+        t["documents"]
+        .select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.md5(
+                F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))
+            ).alias("k"),
+        )
+        .localCheckpoint(eager=True)
     )
     ranked = sampling.distributed_row_number(toks, ("n_tokens", "doc_id"), rank_col="dr")
     n = t["documents"].agg(F.count(F.lit(1)).alias("n"))
-    with_decile = ranked.crossJoin(F.broadcast(n)).withColumn(
-        "decile", F.expr("CAST((dr - 1) * 10 DIV n + 1 AS BIGINT)")
+    with_decile = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", F.expr("CAST((dr - 1) * 10 DIV n + 1 AS BIGINT)"))
+        .localCheckpoint(eager=True)
     )
     return (
         sampling.distributed_row_number(
@@ -1408,7 +1420,13 @@ def q_source_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = t["documents"].select(
         "source", F.explode(text.shingles("text", 3)).alias("shingle")
     )
-    sk = sketches.kmv_sketch(sh, "source", "shingle", k=64)
+    # r16: stage the sketch — it is |sources|*64 rows but BOTH the
+    # per-source estimate and the merge path consume it, and unstaged
+    # each re-ran the whole shingle+distinct+rank pipeline (the
+    # query's dominant cost) from the corpus scan.
+    sk = sketches.kmv_sketch(sh, "source", "shingle", k=64).localCheckpoint(
+        eager=True
+    )
     per_source = sketches.kmv_estimate(sk, "source", k=64)
     merged = sketches.kmv_estimate(
         sketches.kmv_merge(sk, k=64).withColumn("source", F.lit("ALL")),
