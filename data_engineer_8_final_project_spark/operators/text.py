@@ -204,34 +204,23 @@ def repetition_scores(
     text itself never shuffles (grams are short strings; at 100 TB
     hash the gram first if gram cardinality dwarfs memory).
     """
-    # r16: all three statistics are PER-DOCUMENT functions of the
-    # document's own bigram multiset, so they are computed IN-ROW from
-    # the shingle array — zero shuffles (the explode → (doc_id, g)
-    # count → doc_id rollup form shuffled the corpus bigram stream
-    # twice). Total = size; distinct = size(array_distinct); the top
-    # bigram's count = the longest run in the SORTED array, one
-    # aggregate() walk with an integer accumulator. Every quantity is
-    # an exact integer, so the rounded fractions and the keep gate are
-    # bit-identical to the shuffle form (verified frame-equal on the
-    # fixtures).
-    max_run = (
-        "aggregate(array_sort(_sh), "
-        "named_struct('p', CAST(NULL AS STRING), 'r', 0, 'b', 0), "
-        "(a, x) -> named_struct('p', x, 'r', IF(x <=> a.p, a.r + 1, 1), "
-        "'b', GREATEST(a.b, IF(x <=> a.p, a.r + 1, 1))), a -> a.b)"
+    # r16 note: an in-row rewrite (array_sort + aggregate() run-length
+    # walk per document — zero shuffles) was value-identical but
+    # measured 40% SLOWER isolated at sf0.1 (1.73 -> 2.43 s steady):
+    # the per-element HOF lambda dispatch costs more than the two
+    # hash-aggregation exchanges it removes at this scale. Reverted;
+    # the explode form's shuffles carry (doc_id, gram) keys only.
+    grams = documents.select(
+        "doc_id", F.explode(shingles(text_col, 2)).alias("g")
     )
-    base = documents.select("doc_id", shingles(text_col, 2).alias("_sh")).filter(
-        F.size("_sh") > 0
-    )
-    n = F.size("_sh").cast("long")
-    mx = F.expr(max_run).cast("long")
-    dup = n - F.size(F.array_distinct("_sh"))
-    return base.select(
-        "doc_id",
-        n.alias("n_bigrams"),
-        F.round(mx / n, decimals).alias("top_bigram_frac"),
-        F.round(dup / n, decimals).alias("dup_bigram_frac"),
-        ((mx / n <= 0.18) & (dup / n <= 0.6)).alias("keep"),
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top_frac = F.round(F.max("c") / F.sum("c"), decimals)
+    dup_frac = F.round((F.sum("c") - F.count(F.lit(1))) / F.sum("c"), decimals)
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((F.max("c") / F.sum("c") <= 0.18) & ((F.sum("c") - F.count(F.lit(1))) / F.sum("c") <= 0.6)).alias("keep"),
     )
 
 
@@ -264,19 +253,15 @@ def dup_span_stats(
     """
     spark = documents.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # r16: build the span arrays ONCE and stage them — the count
-    # aggregation and the join probe side both consume the span stream,
-    # and unstaged each re-ran the tokenize + n-token string assembly
-    # (the dominant per-row cost). The staged frame is (doc_id, span
-    # array); the per-consumer explode is a cheap in-row generator.
-    # At cluster scale the staging point is a parquet write — and the
-    # documented 100 TB swap (spans as 64-bit hashes) shrinks it 8x.
-    sp = (
+    # r16 note: staging the span arrays once (localCheckpoint) for the
+    # two consumers was tried and REVERTED — isolated A/B read 2.06 ->
+    # 2.79 s steady: writing + re-reading the span-array blocks costs
+    # more than re-running the tokenize + assembly at this scale, and
+    # the two consumers' scans pipeline inside one whole-stage anyway.
+    spans = (
         documents.repartition(n_parts, id_col)
-        .select(id_col, shingles(text_col, n).alias("_sps"))
-        .localCheckpoint(eager=True)
+        .select(id_col, F.explode(shingles(text_col, n)).alias("span"))
     )
-    spans = sp.select(id_col, F.explode("_sps").alias("span"))
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("c"))
     dup_per_doc = (
         spans.join(counts.filter(F.col("c") > 1), "span")
