@@ -191,6 +191,41 @@ def _sf_label(sf_dir: str) -> float | str:
     return base
 
 
+#: Max chars for the one-line JSON the driver reads. Its tail buffer is
+#: ~2000 chars; 1800 leaves headroom for field growth between rounds.
+LINE_BUDGET = 1800
+
+
+def format_bench_line(line: dict, timings: dict, budget: int = LINE_BUDGET) -> str:
+    """Serialize the one-line bench JSON with per-query detail that fits.
+
+    The old guard dropped the whole ``queries`` map whenever the line
+    passed 1500 chars — with 77 queries that was always, so the driver's
+    PERF comparison saw ``per_query: {}`` every round. Emit the map
+    compactly (tight separators, 2-decimal values); if the full map still
+    doesn't fit, keep the slowest N entries and report the dropped tail as
+    ``queries_rest_n``/``queries_rest_total`` so the headline total stays
+    reconstructible. Full-precision per-query numbers remain in
+    bench_spread.json either way.
+    """
+
+    def _emit(entries: list, rest: list) -> str:
+        out = dict(line)
+        out["queries"] = {k: round(v, 2) for k, v in entries}
+        if rest:
+            out["queries_rest_n"] = len(rest)
+            out["queries_rest_total"] = round(sum(v for _, v in rest), 2)
+        return json.dumps(out, separators=(",", ":"))
+
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = len(ranked)
+    payload = _emit(ranked, [])
+    while len(payload) > budget and keep > 1:
+        keep -= 1
+        payload = _emit(ranked[:keep], ranked[keep:])
+    return payload
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     queries = all_queries()
@@ -500,11 +535,8 @@ def main() -> None:
         "shuffle_factor": shuffle_factor,
         "probe_parallelism": probe_parallelism,
         "run_id": run_id,
-        "queries": timings,
     }
-    if len(json.dumps(line)) > 1500:  # stay far clear of the 2000-char tail buffer
-        line.pop("queries")
-    print(json.dumps(line))
+    print(format_bench_line(line, timings))
     spark.stop()
 
 

@@ -34,6 +34,12 @@ def connected_components(
     ``vertices``: one column ``doc_id`` (singletons allowed — they come
     out as their own cluster). ``edges``: columns ``doc_a``/``doc_b``.
     """
+    # ADVICE r16: initialization is fused into propagation round 1, so
+    # max_iters <= 0 would still run one round instead of returning
+    # identity labels — refuse the degenerate value rather than change
+    # semantics silently.
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     # undirected: propagate both ways. Persist — the edge list joins
     # against labels EVERY round; without it each iteration recomputes
     # the (expensive) upstream pair-finding lineage from scratch.

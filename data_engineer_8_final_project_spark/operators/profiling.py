@@ -219,6 +219,11 @@ def conversion_latency_stats(
     # window (exchange + sort) and the firsts⋈chan join are gone.
     # ``min_by`` over the (ts, event_id) key is the window's exact
     # order; event_id is tiebreak-complete, so the key has no ties.
+    # NULL-key note (ADVICE r16): min_by SKIPS rows whose ordering key
+    # is NULL, where the replaced NULLS-FIRST window ranked them first
+    # — equivalent only because events.ts is generated NOT NULL
+    # (FIXTURES.md; verified 0 NULL ts at every SF). A nullable-ts
+    # source needs an explicit coalesce/filter decision here.
     firsts = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
         F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),

@@ -1484,10 +1484,16 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
     # physical planning on the driver (~0.1-0.25 s per call at sf0.1,
     # paid by EVERY quantizer-assignment query; far worse on a complex
     # frame at cluster scale). ``inputFiles()`` is a logical-plan walk.
-    # Upper bound on scan splits = n_files + total_bytes/maxPartitionBytes
-    # (a file yields at least one split; splitting adds ~size/split
-    # more): when even the bound is below the core count, the scan is
-    # undersplit and the repartition pays for itself. Frames that are
+    # r17 (ADVICE r16): estimate splits the way FilePartition actually
+    # packs them — every file is charged openCostInBytes, the split
+    # size floors at openCost and caps at maxPartitionBytes while
+    # targeting minPartitionNum (default parallelism) splits, and small
+    # files BIN-PACK into shared partitions (so "one file ⇒ one split"
+    # was wrong for many-tiny-files layouts: the old n_files >= par
+    # fast path skipped the repartition exactly when it was needed).
+    # total_padded // max_split is the packing lower bound —
+    # fragmentation only adds partitions, so an under-par estimate errs
+    # toward spreading, which is this helper's purpose. Frames that are
     # not file-backed (empty inventory) or not local fall back to the
     # precise RDD probe.
     try:
@@ -1496,15 +1502,22 @@ def _spread_if_undersplit(df: DataFrame) -> DataFrame:
         files = []
     local = [f[len("file:"):] for f in files if f.startswith("file:")]
     if files and len(local) == len(files):
-        if len(files) >= par:
-            return df
-        max_pb = _bytes_conf(df.sparkSession, "spark.sql.files.maxPartitionBytes")
+        spark = df.sparkSession
+        max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes")
+        open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes")
         try:
             total = sum(os.path.getsize(p) for p in local)
         except OSError:
             total = None
         if total is not None:
-            est = len(files) + total // max_pb
+            try:
+                min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+            except Exception:
+                min_pn = par
+            total_padded = total + open_cost * len(files)
+            bytes_per_core = total_padded // max(1, min_pn)
+            max_split = min(max_pb, max(open_cost, bytes_per_core))
+            est = max(1, total_padded // max(1, max_split))
             return df.repartition(par) if est < par else df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

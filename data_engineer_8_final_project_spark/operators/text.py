@@ -169,8 +169,10 @@ def unigram_logprob_scores(
     )
     tok = tf.select("doc_id", F.explode("t").alias("tok"))
     # Corpus token total as a 1-row aggregate broadcast-cross-joined in,
-    # NOT an eager tok.count(): keeps the whole plan lazy (no corpus
-    # scan at DataFrame-construction time) and off the driver.
+    # NOT a tok.count() round-trip through the driver. (The staged
+    # tokenize above already scans the corpus eagerly at construction —
+    # the aggregate form's remaining value is keeping the total off the
+    # driver and inside the one staged-frame read.)
     total = tok.agg(F.count(F.lit(1)).cast("double").alias("_total_tokens"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     return (

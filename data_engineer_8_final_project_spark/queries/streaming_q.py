@@ -2168,7 +2168,10 @@ def q_user_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16: last-activity and first-touch channel in ONE user-keyed hash
     # aggregation (min_by over the tie-free (ts, event_id) key replays
     # the row_number window's order) — no second exchange+sort pass, no
-    # lasts⋈chan join.
+    # lasts⋈chan join. NULL-key note (ADVICE r16): min_by skips
+    # NULL-keyed rows where the old NULLS-FIRST window ranked them
+    # first; equivalent because events.ts is generated NOT NULL
+    # (FIXTURES.md; verified 0 NULL ts at every SF).
     flags = e.groupBy("user_id").agg(
         F.max(us).alias("last_us"),
         F.min_by(

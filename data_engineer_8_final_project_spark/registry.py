@@ -58,26 +58,83 @@ def register(
 #: verifies the FIRST 50 queries in ``queries()`` iteration order
 #: (round-1 finding: positions 50+ get no driver evidence).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- Round-16 window (first 50; the driver verifies only these). ----
-    # Rotation per VERDICT r15 item 1: head with the ten r11 greens
-    # staged at the r16 head last round (the freshness gate fails at
-    # a 4-round horizon without them), then 39 of the 47-query
-    # r12-green cohort — prioritizing the streaming S8/T1/T2 carriers
-    # (events_hourly_stream, standings_stream: r12 evidence hits the
-    # horizon at r17) plus the VERDICT-named media/split/ANN set.
-    # The EIGHT r12 greens outside the window are staged immediately
-    # after the boundary for the r17 head; each has an operator-family
-    # sibling with fresher evidence: clicks_last_error /
-    # events_hourly_gapfill / events_trailing_hour_window /
-    # latest_event_snapshot (event_sessions, events_sliding,
-    # events_time_rollup in THIS window), customers_without_orders
-    # (high_value_customers_semi in THIS window),
-    # distinct_customers_salted (skewed_user_join r14),
-    # doc_repetition_scores (doc_quality_scores in THIS window),
-    # knn_pagerank (knn_communities in THIS window, knn_kcore r13).
-    # -- (a) the r16 registration without driver rows --
+    # ---- Round-17 window (first 50; the driver verifies only these). ----
+    # Rotation per VERDICT r16 item 8: head with the eight r12 greens
+    # staged at the boundary last round (their rollover grace expires
+    # this round), then 42 of the 50-query r13-green cohort — the
+    # oldest remaining evidence. The EIGHT r13 greens outside the
+    # window are staged immediately after the boundary; each has an
+    # operator-family sibling with fresher evidence:
+    # dedup_stream (dedup_stream_watermarked in THIS window),
+    # event_funnel_stream (event_funnel r15), events_by_segment_stream
+    # (events_hourly_stream r16), kmeans_clusters (label_centroids r16),
+    # bm25_doc_ranking (tfidf_topk_terms r15), knn_bfs_hops (knn_graph
+    # r15, knn_kcore in THIS window), maxsim_multivector_topk
+    # (embedding_topk r16), snapshot_reconcile (scd2_event_history r15).
+    # -- (a) the eight r12 greens (grace expires at the r17 horizon) --
+    "latest_event_snapshot",
+    "clicks_last_error",
+    "customers_without_orders",
+    "distinct_customers_salted",
+    "doc_repetition_scores",
+    "events_hourly_gapfill",
+    "events_trailing_hour_window",
+    "knn_pagerank",
+    # -- (b) 42 of the r13-green cohort (prior relative order kept) --
+    "dedup_stream_watermarked",
+    "matches_clean",
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "table_profile",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    "curation_pipeline",
+    "embedding_covariance",
+    "token_cms_heavy_hitters",
+    "embedding_pca_scores",
+    "revenue_bootstrap_ci",
+    # ---- driver window boundary (50) ----
+    # -- the eight r13 greens deferred to the r18 head (rationale above) --
+    "dedup_stream",
+    "event_funnel_stream",
+    "events_by_segment_stream",
+    "kmeans_clusters",
+    "bm25_doc_ranking",
+    "knn_bfs_hops",
+    "maxsim_multivector_topk",
+    "snapshot_reconcile",
+    # -- r14/r15/r16 greens (newest evidence; prior relative order kept) --
     "pq_recall_eval",
-    # -- (b) the ten r11 greens (newest evidence r11 = at horizon) --
     "weighted_sample_per_source",
     "jaccard_near_dup",
     "semantic_dedup",
@@ -88,7 +145,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_communities",
     "knn_label_vote",
     "knn_triangle_stats",
-    # -- (c) 39 of the r12-green cohort --
     "watermark_drop_audit",
     "pricing_summary",
     "high_value_customers_semi",
@@ -128,18 +184,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_minhash_similarity",
     "near_dup_rate_by_source",
     "ivf2_ann_topk",
-    # ---- driver window boundary (50) ----
-    # -- the eight r12 greens deferred to the r17 head (rationale above;
-    #    latest_event_snapshot ceded slot 50 to pq_recall_eval) --
-    "latest_event_snapshot",
-    "clicks_last_error",
-    "customers_without_orders",
-    "distinct_customers_salted",
-    "doc_repetition_scores",
-    "events_hourly_gapfill",
-    "events_trailing_hour_window",
-    "knn_pagerank",
-    # -- r13/r14/r15 greens (newest evidence; prior relative order kept) --
     "ann_recall_eval",
     "ngram_containment_pairs",
     "mmr_diverse_topk",
@@ -190,56 +234,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_oov",
     "bigram_logprob",
     "weighted_sample_topk",
-    "dedup_stream_watermarked",
-    "dedup_stream",
-    "event_funnel_stream",
-    "events_by_segment_stream",
-    "matches_clean",
-    "event_type_drift",
-    "scd2_point_in_time_join",
-    "kmeans_clusters",
-    "bm25_doc_ranking",
-    "table_profile",
-    "knn_bfs_hops",
-    "quality_model_filter",
-    "cluster_balanced_sample",
-    "maxsim_multivector_topk",
-    "attribution_last_touch",
-    "ewma_user_value",
-    "value_outliers_mad",
-    "revenue_trend_by_nation",
-    "rfm_segments",
-    "brand_affinity_pairs",
-    "conversion_latency_stats",
-    "lang_source_contingency",
-    "quality_percentile_norm",
-    "pq_reconstruction_error",
-    "session_bounce_stats",
-    "knn_kcore",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "revenue_pareto_deciles",
-    "hourly_volume_spikes",
-    "fd_violation_audit",
-    "revenue_trend_theilsen",
-    "benford_first_digit",
-    "revenue_gini",
-    "token_prefix_completions",
-    "part_price_boxplot",
-    "cohort_ltv",
-    "snapshot_reconcile",
-    "ab_test_conversion",
-    "activity_heatmap",
-    "embedding_norm_outliers",
-    "rolling_wau",
-    "user_churn_rate",
-    "brand_hhi_by_year",
-    "supplier_latency_league",
-    "curation_pipeline",
-    "embedding_covariance",
-    "token_cms_heavy_hitters",
-    "embedding_pca_scores",
-    "revenue_bootstrap_ci",
     "user_totals_stateful",
     "events_session_stream",
     "view_click_stream_join",

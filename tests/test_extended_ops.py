@@ -112,6 +112,21 @@ def test_twostar_converges_on_deep_chain_where_minlabel_cannot(spark):
     assert (got["cluster_id"] == 0).all()
 
 
+def test_connected_components_rejects_degenerate_max_iters(spark):
+    """ADVICE r16: init is fused into propagation round 1, so
+    max_iters <= 0 can no longer mean "identity labels" — it must
+    refuse loudly instead of silently running one round."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators import clusters
+
+    verts = spark.range(3).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="max_iters"):
+        clusters.connected_components(verts, edges, max_iters=0)
+
+
 def test_twostar_matches_minlabel_on_mixed_graph(spark):
     """Both iterations reach the same unique fixpoint on a graph mixing
     cliques, a chain, and singletons."""

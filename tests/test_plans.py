@@ -531,6 +531,38 @@ def test_spread_if_undersplit_is_noop_on_wellsplit_input(spark):
     assert spread_wide.rdd.getNumPartitions() == par
 
 
+def test_spread_if_undersplit_sees_through_file_binpacking(spark, tmp_path):
+    """ADVICE r16: many tiny files bin-pack into few FilePartitions, so
+    "n_files >= cores" does NOT mean the scan is well-split. With
+    minPartitionNum=1, six openCost-dominated files pack into ~one scan
+    partition — the estimate must mirror FilePartition's split sizing
+    (openCost padding, bytesPerCore floor) and still spread."""
+    from pyspark.sql import functions as F
+
+    from data_engineer_8_final_project_spark.operators.similarity import (
+        _spread_if_undersplit,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    n_files = par + 2
+    path = str(tmp_path / "tiny")
+    spark.range(n_files).repartition(n_files).write.parquet(path)
+    df = spark.read.parquet(path)
+    # premise of the old (broken) fast path: at least as many files as cores
+    assert len(df.inputFiles()) >= par
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        # ground truth: Spark really does pack these files under par splits
+        assert df.rdd.getNumPartitions() < par
+        spread = _spread_if_undersplit(df.select(F.col("id")))
+        plan = PI.explain_string(spread)
+        assert "RoundRobinPartitioning" in plan, (
+            "bin-packed tiny-file scan not spread (old n_files>=par fast path)"
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+
+
 def test_weighted_sample_per_source_limit_is_pushed_map_side(q):
     """Same InferWindowGroupLimit contract as per_source_cap: the
     grouped Efraimidis-Spirakis rank<=k must compile to a Partial

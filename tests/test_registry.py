@@ -21,68 +21,66 @@ DRIVER_WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Queries that MUST land inside the driver's verification window.
-#: Round-16 rotation (VERDICT r15 item 1): the ten r11 greens that
-#: headed the staged r16 rotation, then 39 of the 47-query r12-green
-#: cohort (streaming S8/T1/T2 carriers + the VERDICT-named
-#: media/split/ANN set prioritized). The SEVEN r12 greens outside the
-#: window are staged immediately after the boundary for the r17 head;
-#: each has a fresher operator-family sibling (see registry.py
-#: rotation comment). Post-r16 no query's newest green is older than
-#: r12, and only the staged defers remain at r12.
+#: Round-17 rotation (VERDICT r16 item 8): the eight r12 greens whose
+#: rollover grace expires this round, then 42 of the 50-query
+#: r13-green cohort. The EIGHT r13 greens outside the window are
+#: staged immediately after the boundary for the r18 head; each has
+#: a fresher operator-family sibling (see registry.py rotation
+#: comment). Post-r17 no query's newest green is older than r13, and
+#: only the staged defers remain at r13.
 MUST_BE_IN_WINDOW = {
-    # the r16 registration without driver rows
-    "pq_recall_eval",
-    # the ten r11 greens (at the freshness horizon this round)
-    "weighted_sample_per_source",
-    "jaccard_near_dup",
-    "semantic_dedup",
-    "semantic_decontamination",
-    "embedding_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "knn_communities",
-    "knn_label_vote",
-    "knn_triangle_stats",
-    # 39 of the r12-green cohort
-    "watermark_drop_audit",
-    "pricing_summary",
-    "high_value_customers_semi",
-    "top_customers_per_nation",
-    "rollup_region_nation",
-    "shipping_priority",
-    "returned_items",
-    "text_stats_by_lang",
-    "doc_quality_scores",
-    "token_topk",
-    "lang_id_heuristic",
-    "embedding_near_dup_pairs",
-    "bpe_token_topk",
-    "doc_winnow_fingerprints",
-    "corpus_clean_pipeline",
-    "media_manifest",
-    "media_features",
-    "media_frame_sample",
-    "events_hourly_stream",
-    "events_sliding_stream",
-    "standings_stream",
-    "event_sessions",
-    "purchases_in_sessions",
-    "events_time_rollup",
-    "stratified_sample",
-    "events_sliding",
-    "per_source_cap",
-    "temperature_mixture_sample",
-    "training_shuffle_order",
-    "ivfpq_ann_topk",
-    "source_shingle_kmv",
-    "incremental_ingest_dedup",
-    "leakage_safe_split",
-    "hard_negative_mining",
-    "token_budget_pack",
-    "source_overlap_matrix",
-    "source_minhash_similarity",
-    "near_dup_rate_by_source",
-    "ivf2_ann_topk",
+    # the eight r12 greens (at the freshness horizon this round)
+    "latest_event_snapshot",
+    "clicks_last_error",
+    "customers_without_orders",
+    "distinct_customers_salted",
+    "doc_repetition_scores",
+    "events_hourly_gapfill",
+    "events_trailing_hour_window",
+    "knn_pagerank",
+    # 42 of the r13-green cohort
+    "dedup_stream_watermarked",
+    "matches_clean",
+    "event_type_drift",
+    "scd2_point_in_time_join",
+    "table_profile",
+    "quality_model_filter",
+    "cluster_balanced_sample",
+    "attribution_last_touch",
+    "ewma_user_value",
+    "value_outliers_mad",
+    "revenue_trend_by_nation",
+    "rfm_segments",
+    "brand_affinity_pairs",
+    "conversion_latency_stats",
+    "lang_source_contingency",
+    "quality_percentile_norm",
+    "pq_reconstruction_error",
+    "session_bounce_stats",
+    "knn_kcore",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "revenue_pareto_deciles",
+    "hourly_volume_spikes",
+    "fd_violation_audit",
+    "revenue_trend_theilsen",
+    "benford_first_digit",
+    "revenue_gini",
+    "token_prefix_completions",
+    "part_price_boxplot",
+    "cohort_ltv",
+    "ab_test_conversion",
+    "activity_heatmap",
+    "embedding_norm_outliers",
+    "rolling_wau",
+    "user_churn_rate",
+    "brand_hhi_by_year",
+    "supplier_latency_league",
+    "curation_pipeline",
+    "embedding_covariance",
+    "token_cms_heavy_hitters",
+    "embedding_pca_scores",
+    "revenue_bootstrap_ci",
 }
 
 
