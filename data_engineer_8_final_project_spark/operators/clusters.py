@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..stage import stage_frame
 
 
 def connected_components(
@@ -111,7 +112,7 @@ def connected_components(
     out = (
         vertices.join(labels.withColumnRenamed("cluster_id", "_cc"), "doc_id", "left")
         .select("doc_id", F.coalesce("_cc", F.col("doc_id")).alias("cluster_id"))
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     labels.unpersist()
     return out
@@ -149,7 +150,7 @@ def connected_components_twostar(
         edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     probe = e.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
@@ -184,7 +185,7 @@ def connected_components_twostar(
             .unionByName(m2.select("u", F.col("mv").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(stage_frame)
         )
         probe = new_e.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("u") + F.col("v")).alias("s")
@@ -207,7 +208,7 @@ def connected_components_twostar(
             F.least(F.col("doc_id"), F.coalesce("mv", F.col("doc_id"))).alias("cluster_id"),
         )
     )
-    return labels.localCheckpoint(eager=True)
+    return labels.transform(stage_frame)
 
 
 def pagerank_fixed_point(
@@ -266,7 +267,7 @@ def pagerank_fixed_point(
     # staging a cluster run would use at the same point; its size is
     # |E| ≈ k·|V| rows of three longs — the standard materialization
     # every iterative graph algorithm pays.
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    ed = edges.join(deg, "src").transform(stage_frame)
     base = (scale * (100 - damp_pct)) // 100
 
     # r16: the loop frame holds RECEIVERS only (vertices with ≥1
@@ -308,7 +309,7 @@ def pagerank_fixed_point(
             ed.select(F.col("dst").alias("id")).distinct(), "id", "anti"
         ).count()
         for round_no in range(max_iters):
-            new = step(ranks).localCheckpoint(eager=True)
+            new = step(ranks).transform(stage_frame)
             if ranks is None:
                 recv_delta = (
                     new.agg(F.max(F.abs(F.col("r") - F.lit(scale))).alias("d"))
@@ -377,11 +378,11 @@ def label_propagation_fixed(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     labels = vertices.select("id", F.col("id").alias("lbl"))
     if until_stable:
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.transform(stage_frame)
 
     # r16: ONE dst-keyed aggregation per round instead of two. The
     # winning label is the mode of the neighbor multiset (tie → the
@@ -418,7 +419,7 @@ def label_propagation_fixed(
         return (
             prev.join(win, "id", "left")
             .select("id", F.coalesce("wlbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(stage_frame)
         )
 
     if until_stable:
@@ -492,7 +493,7 @@ def kmeans_fixed_point(
             F.col("embedding").cast("array<double>"),
             lambda x: F.round(x * scale).cast("long"),
         ).alias("s"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_frame)
 
     # k×dim bounded model parameter — the same sanctioned collect
     # budget as the IVF codebooks (operators/similarity.py).
@@ -586,14 +587,14 @@ def bfs_hops_fixed(
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     dist = vertices.select(
         "id",
         F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(None))
         .cast("long")
         .alias("d"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_frame)
     for _ in range(iters):
         nb = (
             und.join(dist.withColumnRenamed("id", "src"), "src")
@@ -604,7 +605,7 @@ def bfs_hops_fixed(
         dist = (
             dist.join(nb.withColumnRenamed("dst", "id"), "id", "left")
             .select("id", F.least("d", "nd").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(stage_frame)
         )
     return dist.select("id", F.coalesce("d", F.lit(-1)).cast("long").alias("hops"))
 
@@ -638,7 +639,7 @@ def kcore_fixed(
     both = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = both.distinct().localCheckpoint(eager=True)
+    und = both.distinct().transform(stage_frame)
     for _ in range(rounds):
         keep = (
             und.groupBy("src")
@@ -649,7 +650,7 @@ def kcore_fixed(
         und = (
             und.join(keep, "src", "semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
-            .localCheckpoint(eager=True)
+            .transform(stage_frame)
         )
     deg_f = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
     return (

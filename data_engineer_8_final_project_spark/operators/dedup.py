@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles, tokens
+from ..stage import stage_frame
 
 #: SimHash width. 60 bits = 15 hex chars of md5 — the widest slice that
 #: still fits a signed int64 in BOTH Spark (``conv(hex,16,10)``) and
@@ -391,7 +392,7 @@ def simhash_dedup_verdicts(documents: DataFrame, max_hamming: int = 12) -> DataF
     along because downstream consumers (incremental ingest, cross-
     snapshot dedup) re-block against it without re-tokenizing.
     """
-    sig = simhash_signatures(documents).localCheckpoint(eager=True)
+    sig = simhash_signatures(documents).transform(stage_frame)
     # dedup_pairs=False: distinct(doc_b) below subsumes pair dedup and
     # skips the pair-level hash agg that dominates on dup-heavy corpora
     dropped = (
@@ -626,23 +627,33 @@ def minhash_native_pairs(
         )
     )
     matched = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        F.filter(
+            F.zip_with(F.col("p.a.sig"), F.col("p.b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
     )
+    # Score BEFORE deduplicating (r17): est_jaccard is a pure function
+    # of the unordered pair, so every band-duplicate of a pair carries
+    # the identical value and the score filter commutes with the dedup.
+    # The old order deduplicated first, which made dropDuplicates a
+    # SortAggregate pair (first() over the two array<bigint> signatures
+    # is not hash-aggregable) whose exchange shipped both 24-component
+    # signatures per candidate row; scoring first drops the arrays at
+    # the projection, the filter prunes below-threshold candidates
+    # before the shuffle, and the dedup becomes a fixed-width
+    # HashAggregate over (doc_a, doc_b, est) — narrower exchange, no
+    # sort. The 24-element zip_with re-runs per band-duplicate instead
+    # of per unique pair; that is map-side codegen work, measured
+    # cheaper than the sorts it replaces.
     return (
         buckets.select(F.explode(pairs_arr).alias("p"))
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.sig").alias("sig_a"),
-            F.col("p.b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])  # a pair can agree on several bands
-        .select(
-            "doc_a",
-            "doc_b",
             F.round(matched / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= min_est)
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair can agree on several bands
     )
 
 

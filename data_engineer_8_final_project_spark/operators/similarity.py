@@ -23,6 +23,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..stage import stage_frame
 
 _SIZE_SUFFIX = {
     "kb": 1 << 10, "mb": 1 << 20, "gb": 1 << 30, "tb": 1 << 40,
@@ -227,7 +228,7 @@ def mmr_topk(
         )
         # staged once: k scans read the staged frame instead of
         # re-evaluating the relevance expression per step
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     picked: list[tuple[int, int, float]] = []
     picked_vecs: list[list[float]] = []
@@ -1665,7 +1666,7 @@ def knn_graph(
         _spread_if_undersplit(emb)
         .withColumn("cell", F.expr(cell_expr).cast("long"))
         .withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     # Cosine is evaluated on each UNORDERED pair once (src < dst) and
     # mirrored, halving the dominant cost (pair-stage arithmetic, not
@@ -1760,7 +1761,7 @@ def semantic_dedup_verdicts(
         _spread_if_undersplit(emb)
         .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
         .withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     dropped = (
         _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"], extra=("nrm",))
@@ -1819,7 +1820,7 @@ def hard_negatives(
         _spread_if_undersplit(emb)
         .withColumn("cell", F.expr(f"array_min({structs_sql}).cell").cast("long"))
         .withColumn("nrm", F.expr(f"sqrt({dot_sql_str('v', 'v', dim)})"))
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     half = (
         _cell_self_join(assigned, ["id_a", "va"], ["id_b", "vb"], extra=("label", "nrm"))
@@ -1903,7 +1904,7 @@ def knn_triangle_stats(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     deg = (
         und.select(F.col("a").alias("v"))

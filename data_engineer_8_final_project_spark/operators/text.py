@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..stage import stage_frame
 
 #: Stopword list for quality scoring / language-ID heuristics.
 #: Deterministic and engine-agnostic (mirrored into oracle SQL literals).
@@ -164,8 +165,8 @@ def unigram_logprob_scores(
     # frame is the narrow (doc_id, tokens) projection (cluster-scale
     # staging point: a parquet write); the per-consumer explode is a
     # cheap in-row generator by comparison.
-    tf = documents.select("doc_id", tokens(text_col).alias("t")).localCheckpoint(
-        eager=True
+    tf = documents.select("doc_id", tokens(text_col).alias("t")).transform(
+        stage_frame
     )
     tok = tf.select("doc_id", F.explode("t").alias("tok"))
     # Corpus token total as a 1-row aggregate broadcast-cross-joined in,
@@ -313,8 +314,8 @@ def bigram_logprob_scores(
     # narrow (doc_id, tokens) projection; at cluster scale the staging
     # point is a parquet write. ``vocab`` reads the UNFILTERED frame,
     # exactly as it read the raw documents before.
-    tf = documents.select("doc_id", tokens(text_col).alias("t")).localCheckpoint(
-        eager=True
+    tf = documents.select("doc_id", tokens(text_col).alias("t")).transform(
+        stage_frame
     )
     t = tf.filter(F.size("t") >= 2)
     bg = t.select(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register, tables_for
+from ..stage import stage_frame
 
 # --------------------------------------------------------------------------
 # Aggregations (reference §2.4 A1/A2 generalized — TPC-H Q1 shape)
@@ -1987,7 +1988,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan carried 56 Exchange nodes; the staged frame is read from
         # blocks instead. At cluster scale the staging point is a
         # parquet write, as with every localCheckpoint in this package.
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     n = base.count()  # bounded scalar probe: |customers|
 
@@ -2102,7 +2103,7 @@ def brand_affinity(lineitem: DataFrame, part: DataFrame, k: int = 15) -> DataFra
         # pair generation) — stage the join+group once instead of
         # re-executing it per branch (at cluster scale the staging
         # point is a parquet write)
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     total = ob.count()  # one row per order: the order total, no extra distinct
     sup = (
@@ -2214,7 +2215,7 @@ def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # samples its input and whose offset join re-reads it) each
         # re-ran the orders scan + aggregation without it (22 Exchange
         # nodes in the before plan).
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     n = per_cust.count()  # bounded scalar probe: |customers|
     ranked = distributed_row_number(
@@ -3119,7 +3120,7 @@ def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the post-explode projection and recompute it per REPLICATE
         # (64 md5/row — measured 5.7 s vs 1.3 s at sf0.1); the staged
         # frame is two integer columns per order
-    ).localCheckpoint(eager=True)
+    ).transform(stage_frame)
     reps = seeded.select(
         "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"), "h0"
     ).select(

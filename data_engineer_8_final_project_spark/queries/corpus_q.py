@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import sampling, text
 from ..registry import register, tables_for
+from ..stage import stage_frame
 
 _DUCK_TOKENS = "string_split(trim(text), ' ')"
 #: 5-token shingles (the fixture docs are ~40 tokens; real
@@ -132,7 +133,7 @@ def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass re-ran the full tokenize+count lineage three times
         # unstaged (range-boundary sampling + the local-rank and
         # offset-join reads).
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     return (
         sampling.distributed_row_number(
@@ -625,7 +626,7 @@ def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r16: stage the scored projection once — the count probe plus
         # the rank pass (range-boundary sampling + local-rank/offset
         # join) re-ran the tokenize-and-count scan 4x unstaged.
-    ).localCheckpoint(eager=True)
+    ).transform(stage_frame)
     n = scored.count()  # bounded scalar probe
     return (
         distributed_row_number(scored, ("ttr", "doc_id"), "rnk")
@@ -775,7 +776,7 @@ def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
         .select("token", "true_n", *[cell(j).alias(f"c{j}") for j in range(4)])
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     cells = (
         truth.selectExpr("true_n", "stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (j, col)")

@@ -20,6 +20,7 @@ from .. import staging
 from ..operators import clusters, dedup, sampling, text
 from ..registry import register, tables_for
 from ..streaming import events as ev
+from ..stage import stage_frame
 
 #: docs-stream stage dirs already scheduled for atexit removal (one
 #: registration per (process, stage); the dirs are pid-scoped).
@@ -757,14 +758,14 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))
             ).alias("k"),
         )
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     ranked = sampling.distributed_row_number(toks, ("n_tokens", "doc_id"), rank_col="dr")
     n = t["documents"].agg(F.count(F.lit(1)).alias("n"))
     with_decile = (
         ranked.crossJoin(F.broadcast(n))
         .withColumn("decile", F.expr("CAST((dr - 1) * 10 DIV n + 1 AS BIGINT)"))
-        .localCheckpoint(eager=True)
+        .transform(stage_frame)
     )
     return (
         sampling.distributed_row_number(
@@ -1424,8 +1425,8 @@ def q_source_shingle_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source estimate and the merge path consume it, and unstaged
     # each re-ran the whole shingle+distinct+rank pipeline (the
     # query's dominant cost) from the corpus scan.
-    sk = sketches.kmv_sketch(sh, "source", "shingle", k=64).localCheckpoint(
-        eager=True
+    sk = sketches.kmv_sketch(sh, "source", "shingle", k=64).transform(
+        stage_frame
     )
     per_source = sketches.kmv_estimate(sk, "source", k=64)
     merged = sketches.kmv_estimate(
@@ -1710,7 +1711,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_r")
         )
         .select("_r.doc_id", "_r.source", "_r.text", "_r.n_tokens", "_r.ttr")
-        .localCheckpoint(eager=True)  # three consumers; stage the gate+dedup once
+        .transform(stage_frame)  # three consumers; stage the gate+dedup once
     )
     edges = dedup.jaccard_candidate_pairs(
         surv.select("doc_id", "text"), shingle_n=3, min_shared=2, max_df=100
