@@ -140,7 +140,7 @@ def connected_components_twostar(
     keeps the edge set from ballooning past the star graphs it
     converges to.
     """
-    # localCheckpoint (not persist) every generation: each round
+    # stage_frame (not persist) every generation: each round
     # references the previous edge set several times (union with its
     # swap, plus the min side), so the LOGICAL plan doubles per round —
     # persist caches data but still canonicalizes the full lineage,
@@ -263,8 +263,8 @@ def pagerank_fixed_point(
     # Materialize (edge, outdeg) once: the list is re-joined EVERY
     # round, and without truncation the (expensive) upstream graph
     # build would be recomputed per iteration inside one final plan.
-    # localCheckpoint is the single-process stand-in for the parquet
-    # staging a cluster run would use at the same point; its size is
+    # stage_frame: localCheckpoint locally, parquet at cluster scale
+    # (conf-selectable sink); its size is
     # |E| ≈ k·|V| rows of three longs — the standard materialization
     # every iterative graph algorithm pays.
     ed = edges.join(deg, "src").transform(stage_frame)

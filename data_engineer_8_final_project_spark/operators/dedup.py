@@ -385,7 +385,7 @@ def simhash_dedup_verdicts(documents: DataFrame, max_hamming: int = 12) -> DataF
     Deterministic min-id greedy, same rule as ``semantic_dedup`` /
     ``dedup_exact``: doc ``d`` is dropped iff some ``d' < d`` sits
     within ``max_hamming`` of it through a shared band. The signature
-    frame is staged once (localCheckpoint locally; written-to-parquet
+    frame is staged once (stage_frame: localCheckpoint locally, parquet
     at cluster scale) and feeds the band self-join AND the verdict
     join, so the 60-column vote aggregation runs once, not three
     times. Returns (doc_id, simhash, is_kept) — the signature rides

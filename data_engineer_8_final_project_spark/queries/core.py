@@ -1987,7 +1987,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass and the local-rank/offset join re-read) — the before
         # plan carried 56 Exchange nodes; the staged frame is read from
         # blocks instead. At cluster scale the staging point is a
-        # parquet write, as with every localCheckpoint in this package.
+        # parquet write — stage_frame's conf-selectable sink.
         .transform(stage_frame)
     )
     n = base.count()  # bounded scalar probe: |customers|
